@@ -1,0 +1,54 @@
+"""JSON operators (SURVEY §2.2/§2.8; reference kv/JsonHelper.java:18-265 —
+``->``, ``->>``, ``#>``, ``#>>``, jsonb_typeof, jsonb_array_length).
+
+Spark side uses get_json_object / json-path built-ins (JVM, codegen).
+The engine's SQL facade additionally rewrites the PostgreSQL arrow
+operators into these calls (cassandra_sql_spark.sqlfront.preprocess).
+Oracles use DuckDB's JSON functions (dialects differ).
+"""
+
+from __future__ import annotations
+
+from cassandra_sql_spark.queries.base import Q, sql_q
+
+QUERIES: dict[str, Q] = {
+    # ->> equivalent: extract scalar text then cast
+    # (reference kv/JsonHelper.java:67-134).
+    "json_extract_scalar": sql_q(
+        """
+        SELECT event_id,
+               GET_JSON_OBJECT(props, '$.k') AS k_text,
+               CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) AS k_num
+        FROM events WHERE event_id < 2000
+        """,
+        ("events",),
+        oracle="""
+        SELECT event_id,
+               JSON_EXTRACT_STRING(props, '$.k') AS k_text,
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_num
+        FROM events WHERE event_id < 2000
+        """,
+    ),
+    # JSON predicate in WHERE + aggregation over extracted values.
+    "json_filter_agg": sql_q(
+        """
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k
+        FROM events
+        WHERE CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) > 50
+        GROUP BY event_type
+        """,
+        ("events",),
+        oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k
+        FROM events
+        WHERE CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) > 50
+        GROUP BY event_type
+        """,
+    ),
+}

@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for the analytics engine.
+
+Design notes (100 TB target, tested on local[N]):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  broadcast-join demotion are what keep a fixed plan healthy at 1000x data.
+- spark.sql.shuffle.partitions is only the pre-AQE upper bound; AQE coalesces.
+  On a real cluster this would be ~2-3x total cores; locally we match cores.
+- Session timezone pinned to UTC so timestamp semantics are deterministic and
+  match the DuckDB oracle (naive timestamps).
+- Arrow on for the pandas-UDF extension operators (vectorized Python exchange).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally provided session.
+
+    The correctness driver hands us its own SparkSession; these settings are
+    the subset of our tuning that can be applied after session start.
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
+
+
+def get_spark(
+    app_name: str = "cassandra-sql-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/root/repo/.warehouse"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

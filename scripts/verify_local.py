@@ -1,0 +1,118 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+at the given sf dir, then compares row count, column names, and an
+order-insensitive value multiset (floats compared to 9 significant digits).
+
+Usage: python scripts/verify_local.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from cassandra_sql_spark.io import TABLES  # noqa: E402
+from cassandra_sql_spark.session import get_spark  # noqa: E402
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return 0.0
+        return float(f"{v:.9g}")
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = {}
+    for r in rows:
+        key = tuple(norm(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(rows)} rows [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(rows) != len(orows):
+            problems.append(f"rowcount {len(rows)} vs {len(orows)}")
+        if sorted(c.lower() for c in cols) != sorted(c.lower() for c in ocols):
+            problems.append(f"columns {sorted(cols)} vs {sorted(ocols)}")
+        if not problems:
+            ms, oms = multiset(rows, cols), multiset(orows, ocols)
+            if ms != oms:
+                diff = [k for k in ms if ms[k] != oms.get(k)][:3]
+                odiff = [k for k in oms if oms[k] != ms.get(k)][:3]
+                problems.append(f"values spark-only={diff} oracle-only={odiff}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(rows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

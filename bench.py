@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver-side materialization cost for wide results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cassandra_sql_spark.queries import REGISTRY  # noqa: E402
+from cassandra_sql_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "agg_count_distinct",
+    "agg_rollup",
+    "win_topk_per_group",
+    "win_running_agg",
+    "subq_correlated",
+    "setop_union_distinct",
+    "json_filter_agg",
+    "expr_time_bucket_agg",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    names = [n for n in (sys.argv[1:] or HEADLINE) if n in REGISTRY]
+
+    spark = get_spark("cassandra-sql-spark-bench")
+    # Warm up the JVM / codegen / parquet footer cache off the clock.
+    run_query(spark, names[0], sf_dir)
+
+    times: dict[str, float] = {}
+    for name in names:
+        times[name] = round(run_query(spark, name, sf_dir), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_sec",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

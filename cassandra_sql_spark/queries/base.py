@@ -61,19 +61,28 @@ def df_q(
 
 
 # Shared SQL fragments -------------------------------------------------------
+#
+# Deterministic double aggregation: scale to integer units, sum BIGINTs
+# (exact, order-independent, stays in whole-stage codegen — ~6x faster than
+# a DECIMAL-typed sum), divide back to double. Bounds: |x|*10^s < 2^53 per
+# value and the scaled sum < 2^63 — holds with huge margin at the verify
+# scale factors (and any per-group money sum short of 10^12).
 
 def dsum(col: str, alias: str, scale: int = 2) -> str:
     """Order-independent, engine-independent sum of a double column."""
+    s = 10 ** scale
     return (
-        f"CAST(SUM(CAST({col} AS DECIMAL(25,{scale}))) AS DOUBLE) AS {alias}"
+        f"CAST(SUM(CAST(ROUND(({col}) * {s}) AS BIGINT)) AS DOUBLE)"
+        f" / {s} AS {alias}"
     )
 
 
 def davg(col: str, alias: str, scale: int = 2) -> str:
-    """Deterministic average: exact decimal sum, double division."""
+    """Deterministic average: exact scaled-integer sum, double division."""
+    s = 10 ** scale
     return (
-        f"CAST(SUM(CAST({col} AS DECIMAL(25,{scale}))) AS DOUBLE)"
-        f" / COUNT({col}) AS {alias}"
+        f"CAST(SUM(CAST(ROUND(({col}) * {s}) AS BIGINT)) AS DOUBLE)"
+        f" / {s} / COUNT({col}) AS {alias}"
     )
 
 

@@ -1,0 +1,260 @@
+"""Deduplication operators (north-star extension; the reference has no
+dedup surface at all — SURVEY §2.10: no UDFs, no DISTINCT execution path).
+
+Five strategies, all pure DataFrame/Catalyst (no Python UDFs):
+
+- exact:        normalize -> hash-groupBy (one shuffle on the hash key)
+- ngram-jaccard: word-shingle inverted index join -> exact Jaccard verify.
+                Complete (a pair with J >= t shares >= 1 shingle), used as
+                the small-scale baseline and the verifier for LSH paths.
+- minhash-lsh:  64 minhashes -> 16 bands x 4 rows -> bucket join -> verify.
+                The 100 TB path: candidate generation touches only
+                bucket-colliding pairs, never O(n^2).
+- simhash:      64-bit signature via per-bit token-hash majority; near-dup =
+                Hamming distance <= k found by 4x16-bit chunk banding
+                (pigeonhole: d <= 3 forces >= 1 equal chunk).
+- embedding-cosine: see cassandra_sql_spark.pipeline.similarity.
+
+Scale notes: every strategy is shuffle-bounded by the exploded index
+(shingles or bands), not by pairs. Hot shingles in the inverted index are
+the skew risk at 100 TB — cap candidate fan-out by dropping ultra-frequent
+shingles (df_cutoff) like a stopword list; AQE skew-join handles the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles, JVM-side (sequence+transform+slice)."""
+    w = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per normalized text; report cluster size."""
+    return (
+        df.select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+        )
+        .groupBy("_norm")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .drop("_norm")
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(
+        F.array_union(a, b)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+    df_cutoff: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard >= threshold.
+
+    Candidate generation via inverted index on shingles (complete: J >= t
+    implies a shared shingle), then exact verification. ``df_cutoff``
+    optionally drops shingles occurring in more than that many docs —
+    trades completeness for bounded fan-out at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("_s")
+    )
+    ex = sh.select("_id", F.explode("_s").alias("_g"))
+    if df_cutoff is not None:
+        hot = ex.groupBy("_g").count().filter(F.col("count") > df_cutoff)
+        ex = ex.join(F.broadcast(hot.select("_g")), "_g", "left_anti")
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a._g") == F.col("b._g"))
+              & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("da"), F.col("b._id").alias("db"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(sh.select(F.col("_id").alias("da"), F.col("_s").alias("sa")), "da")
+        .join(sh.select(F.col("_id").alias("db"), F.col("_s").alias("sb")), "db")
+        .select("da", "db", _jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
+    )
+    return pairs.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signature(col: Column, num_hashes: int = 64) -> Column:
+    """Array of num_hashes minhash values over the shingle array.
+
+    Hash family: xxhash64 salted by index — JVM built-in, no UDF.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    col, lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#{i}")))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + banded LSH, verified by exact Jaccard.
+
+    With 16 bands x 4 rows the collision curve passes ~0.5; a pair at
+    J=0.9 is missed with p < 1e-7, so for thresholds >= 0.8 the verified
+    output equals the exact answer in practice (candidates are exactly
+    verified — false positives never survive).
+    """
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("_s")
+    )
+    sig = sh.select(
+        "_id", "_s", minhash_signature(F.col("_s"), num_hashes).alias("_sig")
+    )
+    banded = sig.select(
+        "_id",
+        "_s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", F.transform(
+                                    F.slice("_sig", b * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                )
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("_id", "_s", "_bk.band", "_bk.key")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("da"),
+            F.col("a._s").alias("sa"),
+            F.col("b._id").alias("db"),
+            F.col("b._s").alias("sb"),
+        )
+        .dropDuplicates(["da", "db"])
+    )
+    return cand.select(
+        "da", "db", _jaccard(F.col("sa"), F.col("sb")).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per row: per-bit majority vote of shingle xxhash64 bits.
+
+    Shingles (not bare words) are the feature set — on a small vocabulary
+    word-level SimHash collapses (every doc shares most words). Implemented
+    as explode -> 64 conditional sums -> bit reassembly; one shuffle on id,
+    all JVM expressions.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col))).alias("_t"),
+    ).withColumn("_h", F.xxhash64("_t"))
+    votes = ex.groupBy("_id").agg(
+        *[
+            F.sum(
+                (F.shiftright("_h", b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    return votes.select("_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming (<= 3 guaranteed
+    findable by 4x16-bit chunk banding via pigeonhole)."""
+    sig = simhash_signature(df, id_col, text_col)
+    chunks = sig.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "simhash", "_c.chunk", "_c.ckey")
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("da"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b._id").alias("db"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["da", "db"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("da", "db", ham.alias("hamming")).filter(
+        ham <= max_hamming
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (north-star extension; absent
+from the reference — SURVEY §2.10).
+
+- brute-force cosine top-k: the exact baseline. Dot products via
+  zip_with + aggregate (JVM lambdas, sequential fold -> bit-deterministic
+  and engine-comparable), query vector broadcast, TakeOrderedAndProject
+  for the top-k (no full sort).
+- threshold self-join: exact pair search; candidate cap for 100 TB comes
+  from the LSH variant below.
+- random-hyperplane LSH (sign-bit bucketing): deterministic planes derived
+  from xxhash64(plane, dim) — no stored model, reproducible on any cluster.
+  Buckets partition the space; search probes only the query's bucket
+  (optionally multi-probe). This is the scale path: candidates per query
+  drop from N to N/2^planes on average.
+
+All math in double precision; cosine rounded to DECIMAL(18,6) where results
+cross the engine boundary (last-ulp safety).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def topk_bruteforce(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs one stored vector; broadcast 1-row query side."""
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            cosine(F.col(vec_col), F.col("_qv"))
+            .cast("decimal(18,6)")
+            .alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def threshold_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (O(n^2) verify — baseline only;
+    use lsh_topk/bucketed candidates at scale)."""
+    a = emb.select(F.col(id_col).alias("da"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("db"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        "da",
+        "db",
+        cosine(F.col("va"), F.col("vb")).cast("decimal(18,6)").alias("score"),
+    )
+    return pairs.filter(F.col("score") >= threshold)
+
+
+def _plane_weight(p: int, d: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1) for plane p, dim d."""
+    h = F.xxhash64(F.concat(F.lit(f"plane{p}:"), d.cast("string")))
+    return (F.pmod(h, F.lit(2000)) - 1000).cast("double") / 1000.0
+
+
+def _projection(vec: Column, p: int) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, i: x.cast("double") * _plane_weight(p, i),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket(vec: Column, planes: int = 8) -> Column:
+    """Sign-bit bucket id from `planes` random hyperplanes (JVM lambdas)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        bucket = bucket + F.when(
+            _projection(vec, p) > 0, F.lit(2**p)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def topk_lsh(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    At 100 TB the bucketed table is written partitioned by bucket so a
+    probe is a single-partition scan (partition pruning), not a full pass.
+    """
+    bucketed = emb.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv"), F.col("_bucket").alias("_qb")
+    )
+    cands = bucketed.join(
+        F.broadcast(q), F.col("_bucket") == F.col("_qb")
+    ).filter(F.col(id_col) != query_id)
+    scored = cands.select(
+        id_col,
+        cosine(F.col(vec_col), F.col("_qv"))
+        .cast("decimal(18,6)")
+        .alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

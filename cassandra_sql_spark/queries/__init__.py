@@ -11,6 +11,7 @@ from cassandra_sql_spark.queries import (
     expressions,
     joins,
     json_ops,
+    pipeline_queries,
     relational,
     setops,
     subqueries,
@@ -29,6 +30,7 @@ _MODULES = (
     subqueries,
     expressions,
     json_ops,
+    pipeline_queries,
 )
 
 REGISTRY: dict[str, Q] = {}

@@ -1,0 +1,207 @@
+"""Query entries for the LLM-data-pipeline operators (dedup, similarity,
+text analysis, multimodal) with DuckDB oracles wherever the computation is
+SQL-expressible; probabilistic/hash-family ops (simhash, LSH buckets) are
+rows-only here and recall-tested in tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_sql_spark.io import load
+from cassandra_sql_spark.pipeline import dedup, multimodal, similarity, text
+from cassandra_sql_spark.queries.base import Q, df_q
+
+# Brute-force shingle-Jaccard oracle (DuckDB list lambdas). Complete
+# ground truth for both the inverted-index and the MinHash-LSH paths.
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w)-1)]) AS s
+  FROM toks
+)
+SELECT a.doc_id AS da, b.doc_id AS db,
+       len(list_intersect(a.s, b.s))::DOUBLE
+         / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.s, b.s))::DOUBLE
+        / len(list_distinct(list_concat(a.s, b.s))) >= {t}
+"""
+
+_COSINE = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_TEXT_STATS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w,
+         substr(text, 1, 128) AS p
+  FROM documents
+), m AS (
+  SELECT doc_id, text, w, p,
+         len(w) AS n,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(w, x -> CAST(length(x) AS BIGINT))),
+                     (a, b) -> a + b) AS total_len,
+         len(list_filter(w, x -> x IN
+             ('the','a','and','of','to','in','is','it'))) AS stop_hits,
+         len(list_filter(w, x -> length(x) <= 2)) AS short_hits,
+         len(list_filter(w, x -> x IN ('the','a','of','and'))) AS en_hits,
+         len(list_filter(w, x -> x IN ('der','die','das','und'))) AS de_hits,
+         len(list_filter(w, x -> x IN ('le','la','les','et'))) AS fr_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(total_len::DOUBLE / n, 6) AS avg_tok_len,
+       round(stop_hits::DOUBLE / n, 6) AS stop_ratio,
+       round(
+         least(n::DOUBLE / 50.0, 1.0) * 0.5
+         + (CASE WHEN stop_hits::DOUBLE / n > 0.02
+                 THEN 1.0 ELSE 0.5 END) * 0.3
+         + (1.0 - short_hits::DOUBLE / n) * 0.2, 6) AS quality,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0
+              THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'unk' END AS lang_pred,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      [CAST(ascii(p[i]) AS BIGINT)
+                       for i in range(1, length(p) + 1)]),
+         (h, c) -> (h * 131 + c) % 1000000007) AS fp
+FROM m
+"""
+
+QUERIES: dict[str, Q] = {
+    # Exact dedup: hash-groupBy on normalized text
+    # (one shuffle on the group key; min-id survivor policy).
+    "dedup_exact": df_q(
+        lambda spark, sf: dedup.exact_dedup(
+            load(spark, sf, "documents"), "doc_id", "text"
+        ),
+        ("documents",),
+        oracle="""
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM documents
+        GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ')
+        """,
+    ),
+    # Exact near-dup: shingle inverted-index join + Jaccard verify.
+    "dedup_ngram_jaccard": df_q(
+        lambda spark, sf: dedup.ngram_jaccard_pairs(
+            load(spark, sf, "documents"), "doc_id", "text", threshold=0.5
+        ),
+        ("documents",),
+        oracle=_JACCARD_ORACLE.format(t=0.5),
+    ),
+    # MinHash + banded LSH, Jaccard-verified: output provably equals the
+    # exact answer at threshold 0.8 (collision-miss p < 1e-7 at J >= 0.9,
+    # and the corpus has no pairs in (0.07, 0.9)).
+    "dedup_minhash_lsh": df_q(
+        lambda spark, sf: dedup.minhash_lsh_pairs(
+            load(spark, sf, "documents"), "doc_id", "text", threshold=0.8
+        ),
+        ("documents",),
+        oracle=_JACCARD_ORACLE.format(t=0.8),
+    ),
+    # SimHash Hamming pairs — hash-family-specific, rows-only here;
+    # recall vs the Jaccard ground truth asserted in tests.
+    "dedup_simhash": df_q(
+        lambda spark, sf: dedup.simhash_pairs(
+            load(spark, sf, "documents"), "doc_id", "text", max_hamming=8
+        ),
+        ("documents",),
+        oracle=None,
+    ),
+    # Embedding-cosine near-dup pairs (exact O(n^2) baseline).
+    "dedup_embedding_cosine": df_q(
+        lambda spark, sf: similarity.threshold_pairs(
+            load(spark, sf, "embeddings"), threshold=0.45
+        ),
+        ("embeddings",),
+        oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS da, b.vec_id AS db,
+               CAST({_COSINE.format(a='a.v', b='b.v')} AS DECIMAL(18,6))
+                 AS score
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND CAST({_COSINE.format(a='a.v', b='b.v')} AS DECIMAL(18,6))
+                >= 0.45
+        """,
+    ),
+    # Brute-force cosine top-k (exact ANN baseline; broadcast query side,
+    # TakeOrderedAndProject top-k).
+    "sim_topk_bruteforce": df_q(
+        lambda spark, sf: similarity.topk_bruteforce(
+            load(spark, sf, "embeddings"), query_id=0, k=10
+        ),
+        ("embeddings",),
+        oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT e.vec_id,
+               CAST({_COSINE.format(a='e.v', b='q.qv')} AS DECIMAL(18,6))
+                 AS score
+        FROM e, q WHERE e.vec_id != 0
+        ORDER BY score DESC, e.vec_id
+        LIMIT 10
+        """,
+    ),
+    # LSH-bucketed approximate top-k (the scale path) — bucket membership
+    # is hash-family-specific: rows-only; recall@k asserted in tests.
+    "sim_lsh_topk": df_q(
+        lambda spark, sf: similarity.topk_lsh(
+            load(spark, sf, "embeddings"), query_id=0, k=10, planes=4
+        ),
+        ("embeddings",),
+        oracle=None,
+    ),
+    # Text analysis battery: token counts, quality, language-ID heuristic,
+    # rolling-hash fingerprint — all JVM lambdas, oracle replays the exact
+    # integer/rational math.
+    "text_stats": df_q(
+        lambda spark, sf: text.text_stats(
+            load(spark, sf, "documents"), "doc_id", "text"
+        ),
+        ("documents",),
+        oracle=_TEXT_STATS_ORACLE,
+    ),
+    # Multimodal plumbing: binary payload + typed metadata struct.
+    "multimodal_binary_meta": df_q(
+        lambda spark, sf: multimodal.with_binary_payload(
+            load(spark, sf, "documents")
+        ).select(
+            "doc_id",
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+            F.col("media_meta.mime").alias("mime"),
+            F.col("media_meta.checksum").alias("checksum"),
+            F.octet_length("payload").cast("long").alias("payload_bytes"),
+        ),
+        ("documents",),
+        oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               'application/octet-stream' AS mime,
+               md5(text) AS checksum,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+        FROM documents
+        """,
+    ),
+    # Arrow-batched feature extraction (stubbed codec) — rows-only; the
+    # deterministic fake features are value-tested in tests.
+    "multimodal_features": df_q(
+        lambda spark, sf: multimodal.extract_features(
+            multimodal.with_binary_payload(load(spark, sf, "documents"))
+        ),
+        ("documents",),
+        oracle=None,
+    ),
+}

@@ -1,0 +1,67 @@
+"""Shared result-comparison helpers (used by scripts/verify_local.py and
+tests/) mirroring the driver's gate: row count, column names, and an
+order-insensitive value multiset with floats normalized to 9 significant
+digits.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return 0.0
+        return float(f"{v:.9g}")
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out: dict = {}
+    for r in rows:
+        key = tuple(norm(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def compare(spark_rows, spark_cols, oracle_rows, oracle_cols) -> list[str]:
+    """Return a list of problems (empty == match)."""
+    problems = []
+    if len(spark_rows) != len(oracle_rows):
+        problems.append(
+            f"rowcount spark={len(spark_rows)} oracle={len(oracle_rows)}"
+        )
+    if sorted(c.lower() for c in spark_cols) != sorted(
+        c.lower() for c in oracle_cols
+    ):
+        problems.append(
+            f"columns spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
+        )
+    if not problems:
+        ms = multiset(spark_rows, spark_cols)
+        oms = multiset(oracle_rows, oracle_cols)
+        if ms != oms:
+            diff = [k for k in ms if ms[k] != oms.get(k)][:3]
+            odiff = [k for k in oms if oms[k] != ms.get(k)][:3]
+            problems.append(
+                f"values spark-only={diff} oracle-only={odiff}"
+            )
+    return problems

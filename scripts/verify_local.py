@@ -9,11 +9,8 @@ Usage: python scripts/verify_local.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
-import math
 import sys
 import time
-from datetime import date, datetime
-from decimal import Decimal
 
 import duckdb
 
@@ -21,37 +18,7 @@ sys.path.insert(0, "/root/repo")
 
 from cassandra_sql_spark.io import TABLES  # noqa: E402
 from cassandra_sql_spark.session import get_spark  # noqa: E402
-
-
-def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, Decimal):
-        v = float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == 0:
-            return 0.0
-        return float(f"{v:.9g}")
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
-
-
-def multiset(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = {}
-    for r in rows:
-        key = tuple(norm(r[i]) for i in order)
-        out[key] = out.get(key, 0) + 1
-    return out
+from cassandra_sql_spark.testing import compare  # noqa: E402
 
 
 def main() -> int:
@@ -93,17 +60,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
             continue
-        problems = []
-        if len(rows) != len(orows):
-            problems.append(f"rowcount {len(rows)} vs {len(orows)}")
-        if sorted(c.lower() for c in cols) != sorted(c.lower() for c in ocols):
-            problems.append(f"columns {sorted(cols)} vs {sorted(ocols)}")
-        if not problems:
-            ms, oms = multiset(rows, cols), multiset(orows, ocols)
-            if ms != oms:
-                diff = [k for k in ms if ms[k] != oms.get(k)][:3]
-                odiff = [k for k in oms if oms[k] != ms.get(k)][:3]
-                problems.append(f"values spark-only={diff} oracle-only={odiff}")
+        problems = compare(rows, cols, orows, ocols)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1

@@ -1,0 +1,134 @@
+"""Semantics tests for the pipeline operators that the oracle gate can't
+fully check (hash families, approximate search, stubbed codecs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from cassandra_sql_spark.io import load
+from cassandra_sql_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def truth_pairs(docs):
+    """Exact shingle-Jaccard >= 0.8 pairs (inverted-index path is complete)."""
+    return {
+        (r.da, r.db)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello  World"),
+            Row(doc_id=2, text="hello world"),
+            Row(doc_id=3, text="  HELLO WORLD  "),
+            Row(doc_id=4, text="different"),
+        ]
+    )
+    out = {
+        r.keep_id: r.n_dups
+        for r in dedup.exact_dedup(df, "doc_id", "text").collect()
+    }
+    assert out == {1: 3, 4: 1}
+
+
+def test_minhash_lsh_equals_exact(docs, truth_pairs):
+    got = {
+        (r.da, r.db)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert got == truth_pairs
+
+
+def test_simhash_finds_planted_pairs_only(docs, truth_pairs):
+    got = {
+        (r.da, r.db)
+        for r in dedup.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=8
+        ).collect()
+    }
+    # precision: simhash-close pairs must be genuinely near-duplicate
+    assert got <= truth_pairs
+    # recall: hamming<=8 on 64 bits catches most J~0.99 pairs
+    if truth_pairs:
+        assert len(got) >= 0.5 * len(truth_pairs)
+
+
+def test_df_cutoff_prunes_but_keeps_planted(docs, truth_pairs):
+    got = {
+        (r.da, r.db)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8, df_cutoff=50
+        ).collect()
+    }
+    assert got == truth_pairs
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    exact = [
+        r.vec_id
+        for r in similarity.topk_bruteforce(emb, query_id=0, k=10).collect()
+    ]
+    approx = {
+        r.vec_id
+        for r in similarity.topk_lsh(
+            emb, query_id=0, k=10, planes=2
+        ).collect()
+    }
+    # 2 planes -> ~1/4 of vectors share the bucket; recall won't be perfect
+    # but the bucket must contain a meaningful share of the true top-k.
+    assert len(approx & set(exact)) >= 2
+    # and every returned id must come from the same bucket scoring path
+    assert len(approx) == 10
+
+
+def test_lsh_bucket_deterministic(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    b1 = emb.select(
+        "vec_id", similarity.lsh_bucket(emb.embedding, 4).alias("b")
+    ).collect()
+    b2 = emb.select(
+        "vec_id", similarity.lsh_bucket(emb.embedding, 4).alias("b")
+    ).collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+    assert {r.b for r in b1} <= set(range(16))
+
+
+def test_text_langid_and_quality_ranges(docs):
+    out = text.text_stats(docs, "doc_id", "text").collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in out)
+    assert all(r.lang_pred in ("en", "de", "fr", "unk") for r in out)
+    assert all(0 <= r.fp < 1_000_000_007 for r in out)
+    assert all(r.n_tokens > 0 for r in out)
+
+
+def test_multimodal_features_deterministic(docs):
+    feat = multimodal.extract_features(
+        multimodal.with_binary_payload(docs)
+    )
+    rows = {r.doc_id: r for r in feat.collect()}
+    some = next(iter(rows.values()))
+    assert len(some.features) == multimodal.FEATURE_DIM
+    assert abs(sum(some.features) - 1.0) < 1e-6  # histogram normalized
+    # matches a locally computed stub on the raw bytes
+    doc = docs.filter(docs.doc_id == some.doc_id).collect()[0]
+    assert some.features == multimodal.decode_stub(doc.text.encode())
+    assert some.n_bytes == len(doc.text.encode())
+
+
+def test_multimodal_strict_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"bytes", strict=True)

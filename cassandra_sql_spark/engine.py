@@ -1,0 +1,727 @@
+"""Engine: the SQL facade over SparkSession + Catalog.
+
+Statement lifecycle (contrast SURVEY §3: the reference re-parses every SQL
+string up to 3x through Calcite and hand-dispatches to per-shape executors
+— QueryService.java:80, kv/KvQueryExecutor.java:90-175): here a thin
+regex *router* classifies only the statements Spark SQL itself cannot run
+(pg DDL/DML on managed tables, enums, sequences, COPY, materialized
+views); everything query-shaped goes through ``preprocess`` ->
+``spark.sql`` and Catalyst owns parse/analyze/optimize/execute.
+
+Storage: managed tables are versioned parquet directories
+(``tables/<name>/v<k>``). UPDATE/DELETE/TRUNCATE write ``v<k+1>`` then
+flip the catalog pointer — the same O(1) lazy-drop/truncate trick the
+reference plays with truncateTimestamp (kv/TableMetadata.java:119-141),
+minus the background vacuum (old versions are removed eagerly once the
+new version is committed). On a Delta/Iceberg deployment this class
+delegates to the table format; semantics are identical.
+
+Constraint enforcement (reference kv/KvQueryExecutor.java:4276-4472):
+NOT NULL, ENUM domains, UNIQUE/PK, and FK existence are validated with
+set-based anti-join/aggregate checks over the incoming batch — no
+row-at-a-time loops.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cassandra_sql_spark.catalog import Catalog, ColumnMeta, TableMeta, ViewMeta
+from cassandra_sql_spark.sqlfront.preprocess import map_pg_type, preprocess
+
+_IDENT = r"[A-Za-z_][\w]*"
+
+
+class EngineError(Exception):
+    pass
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split on semicolons outside quotes (reference StatementSplitter)."""
+    out, cur, quote = [], [], None
+    for ch in sql:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch == ";":
+            s = "".join(cur).strip()
+            if s:
+                out.append(s)
+            cur = []
+        else:
+            cur.append(ch)
+    s = "".join(cur).strip()
+    if s:
+        out.append(s)
+    return out
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse or os.path.join(
+            os.getcwd(), ".warehouse", "engine"
+        )
+        self.catalog = Catalog(self.warehouse)
+        for meta in self.catalog.tables.values():
+            self._register(meta)
+        for view in self.catalog.views.values():
+            self._register_view(view)
+
+    # ------------------------------------------------------------------ util
+
+    def _status(self, msg: str, n: int = -1) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(msg, n)], "status string, rows bigint"
+        )
+
+    def _register(self, meta: TableMeta) -> None:
+        if os.path.exists(meta.path):
+            df = self.spark.read.schema(meta.spark_ddl()).parquet(meta.path)
+        else:
+            df = self.spark.createDataFrame([], meta.spark_ddl())
+        df.createOrReplaceTempView(meta.name)
+
+    def _register_view(self, view: ViewMeta) -> None:
+        if view.materialized:
+            if os.path.exists(view.path):
+                self.spark.read.parquet(view.path).createOrReplaceTempView(
+                    view.name
+                )
+        else:
+            self.spark.sql(preprocess(view.sql)).createOrReplaceTempView(
+                view.name
+            )
+
+    def _table(self, name: str) -> TableMeta:
+        if name not in self.catalog.tables:
+            raise EngineError(f"table not found: {name}")
+        return self.catalog.tables[name]
+
+    def _read(self, meta: TableMeta) -> DataFrame:
+        if os.path.exists(meta.path):
+            return self.spark.read.schema(meta.spark_ddl()).parquet(meta.path)
+        return self.spark.createDataFrame([], meta.spark_ddl())
+
+    def _rewrite(self, meta: TableMeta, df: DataFrame) -> None:
+        """Write a new table version, flip the pointer, drop the old one."""
+        base = os.path.dirname(meta.path) if re.search(
+            r"/v\d+$", meta.path
+        ) else meta.path
+        m = re.search(r"/v(\d+)$", meta.path)
+        ver = int(m.group(1)) + 1 if m else 1
+        new_path = os.path.join(base, f"v{ver}")
+        df.write.mode("overwrite").parquet(new_path)
+        old = meta.path
+        meta.path = new_path
+        self.catalog.save()
+        if old != new_path and re.search(r"/v\d+$", old) and os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+        self._register(meta)
+
+    def _append(self, meta: TableMeta, df: DataFrame) -> None:
+        if not re.search(r"/v\d+$", meta.path):
+            meta.path = os.path.join(meta.path, "v1")
+            self.catalog.save()
+        df.write.mode("append").parquet(meta.path)
+        self._register(meta)
+
+    # ------------------------------------------------------------- dispatch
+
+    def sql(self, text: str) -> DataFrame:
+        """Execute one or more statements; returns the last result."""
+        result = self._status("ok", 0)
+        for stmt in split_statements(text):
+            result = self._one(stmt)
+        return result
+
+    def _one(self, stmt: str) -> DataFrame:
+        s = stmt.strip()
+        head = re.match(r"(\w+)(?:\s+(\w+))?(?:\s+(\w+))?", s)
+        kw = tuple(w.upper() if w else "" for w in (head.groups() if head else ()))
+
+        if kw[0] in ("BEGIN", "COMMIT", "ROLLBACK", "START"):
+            # multi-statement transactions are out of scope (SURVEY §2.9);
+            # each statement is individually atomic via version flips.
+            return self._status(f"{kw[0].lower()} (no-op: autocommit engine)")
+        if kw[0] == "SET":
+            return self._set(s)
+        if kw[0] in ("VACUUM", "ANALYZE"):
+            return self._status(f"{kw[0].lower()} (no-op)")
+        if kw[0] == "CREATE" and kw[1] == "TYPE":
+            return self._create_type(s)
+        if kw[0] == "DROP" and kw[1] == "TYPE":
+            return self._drop_simple(s, "type")
+        if kw[0] == "CREATE" and kw[1] == "SEQUENCE":
+            return self._create_sequence(s)
+        if kw[0] == "DROP" and kw[1] == "SEQUENCE":
+            return self._drop_simple(s, "sequence")
+        if kw[0] == "CREATE" and kw[1] == "TABLE":
+            return self._create_table(s)
+        if kw[0] == "DROP" and kw[1] == "TABLE":
+            return self._drop_table(s)
+        if kw[0] == "TRUNCATE":
+            return self._truncate(s)
+        if kw[0] == "ALTER" and kw[1] == "TABLE":
+            return self._alter_table(s)
+        if kw[0] == "CREATE" and (
+            kw[1] == "VIEW" or (kw[1] == "OR" and "VIEW" in s.upper()[:30])
+            or kw[1] == "MATERIALIZED"
+        ):
+            return self._create_view(s)
+        if kw[0] == "REFRESH":
+            return self._refresh_mv(s)
+        if kw[0] == "DROP" and kw[1] in ("VIEW", "MATERIALIZED"):
+            return self._drop_view(s)
+        if kw[0] == "INSERT":
+            return self._insert(s)
+        if kw[0] == "UPDATE":
+            return self._update(s)
+        if kw[0] == "DELETE":
+            return self._delete(s)
+        if kw[0] == "COPY":
+            return self._copy(s)
+        if kw[0] == "EXPLAIN":
+            return self._explain(s)
+        # sequence functions in scalar selects
+        if re.search(r"\b(nextval|currval)\s*\(", s, re.IGNORECASE):
+            s = self._substitute_sequences(s)
+        return self.spark.sql(preprocess(s))
+
+    # ----------------------------------------------------------------- DDL
+
+    def _set(self, s: str) -> DataFrame:
+        m = re.match(r"SET\s+(\S+)\s*(?:=|TO)\s*(.+)$", s, re.IGNORECASE)
+        if m:
+            self.spark.conf.set(m.group(1), m.group(2).strip().strip("'"))
+        return self._status("set")
+
+    def _create_type(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+TYPE\s+({_IDENT})\s+AS\s+ENUM\s*\((.*)\)\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"unsupported CREATE TYPE: {s[:80]}")
+        vals = [v.strip().strip("'") for v in m.group(2).split(",")]
+        self.catalog.create_enum(m.group(1).lower(), vals)
+        return self._status(f"create type {m.group(1)}")
+
+    def _create_sequence(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"bad CREATE SEQUENCE: {s[:80]}")
+        name, rest = m.group(1).lower(), m.group(2)
+        start = re.search(r"START\s+(?:WITH\s+)?(-?\d+)", rest, re.IGNORECASE)
+        inc = re.search(r"INCREMENT\s+(?:BY\s+)?(-?\d+)", rest, re.IGNORECASE)
+        self.catalog.create_sequence(
+            name,
+            int(start.group(1)) if start else 1,
+            int(inc.group(1)) if inc else 1,
+        )
+        return self._status(f"create sequence {name}")
+
+    def _drop_simple(self, s: str, kind: str) -> DataFrame:
+        m = re.match(
+            rf"DROP\s+\w+\s+(?:IF\s+EXISTS\s+)?({_IDENT})", s, re.IGNORECASE
+        )
+        name = m.group(1).lower()
+        try:
+            if kind == "type":
+                self.catalog.drop_enum(name)
+            else:
+                self.catalog.drop_sequence(name)
+        except KeyError:
+            if "IF EXISTS" not in s.upper():
+                raise EngineError(f"{kind} not found: {name}") from None
+        return self._status(f"drop {kind} {name}")
+
+    def _split_defs(self, body: str) -> list[str]:
+        parts, depth, cur, quote = [], 0, [], None
+        for ch in body:
+            if quote:
+                cur.append(ch)
+                if ch == quote:
+                    quote = None
+            elif ch == "'":
+                quote = ch
+                cur.append(ch)
+            elif ch == "(":
+                depth += 1
+                cur.append(ch)
+            elif ch == ")":
+                depth -= 1
+                cur.append(ch)
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if "".join(cur).strip():
+            parts.append("".join(cur).strip())
+        return parts
+
+    def _create_table(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"bad CREATE TABLE: {s[:80]}")
+        if_not_exists, name, body = bool(m.group(1)), m.group(2).lower(), m.group(3)
+        if name in self.catalog.tables:
+            if if_not_exists:
+                return self._status(f"table {name} exists")
+            raise EngineError(f"table exists: {name}")
+
+        meta = TableMeta(name=name)
+        for d in self._split_defs(body):
+            du = d.upper()
+            if du.startswith("PRIMARY KEY"):
+                meta.primary_key = re.findall(_IDENT, d[len("PRIMARY KEY"):])
+                continue
+            if du.startswith("UNIQUE"):
+                meta.unique.append(re.findall(_IDENT, d[len("UNIQUE"):]))
+                continue
+            if du.startswith(("CONSTRAINT", "FOREIGN KEY")):
+                fk = re.search(
+                    rf"FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+({_IDENT})\s*\(([^)]*)\)",
+                    d,
+                    re.IGNORECASE,
+                )
+                if fk:
+                    meta.foreign_keys.append(
+                        [
+                            re.findall(_IDENT, fk.group(1)),
+                            fk.group(2).lower(),
+                            re.findall(_IDENT, fk.group(3)),
+                        ]
+                    )
+                continue
+            cm = re.match(
+                rf"({_IDENT})\s+([A-Za-z_]+(?:\s+(?:PRECISION|VARYING))?"
+                r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+                r"(\s*\[\s*\])?(.*)$",
+                d,
+                re.DOTALL,
+            )
+            if not cm:
+                raise EngineError(f"bad column def: {d}")
+            cname, ctype, is_array, rest = (
+                cm.group(1),
+                cm.group(2),
+                bool(cm.group(3)),
+                cm.group(4).upper(),
+            )
+            base = ctype.strip().upper()
+            identity = base in ("SERIAL", "BIGSERIAL", "SMALLSERIAL") or (
+                "GENERATED" in rest and "IDENTITY" in rest
+            )
+            enum_type = (
+                ctype.strip().lower()
+                if ctype.strip().lower() in self.catalog.enums
+                else None
+            )
+            spark_type = "STRING" if enum_type else map_pg_type(ctype)
+            if is_array:
+                spark_type = f"ARRAY<{spark_type}>"
+            nullable = "NOT NULL" not in rest and "PRIMARY KEY" not in rest
+            if "PRIMARY KEY" in rest:
+                meta.primary_key.append(cname)
+            if re.search(r"\bUNIQUE\b", rest):
+                meta.unique.append([cname])
+            fk = re.search(
+                rf"REFERENCES\s+({_IDENT})\s*\(\s*({_IDENT})\s*\)",
+                rest,
+                re.IGNORECASE,
+            )
+            if fk:
+                meta.foreign_keys.append(
+                    [[cname], fk.group(1).lower(), [fk.group(2)]]
+                )
+            meta.columns.append(
+                ColumnMeta(
+                    name=cname,
+                    sql_type=ctype.upper() + ("[]" if is_array else ""),
+                    spark_type=spark_type,
+                    nullable=nullable and not identity,
+                    identity=identity,
+                    enum_type=enum_type,
+                )
+            )
+            if identity:
+                self.catalog.create_sequence(f"{name}_{cname}_seq")
+        if meta.primary_key:
+            meta.unique.append(list(meta.primary_key))
+        meta.path = os.path.join(self.catalog.table_path(name), "v1")
+        self.catalog.add_table(meta)
+        self.spark.createDataFrame([], meta.spark_ddl()).write.mode(
+            "overwrite"
+        ).parquet(meta.path)
+        self._register(meta)
+        return self._status(f"create table {name}")
+
+    def _drop_table(self, s: str) -> DataFrame:
+        m = re.match(
+            r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(.+)$", s, re.IGNORECASE
+        )
+        names = [n.strip().lower() for n in m.group(2).split(",")]
+        for name in names:
+            if name not in self.catalog.tables:
+                if m.group(1):
+                    continue
+                raise EngineError(f"table not found: {name}")
+            meta = self.catalog.drop_table(name)
+            self.spark.catalog.dropTempView(name)
+            base = re.sub(r"/v\d+$", "", meta.path)
+            shutil.rmtree(base, ignore_errors=True)
+        return self._status(f"drop table {', '.join(names)}")
+
+    def _truncate(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"TRUNCATE\s+(?:TABLE\s+)?({_IDENT})", s, re.IGNORECASE
+        )
+        meta = self._table(m.group(1).lower())
+        self._rewrite(meta, self.spark.createDataFrame([], meta.spark_ddl()))
+        return self._status(f"truncate {meta.name}")
+
+    def _alter_table(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", s, re.IGNORECASE | re.DOTALL
+        )
+        meta = self._table(m.group(1).lower())
+        action = m.group(2).strip()
+        au = action.upper()
+        if au.startswith("ADD COLUMN") or (
+            au.startswith("ADD") and not au.startswith(("ADD PRIMARY", "ADD CONSTRAINT", "ADD FOREIGN", "ADD UNIQUE"))
+        ):
+            cm = re.match(
+                rf"ADD\s+(?:COLUMN\s+)?({_IDENT})\s+(\S+(?:\s+PRECISION)?)(.*)$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            cname, ctype = cm.group(1), cm.group(2)
+            spark_type = map_pg_type(ctype)
+            meta.columns.append(
+                ColumnMeta(cname, ctype.upper(), spark_type, True, False, None)
+            )
+            df = self._read_old_schema(meta, drop=None)
+            self._rewrite(
+                meta, df.withColumn(cname, F.lit(None).cast(spark_type))
+            )
+            return self._status(f"alter add {cname}")
+        if au.startswith("DROP COLUMN"):
+            cname = re.match(
+                rf"DROP\s+COLUMN\s+({_IDENT})", action, re.IGNORECASE
+            ).group(1)
+            df = self._read_old_schema(meta, drop=cname)
+            meta.columns = [c for c in meta.columns if c.name != cname]
+            self._rewrite(meta, df)
+            return self._status(f"alter drop {cname}")
+        if au.startswith("ADD PRIMARY KEY") or (
+            au.startswith("ADD CONSTRAINT") and "PRIMARY KEY" in au
+        ):
+            meta.primary_key = re.findall(_IDENT, action[action.index("("):])
+            meta.unique.append(list(meta.primary_key))
+            self.catalog.save()
+            return self._status("alter add pk")
+        if "FOREIGN KEY" in au:
+            fk = re.search(
+                rf"FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+({_IDENT})\s*\(([^)]*)\)",
+                action,
+                re.IGNORECASE,
+            )
+            meta.foreign_keys.append(
+                [
+                    re.findall(_IDENT, fk.group(1)),
+                    fk.group(2).lower(),
+                    re.findall(_IDENT, fk.group(3)),
+                ]
+            )
+            self.catalog.save()
+            return self._status("alter add fk")
+        raise EngineError(f"unsupported ALTER: {action[:60]}")
+
+    def _read_old_schema(self, meta: TableMeta, drop: str | None) -> DataFrame:
+        df = self._read(meta)
+        if drop:
+            df = df.drop(drop)
+        return df
+
+    # ---------------------------------------------------------------- views
+
+    def _create_view(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?(MATERIALIZED\s+)?VIEW\s+({_IDENT})"
+            r"\s+AS\s+(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"bad CREATE VIEW: {s[:80]}")
+        replace, mat, name, body = (
+            bool(m.group(1)),
+            bool(m.group(2)),
+            m.group(3).lower(),
+            m.group(4).strip(),
+        )
+        if name in self.catalog.views and not replace and not mat:
+            raise EngineError(f"view exists: {name}")
+        view = ViewMeta(name=name, sql=body, materialized=mat)
+        if mat:
+            view.path = os.path.join(self.warehouse, "matviews", name)
+            self.spark.sql(preprocess(body)).write.mode("overwrite").parquet(
+                view.path
+            )
+        self.catalog.views[name] = view
+        self.catalog.save()
+        self._register_view(view)
+        return self._status(f"create view {name}")
+
+    def _refresh_mv(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})", s, re.IGNORECASE
+        )
+        view = self.catalog.views[m.group(1).lower()]
+        self.spark.sql(preprocess(view.sql)).write.mode("overwrite").parquet(
+            view.path
+        )
+        self._register_view(view)
+        return self._status(f"refresh {view.name}")
+
+    def _drop_view(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"DROP\s+(?:MATERIALIZED\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?({_IDENT})",
+            s,
+            re.IGNORECASE,
+        )
+        name = m.group(1).lower()
+        view = self.catalog.views.pop(name, None)
+        if view:
+            self.catalog.save()
+            self.spark.catalog.dropTempView(name)
+            if view.materialized and view.path:
+                shutil.rmtree(view.path, ignore_errors=True)
+        elif "IF EXISTS" not in s.upper():
+            raise EngineError(f"view not found: {name}")
+        return self._status(f"drop view {name}")
+
+    # ----------------------------------------------------------------- DML
+
+    def _substitute_sequences(self, s: str) -> str:
+        def next_repl(m):
+            return str(self.catalog.nextval(m.group(1).lower()))
+
+        def curr_repl(m):
+            return str(self.catalog.currval(m.group(1).lower()))
+
+        s = re.sub(
+            rf"\bnextval\s*\(\s*'({_IDENT})'\s*\)", next_repl, s,
+            flags=re.IGNORECASE,
+        )
+        return re.sub(
+            rf"\bcurrval\s*\(\s*'({_IDENT})'\s*\)", curr_repl, s,
+            flags=re.IGNORECASE,
+        )
+
+    def _insert(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*(VALUES\s*(.*)|SELECT\s+.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"bad INSERT: {s[:80]}")
+        meta = self._table(m.group(1).lower())
+        tail = m.group(4)
+        if tail.upper().startswith("VALUES"):
+            body = self._substitute_sequences(m.group(5))
+            src = self.spark.sql(
+                f"SELECT * FROM (VALUES {preprocess(body)}) AS _v"
+            )
+        else:
+            src = self.spark.sql(preprocess(self._substitute_sequences(tail)))
+        if m.group(3):
+            cols = [c.strip() for c in m.group(3).split(",")]
+        else:
+            cols = [c.name for c in meta.columns]
+            if len(src.columns) == len(
+                [c for c in meta.columns if not c.identity]
+            ):
+                # bare INSERT omitting identity columns (SERIAL usage)
+                cols = [c.name for c in meta.columns if not c.identity]
+        if len(src.columns) != len(cols):
+            raise EngineError(
+                f"INSERT column count mismatch: {len(src.columns)} values "
+                f"for {len(cols)} columns"
+            )
+        src = src.toDF(*cols)
+        # fill identity columns not provided (reference SERIAL semantics,
+        # kv/KvQueryExecutor.java:1563-1813 auto-increment)
+        for c in meta.columns:
+            if c.name not in cols:
+                if c.identity:
+                    rows = src.count()
+                    seq = f"{meta.name}_{c.name}_seq"
+                    vals = [self.catalog.nextval(seq) for _ in range(rows)]
+                    base = vals[0] if vals else 1
+                    w = F.row_number().over(
+                        Window.orderBy(F.monotonically_increasing_id())
+                    )
+                    src = src.withColumn(
+                        c.name, (w + base - 1).cast(c.spark_type)
+                    )
+                else:
+                    src = src.withColumn(
+                        c.name, F.lit(None).cast(c.spark_type)
+                    )
+        src = src.select(
+            *[F.col(c.name).cast(c.spark_type).alias(c.name) for c in meta.columns]
+        )
+        self._validate(meta, src.cache())
+        n = src.count()
+        self._append(meta, src)
+        return self._status(f"insert {meta.name}", n)
+
+    def _validate(self, meta: TableMeta, batch: DataFrame) -> None:
+        for c in meta.columns:
+            if not c.nullable or c.name in meta.primary_key:
+                if batch.filter(F.col(c.name).isNull()).limit(1).count():
+                    raise EngineError(f"NOT NULL violated: {meta.name}.{c.name}")
+            if c.enum_type:
+                domain = self.catalog.enums[c.enum_type]
+                bad = batch.filter(
+                    ~F.col(c.name).isin(*domain) & F.col(c.name).isNotNull()
+                )
+                if bad.limit(1).count():
+                    v = bad.select(c.name).first()[0]
+                    raise EngineError(
+                        f"invalid {c.enum_type} value for {c.name}: {v!r}"
+                    )
+        existing = self._read(meta)
+        for ucols in meta.unique:
+            dup = (
+                batch.groupBy(*ucols).count().filter(F.col("count") > 1)
+            )
+            if dup.limit(1).count():
+                raise EngineError(
+                    f"UNIQUE violated within batch: {meta.name}({','.join(ucols)})"
+                )
+            clash = batch.join(existing.select(*ucols), ucols, "left_semi")
+            if clash.limit(1).count():
+                raise EngineError(
+                    f"UNIQUE violated: {meta.name}({','.join(ucols)})"
+                )
+        for fcols, ref, rcols in meta.foreign_keys:
+            if ref not in self.catalog.tables:
+                continue
+            refdf = self._read(self.catalog.tables[ref]).select(
+                *[F.col(rc).alias(fc) for fc, rc in zip(fcols, rcols)]
+            )
+            orphan = (
+                batch.select(*fcols)
+                .na.drop()
+                .join(refdf, fcols, "left_anti")
+            )
+            if orphan.limit(1).count():
+                raise EngineError(
+                    f"FK violated: {meta.name}({','.join(fcols)}) -> "
+                    f"{ref}({','.join(rcols)})"
+                )
+
+    def _update(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"bad UPDATE: {s[:80]}")
+        meta = self._table(m.group(1).lower())
+        sets = {}
+        for part in self._split_defs(m.group(2)):
+            sm = re.match(rf"({_IDENT})\s*=\s*(.*)$", part, re.DOTALL)
+            sets[sm.group(1)] = preprocess(
+                self._substitute_sequences(sm.group(2).strip())
+            )
+        cond = (
+            F.expr(preprocess(m.group(3).strip())) if m.group(3) else F.lit(True)
+        )
+        df = self._read(meta)
+        n = df.filter(cond).count()
+        out = df.withColumns(
+            {
+                c: F.when(cond, F.expr(e)).otherwise(F.col(c)).cast(
+                    meta.column(c).spark_type
+                )
+                for c, e in sets.items()
+            }
+        )
+        self._rewrite(meta, out)
+        return self._status(f"update {meta.name}", n)
+
+    def _delete(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.*))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        meta = self._table(m.group(1).lower())
+        df = self._read(meta)
+        if m.group(2):
+            cond = F.expr(preprocess(m.group(2).strip()))
+            n = df.filter(cond).count()
+            self._rewrite(meta, df.filter(~F.coalesce(cond, F.lit(False))))
+        else:
+            n = df.count()
+            self._rewrite(
+                meta, self.spark.createDataFrame([], meta.spark_ddl())
+            )
+        return self._status(f"delete {meta.name}", n)
+
+    def _copy(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"COPY\s+({_IDENT})\s+(FROM|TO)\s+'([^']+)'(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"bad COPY: {s[:80]}")
+        meta = self._table(m.group(1).lower())
+        direction, path, opts = m.group(2).upper(), m.group(3), m.group(4).upper()
+        header = "HEADER" in opts
+        if direction == "FROM":
+            df = self.spark.read.csv(
+                path, schema=meta.spark_ddl(), header=header
+            )
+            self._validate(meta, df.cache())
+            n = df.count()
+            self._append(meta, df)
+            return self._status(f"copy {meta.name} from {path}", n)
+        df = self._read(meta)
+        df.coalesce(1).write.mode("overwrite").csv(path, header=header)
+        return self._status(f"copy {meta.name} to {path}", df.count())
+
+    def _explain(self, s: str) -> DataFrame:
+        # EXPLAIN [ANALYZE] query  -> Spark's native EXPLAIN (Catalyst plan).
+        inner = re.sub(r"^EXPLAIN\s+(ANALYZE\s+)?", "", s, flags=re.IGNORECASE)
+        mode = "FORMATTED" if re.match(
+            r"^EXPLAIN\s+ANALYZE", s, re.IGNORECASE
+        ) else "EXTENDED"
+        return self.spark.sql(f"EXPLAIN {mode} {preprocess(inner)}")

@@ -1,0 +1,203 @@
+"""Engine facade tests — the reference's integration-test style (SQL in,
+rows out; SURVEY §5) over our managed-table engine: DDL, constraints,
+identity, enums, sequences, DML, views, MVs, COPY, EXPLAIN, pg-isms."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cassandra_sql_spark.engine import Engine, EngineError
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_create_insert_select(eng):
+    eng.sql("CREATE TABLE users (id INT PRIMARY KEY, name TEXT)")
+    eng.sql("INSERT INTO users VALUES (1, 'alice'), (2, 'bob')")
+    out = rows(eng.sql("SELECT name FROM users ORDER BY id"))
+    assert out == [("alice",), ("bob",)]
+
+
+def test_multi_statement_script(eng):
+    out = eng.sql(
+        """
+        CREATE TABLE t (id INT, v TEXT);
+        INSERT INTO t VALUES (1, 'x');
+        SELECT COUNT(*) AS n FROM t;
+        """
+    )
+    assert rows(out) == [(1,)]
+
+
+def test_serial_identity(eng):
+    # reference SERIAL auto-increment (kv/SchemaManager.java:736)
+    eng.sql("CREATE TABLE s (id SERIAL PRIMARY KEY, v TEXT)")
+    eng.sql("INSERT INTO s (v) VALUES ('a'), ('b')")
+    eng.sql("INSERT INTO s (v) VALUES ('c')")
+    out = rows(eng.sql("SELECT id, v FROM s ORDER BY id"))
+    assert out == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_enum_validation(eng):
+    # reference ENUM domain check (kv/KvQueryExecutor.java:4276)
+    eng.sql("CREATE TYPE mood AS ENUM ('happy','sad')")
+    eng.sql("CREATE TABLE m (id INT, feeling mood)")
+    eng.sql("INSERT INTO m VALUES (1, 'happy')")
+    with pytest.raises(EngineError, match="invalid mood"):
+        eng.sql("INSERT INTO m VALUES (2, 'angry')")
+    assert rows(eng.sql("SELECT COUNT(*) AS n FROM m")) == [(1,)]
+
+
+def test_not_null_and_unique(eng):
+    eng.sql("CREATE TABLE u (id INT PRIMARY KEY, email TEXT NOT NULL UNIQUE)")
+    eng.sql("INSERT INTO u VALUES (1, 'a@x.com')")
+    with pytest.raises(EngineError, match="NOT NULL"):
+        eng.sql("INSERT INTO u VALUES (2, NULL)")
+    with pytest.raises(EngineError, match="UNIQUE"):
+        eng.sql("INSERT INTO u VALUES (3, 'a@x.com')")
+    with pytest.raises(EngineError, match="UNIQUE"):
+        eng.sql("INSERT INTO u VALUES (1, 'b@x.com')")
+
+
+def test_foreign_key(eng):
+    eng.sql("CREATE TABLE parent (id INT PRIMARY KEY)")
+    eng.sql("CREATE TABLE child (id INT, pid INT REFERENCES parent(id))")
+    eng.sql("INSERT INTO parent VALUES (1)")
+    eng.sql("INSERT INTO child VALUES (10, 1)")
+    with pytest.raises(EngineError, match="FK violated"):
+        eng.sql("INSERT INTO child VALUES (11, 99)")
+
+
+def test_update_delete(eng):
+    eng.sql("CREATE TABLE acc (id INT, bal DOUBLE)")
+    eng.sql("INSERT INTO acc VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    # arithmetic SET referencing old value (reference
+    # kv/KvQueryExecutor.java:1814 `SET x = x + 1`)
+    r = eng.sql("UPDATE acc SET bal = bal + 5 WHERE id <= 2")
+    assert rows(r)[0][1] == 2
+    assert rows(eng.sql("SELECT bal FROM acc ORDER BY id")) == [
+        (15.0,),
+        (25.0,),
+        (30.0,),
+    ]
+    eng.sql("DELETE FROM acc WHERE bal > 20")
+    assert rows(eng.sql("SELECT id FROM acc ORDER BY id")) == [(1,)]
+
+
+def test_update_swap_uses_old_values(eng):
+    eng.sql("CREATE TABLE sw (a INT, b INT)")
+    eng.sql("INSERT INTO sw VALUES (1, 2)")
+    eng.sql("UPDATE sw SET a = b, b = a")
+    assert rows(eng.sql("SELECT a, b FROM sw")) == [(2, 1)]
+
+
+def test_truncate_and_drop(eng):
+    eng.sql("CREATE TABLE tr (id INT)")
+    eng.sql("INSERT INTO tr VALUES (1), (2)")
+    eng.sql("TRUNCATE TABLE tr")
+    assert rows(eng.sql("SELECT COUNT(*) AS n FROM tr")) == [(0,)]
+    eng.sql("DROP TABLE tr")
+    with pytest.raises(EngineError, match="not found"):
+        eng.sql("INSERT INTO tr VALUES (3)")
+    eng.sql("DROP TABLE IF EXISTS tr")  # no error
+
+
+def test_sequences(eng):
+    eng.sql("CREATE SEQUENCE sq START WITH 100 INCREMENT BY 10")
+    assert rows(eng.sql("SELECT nextval('sq') AS v")) == [(100,)]
+    assert rows(eng.sql("SELECT nextval('sq') AS v")) == [(110,)]
+    assert rows(eng.sql("SELECT currval('sq') AS v")) == [(110,)]
+    eng.sql("DROP SEQUENCE sq")
+
+
+def test_views_and_matviews(eng):
+    eng.sql("CREATE TABLE base (id INT, v INT)")
+    eng.sql("INSERT INTO base VALUES (1, 10), (2, 20)")
+    eng.sql("CREATE VIEW big AS SELECT * FROM base WHERE v > 15")
+    assert rows(eng.sql("SELECT id FROM big")) == [(2,)]
+    # virtual view tracks base (rewrite-on-read,
+    # reference kv/KvQueryExecutor.java:4826)
+    eng.sql("INSERT INTO base VALUES (3, 30)")
+    eng.sql("CREATE OR REPLACE VIEW big AS SELECT * FROM base WHERE v > 15")
+    assert len(rows(eng.sql("SELECT id FROM big"))) == 2
+    # materialized view is frozen until REFRESH
+    # (reference kv/KvQueryExecutor.java:4900, MaterializedViewRefreshJob)
+    eng.sql("CREATE MATERIALIZED VIEW mv AS SELECT COUNT(*) AS n FROM base")
+    assert rows(eng.sql("SELECT n FROM mv")) == [(3,)]
+    eng.sql("INSERT INTO base VALUES (4, 40)")
+    assert rows(eng.sql("SELECT n FROM mv")) == [(3,)]
+    eng.sql("REFRESH MATERIALIZED VIEW mv")
+    assert rows(eng.sql("SELECT n FROM mv")) == [(4,)]
+
+
+def test_alter_table(eng):
+    eng.sql("CREATE TABLE al (id INT)")
+    eng.sql("INSERT INTO al VALUES (1)")
+    eng.sql("ALTER TABLE al ADD COLUMN note TEXT")
+    assert rows(eng.sql("SELECT id, note FROM al")) == [(1, None)]
+    eng.sql("ALTER TABLE al DROP COLUMN note")
+    assert rows(eng.sql("SELECT * FROM al")) == [(1,)]
+
+
+def test_copy_roundtrip(eng, tmp_path):
+    eng.sql("CREATE TABLE c1 (id INT, v TEXT)")
+    eng.sql("INSERT INTO c1 VALUES (1, 'x'), (2, 'y')")
+    out = str(tmp_path / "out_csv")
+    eng.sql(f"COPY c1 TO '{out}' WITH (FORMAT CSV, HEADER)")
+    eng.sql("CREATE TABLE c2 (id INT, v TEXT)")
+    eng.sql(f"COPY c2 FROM '{out}' WITH (FORMAT CSV, HEADER)")
+    assert rows(eng.sql("SELECT * FROM c2 ORDER BY id")) == [(1, "x"), (2, "y")]
+
+
+def test_pg_isms_rewrites(eng):
+    eng.sql("CREATE TABLE j (id INT, data JSONB)")
+    eng.sql(
+        """INSERT INTO j VALUES (1, '{"a": {"b": 7}, "tags": [1,2,3]}')"""
+    )
+    out = rows(
+        eng.sql(
+            "SELECT (data->'a'->>'b')::INT AS b, "
+            "jsonb_array_length(data->'tags') AS n, "
+            "data#>>'{a,b}' AS nested FROM j"
+        )
+    )
+    assert out == [(7, 3, "7")]
+    assert rows(eng.sql("SELECT 'abc' ~ '^a' AS m"))[0][0] is True
+    assert rows(eng.sql("SELECT '1.9'::NUMERIC(5,1) AS d"))[0][0] is not None
+
+
+def test_explain_passthrough(eng):
+    eng.sql("CREATE TABLE ex (id INT)")
+    plan = rows(eng.sql("EXPLAIN SELECT * FROM ex WHERE id > 1"))[0][0]
+    assert "Physical Plan" in plan or "Filter" in plan
+
+
+def test_transactions_are_noops(eng):
+    assert "no-op" in rows(eng.sql("BEGIN"))[0][0]
+    assert "no-op" in rows(eng.sql("COMMIT"))[0][0]
+
+
+def test_catalog_persistence(spark, tmp_path):
+    wh = str(tmp_path / "persist")
+    e1 = Engine(spark, warehouse=wh)
+    e1.sql("CREATE TABLE p (id INT); INSERT INTO p VALUES (1), (2)")
+    e2 = Engine(spark, warehouse=wh)  # fresh engine, same warehouse
+    assert rows(e2.sql("SELECT COUNT(*) AS n FROM p")) == [(2,)]
+    assert os.path.exists(os.path.join(wh, "_catalog.json"))
+
+
+def test_insert_from_select(eng):
+    eng.sql("CREATE TABLE src (id INT, v INT)")
+    eng.sql("INSERT INTO src VALUES (1, 5), (2, 6)")
+    eng.sql("CREATE TABLE dst (id INT, v INT)")
+    eng.sql("INSERT INTO dst SELECT id, v * 10 FROM src WHERE v > 5")
+    assert rows(eng.sql("SELECT * FROM dst")) == [(2, 60)]

@@ -14,6 +14,7 @@ from cassandra_sql_spark.queries import (
     pipeline_queries,
     relational,
     setops,
+    streaming_queries,
     subqueries,
     tpch,
     windows,
@@ -31,6 +32,7 @@ _MODULES = (
     expressions,
     json_ops,
     pipeline_queries,
+    streaming_queries,
 )
 
 REGISTRY: dict[str, Q] = {}

@@ -1,0 +1,228 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has zero streaming machinery (SURVEY §2.10) — its only
+"continuous" feature is the background MaterializedViewRefreshJob
+(kv/jobs/MaterializedViewRefreshJob.java), which rematerializes views on a
+timer. Here the same needs are expressed the Spark-native way:
+
+- windowed aggregation with watermark (late-data tolerant tumbling/sliding
+  windows) — the building block for incremental rollups;
+- incremental materialized view: a streaming aggregation kept current per
+  micro-batch (Trigger.AvailableNow for catch-up runs = the reference's
+  periodic refresh, but incremental: only new files are read);
+- sessionization with applyInPandasWithState — a custom stateful operator
+  (gap-based session windows per user) that has no batch-SQL equivalent.
+
+Scale notes: state lives in the state store keyed by (group key, window) —
+partitioned by key, so 1000 executors shard state naturally. Watermarks
+bound state size; without them unbounded keys would accumulate forever.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    The testdata events.parquet stores TIMESTAMP(NANOS); as in
+    cassandra_sql_spark.io we read nanos as long and floor-divide to micros.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", LongType())
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window per-type aggregation with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, sink_table: str, checkpoint_dir: str, mode: str = "complete"
+) -> None:
+    """Drain all available input through the streaming plan into a memory
+    sink (the reference's periodic MV refresh, done incrementally)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, sink_table))
+        .trigger(availableNow=True)
+    ).start()
+    q.awaitTermination()
+
+
+def streaming_event_window_counts(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """End-to-end: file stream -> watermarked windowed agg -> memory sink.
+
+    Returns the drained result as a batch DataFrame; equivalent to the
+    batch GROUP BY date_trunc('hour', ts) — which is exactly how the
+    DuckDB oracle checks it.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = windowed_counts(events)
+    run_available_now(agg, "event_window_counts", checkpoint_dir)
+    return spark.table("event_window_counts")
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user via applyInPandasWithState.
+
+    A custom stateful operator (no batch-SQL equivalent): events more than
+    ``gap_minutes`` apart open a new session; sessions close when the
+    event-time timeout fires past the watermark.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
+            )
+            return
+        times, values = [], []
+        for pdf in batches:
+            times.extend(int(t.value // 1000) for t in pdf["ts"])
+            values.extend(float(v) for v in pdf["value"])
+        if not times:
+            return
+        order = sorted(range(len(times)), key=lambda i: times[i])
+        closed = []
+        if state.exists:
+            start_us, last_us, n, cents = state.get
+        else:
+            start_us = last_us = times[order[0]]
+            n, cents = 0, 0
+        for i in order:
+            t, v = times[i], values[i]
+            if t - last_us > gap_us and n > 0:
+                closed.append((start_us, last_us, n, cents))
+                start_us, n, cents = t, 0, 0
+            last_us = max(last_us, t)
+            n += 1
+            cents += round(v * 100)
+        state.update((start_us, last_us, n, cents))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(c[0], unit="us") for c in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(c[1], unit="us") for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] / 100.0 for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,113 @@
+"""Structured Streaming operator tests: windowed agg vs batch equivalence,
+incremental catch-up, and gap-sessionization semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_sql_spark.io import load
+from cassandra_sql_spark.streaming import events as ev
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    out = ev.streaming_event_window_counts(spark, sf_dir, str(tmp_path))
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in out.collect()
+    }
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("sum_value"),
+        )
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_incremental_mv_catches_up_new_files(spark, tmp_path):
+    # Two micro-batches of files -> the second availableNow run reads ONLY
+    # the new file (incremental refresh, unlike the reference's full
+    # rematerialization in MaterializedViewRefreshJob).
+    src = tmp_path / "src"
+    src.mkdir()
+    df1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}")],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df1.write.mode("append").parquet(str(src / "events.parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, value double, props string, ts timestamp"
+            )
+            .parquet(str(src / "events.parquet"))
+        )
+        agg = ev.windowed_counts(stream)
+        ev.run_available_now(agg, "inc_mv", str(tmp_path / "ckpt"))
+        return {
+            (r.window_start, r.event_type): r.n
+            for r in spark.table("inc_mv").collect()
+        }
+
+    first = run()
+    assert sum(first.values()) == 1
+    df2 = df1.withColumn("event_id", F.lit(2)).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 10:30:00"))
+    )
+    df2.write.mode("append").parquet(str(src / "events.parquet"))
+    second = run()
+    assert sum(second.values()) == 2  # state carried + new file ingested
+
+
+@pytest.mark.parametrize("gap_minutes", [30])
+def test_sessionize_gap_semantics(spark, tmp_path, gap_minutes):
+    rows = [
+        # user 7: two sessions separated by a 2h gap
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 7, "view", 2.5, "{}"),
+        (3, "2024-01-01 12:30:00", 7, "click", 4.0, "{}"),
+        # user 8: one session
+        (4, "2024-01-01 10:05:00", 8, "click", 10.0, "{}"),
+        # watermark pusher: a much later event closes everything above
+        (5, "2024-01-02 09:00:00", 9, "click", 0.5, "{}"),
+    ]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.write.mode("append").parquet(str(src / "e.parquet"))
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, value double, props string, ts timestamp"
+    ).parquet(str(src / "e.parquet"))
+    sess = ev.sessionize(stream, gap_minutes=gap_minutes, watermark="1 minute")
+    ev.run_available_now(
+        sess, "sessions_out", str(tmp_path / "sess_ckpt"), mode="append"
+    )
+    out = spark.table("sessions_out").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    # user 7's first session closed by the gap: 2 events, 3.5 total
+    s7 = sorted(by_user.get(7, []), key=lambda r: r.session_start)
+    assert len(s7) >= 1
+    assert s7[0].n_events == 2 and s7[0].total_value == 3.5
+    assert s7[0].session_start == pd.Timestamp("2024-01-01 10:00:00")
+    assert s7[0].session_end == pd.Timestamp("2024-01-01 10:10:00")

@@ -11,6 +11,7 @@ from cassandra_sql_spark.queries import (
     expressions,
     joins,
     json_ops,
+    more_sql,
     pipeline_queries,
     relational,
     setops,
@@ -31,6 +32,7 @@ _MODULES = (
     subqueries,
     expressions,
     json_ops,
+    more_sql,
     pipeline_queries,
     streaming_queries,
 )

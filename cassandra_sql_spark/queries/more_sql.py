@@ -1,0 +1,205 @@
+"""Coverage batch 2: arrays, lateral explode, datetime extras, grouping
+sets, manual pivot, regex predicates, distinct, values tables, recursive
+CTE, approx-distinct (SURVEY §2.2/§2.4/§2.8 corners + deliberate upgrades).
+"""
+
+from __future__ import annotations
+
+from cassandra_sql_spark.queries.base import Q, isum, sql_q
+
+QUERIES: dict[str, Q] = {
+    # ARRAY construction + functions (reference ARRAY type,
+    # kv/ValueEncoder.java:317-347; kv/ArrayTypeTest.java). Dialect oracle:
+    # Spark array fns vs DuckDB list fns.
+    "array_ops": sql_q(
+        """
+        SELECT doc_id,
+               SIZE(SPLIT(TRIM(text), '\\\\s+')) AS n_tok,
+               ELEMENT_AT(SPLIT(TRIM(text), '\\\\s+'), 1) AS first_tok,
+               ELEMENT_AT(SPLIT(TRIM(text), '\\\\s+'), -1) AS last_tok,
+               ARRAY_CONTAINS(SPLIT(TRIM(text), '\\\\s+'), 'spark') AS has_spark,
+               SIZE(ARRAY_DISTINCT(SPLIT(TRIM(text), '\\\\s+'))) AS n_distinct,
+               SIZE(SLICE(SPLIT(TRIM(text), '\\\\s+'), 1, 5)) AS n_head
+        FROM documents
+        """,
+        ("documents",),
+        oracle="""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tok,
+               string_split_regex(trim(text), '\\s+')[1] AS first_tok,
+               string_split_regex(trim(text), '\\s+')[-1] AS last_tok,
+               list_contains(string_split_regex(trim(text), '\\s+'), 'spark')
+                 AS has_spark,
+               CAST(len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                 AS INT) AS n_distinct,
+               CAST(len(string_split_regex(trim(text), '\\s+')[1:5]) AS INT)
+                 AS n_head
+        FROM documents
+        """,
+    ),
+    # LATERAL explode (flatten) — token frequency table.
+    "explode_tokens": sql_q(
+        """
+        SELECT tok, COUNT(*) AS n
+        FROM documents
+        LATERAL VIEW EXPLODE(SPLIT(TRIM(text), '\\\\s+')) t AS tok
+        GROUP BY tok
+        """,
+        ("documents",),
+        oracle="""
+        SELECT tok, COUNT(*) AS n FROM (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents
+        ) GROUP BY tok
+        """,
+    ),
+    # Sorted array_agg per group (deterministic by sorting).
+    "array_agg_per_group": sql_q(
+        """
+        SELECT n_regionkey, SORT_ARRAY(COLLECT_LIST(n_name)) AS nations
+        FROM nation GROUP BY n_regionkey
+        """,
+        ("nation",),
+        oracle="""
+        SELECT n_regionkey, list_sort(list(n_name)) AS nations
+        FROM nation GROUP BY n_regionkey
+        """,
+    ),
+    # Datetime extras: DOW/DOY/QUARTER (pg-compatible numbering in both),
+    # LAST_DAY, epoch seconds.
+    "expr_datetime_extras": sql_q(
+        """
+        SELECT o_orderkey,
+               CAST(EXTRACT(DOW FROM o_orderdate) AS BIGINT) AS dow,
+               CAST(EXTRACT(DOY FROM o_orderdate) AS BIGINT) AS doy,
+               CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q,
+               LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+               UNIX_TIMESTAMP(o_orderdate) AS epoch_s
+        FROM orders WHERE o_orderkey < 1500
+        """,
+        ("orders",),
+        oracle="""
+        -- Spark EXTRACT(DOW) is 1-7 with Sunday=1 (= dayofweek());
+        -- DuckDB/pg DOW is 0-6 with Sunday=0 -> +1 to align.
+        SELECT o_orderkey,
+               CAST(EXTRACT(DOW FROM o_orderdate) + 1 AS BIGINT) AS dow,
+               CAST(EXTRACT(DOY FROM o_orderdate) AS BIGINT) AS doy,
+               CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q,
+               LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        FROM orders WHERE o_orderkey < 1500
+        """,
+    ),
+    # GROUPING SETS + GROUPING() disambiguation (upgrade; SURVEY §2.4).
+    "agg_grouping_sets": sql_q(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_prio,
+               COUNT(*) AS n, {isum('o_orderkey % 97', 'chk')}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        ("orders",),
+    ),
+    # Manual pivot via conditional aggregation (engine-portable PIVOT).
+    "agg_manual_pivot": sql_q(
+        """
+        SELECT o_orderpriority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY o_orderpriority
+        """,
+        ("orders",),
+    ),
+    # Regex predicate (the engine facade also accepts pg's `~`).
+    "pred_regex": sql_q(
+        """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_name RLIKE '^(red|blue|hot) [a-z]+$' AND p_partkey < 1500
+        """,
+        ("part",),
+        oracle="""
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE regexp_matches(p_name, '^(red|blue|hot) [a-z]+$')
+          AND p_partkey < 1500
+        """,
+    ),
+    "select_distinct": sql_q(
+        """
+        SELECT DISTINCT c_nationkey, c_mktsegment
+        FROM customer WHERE c_acctbal > 9000
+        """,
+        ("customer",),
+    ),
+    # Null-safe equality (IS NOT DISTINCT FROM — both dialects).
+    "pred_null_safe_eq": sql_q(
+        """
+        SELECT o_orderkey
+        FROM orders
+        WHERE NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL
+        """,
+        ("orders",),
+    ),
+    # VALUES table source (reference LiteralSelectTest / UNION literal).
+    "values_table": sql_q(
+        """
+        SELECT t.k, t.v * 2 AS v2
+        FROM (VALUES (1, 10), (2, 20), (3, 30)) AS t(k, v)
+        WHERE t.k >= 2
+        """,
+        (),
+    ),
+    # Recursive CTE (absent in the reference; Spark 4 + DuckDB both run it).
+    "recursive_cte": sql_q(
+        """
+        WITH RECURSIVE seq(n) AS (
+          SELECT 1
+          UNION ALL
+          SELECT n + 1 FROM seq WHERE n < 10
+        )
+        SELECT n, n * n AS sq FROM seq
+        """,
+        (),
+    ),
+    # approx_count_distinct within declared error of the exact count —
+    # the 100 TB cardinality-estimation path (HLL++ is deterministic for
+    # fixed input, so the bound check is stable).
+    "agg_approx_distinct_bound": sql_q(
+        """
+        SELECT COUNT(DISTINCT o_custkey) AS exact_n,
+               CASE WHEN
+                 ABS(APPROX_COUNT_DISTINCT(o_custkey, 0.01) -
+                     COUNT(DISTINCT o_custkey)) / COUNT(DISTINCT o_custkey)
+                   < 0.05
+               THEN 1 ELSE 0 END AS within_bound
+        FROM orders
+        """,
+        ("orders",),
+        oracle="""
+        SELECT COUNT(DISTINCT o_custkey) AS exact_n, 1 AS within_bound
+        FROM orders
+        """,
+    ),
+    # INTERSECT ALL / EXCEPT ALL (bag semantics — upgrade over reference).
+    "setop_intersect_all": sql_q(
+        """
+        SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT ALL
+        SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'O'
+        """,
+        ("lineitem",),
+    ),
+    "setop_except_all": sql_q(
+        """
+        SELECT l_linenumber AS k FROM lineitem WHERE l_orderkey < 500
+        EXCEPT ALL
+        SELECT l_linenumber AS k FROM lineitem
+        WHERE l_orderkey < 500 AND l_returnflag = 'R'
+        """,
+        ("lineitem",),
+    ),
+}

@@ -36,8 +36,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # matching DuckDB's truncating ns->us conversion.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        # integer `div`, NOT double `/`: at nanosecond magnitudes double
+        # division rounds and can flip the microsecond by one
         return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(path)
 

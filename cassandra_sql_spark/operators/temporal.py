@@ -1,0 +1,90 @@
+"""Temporal join operators Spark SQL lacks as primitives (north-star
+"custom operators": as-of join, range join), built as compositions of
+existing DataFrame ops — no UDFs, no driver-side loops.
+
+- as-of join: union both sides tagged, one window per key ordered by time,
+  ``last(..., ignoreNulls)`` carries the most recent right-side values
+  forward, keep left rows. ONE shuffle on the key — at 100 TB this is the
+  textbook pattern (vs. an inequality join, which Spark would execute as a
+  broadcast-nested-loop or cross product).
+- range join (|t_a - t_b| <= tolerance): band both sides into
+  tolerance-width bins, explode the left side into its bin±1, equi-join on
+  (key, bin), then exact-filter. Candidate set is bounded by bin
+  population, never |L|x|R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` for the same key (backward as-of, ties
+    included). Left rows with no prior right row get NULLs."""
+    lcols = left.columns
+    l = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at equal _t so ties are visible
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in value_cols]
+    out = merged
+    for c in carried:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.filter(F.col("_side") == 1).select(*lcols, *carried)
+
+
+def _bin(ts: Column, seconds: int) -> Column:
+    return F.floor(F.unix_timestamp(ts) / F.lit(seconds)).cast("long")
+
+
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs with the same key whose timestamps differ by
+    at most ``tolerance_seconds`` — banded equi-join + exact filter."""
+    l = left.withColumn(
+        "_bin",
+        F.explode(
+            F.array(
+                *[
+                    _bin(F.col(left_ts), tolerance_seconds) + d
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    r = right.withColumn("_bin", _bin(F.col(right_ts), tolerance_seconds))
+    joined = l.join(r, [on, "_bin"])
+    return joined.filter(
+        F.abs(
+            F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(right_ts))
+        )
+        <= tolerance_seconds
+    ).drop("_bin")

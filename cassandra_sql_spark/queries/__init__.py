@@ -17,6 +17,7 @@ from cassandra_sql_spark.queries import (
     setops,
     streaming_queries,
     subqueries,
+    temporal_queries,
     tpch,
     windows,
 )
@@ -35,6 +36,7 @@ _MODULES = (
     more_sql,
     pipeline_queries,
     streaming_queries,
+    temporal_queries,
 )
 
 REGISTRY: dict[str, Q] = {}

@@ -1,0 +1,84 @@
+"""Registry entries for the temporal operators (as-of join, range join).
+
+DuckDB has both as native joins (ASOF JOIN, inequality join) — ideal
+oracles for our composition-based Spark implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_sql_spark.io import load
+from cassandra_sql_spark.operators.temporal import asof_join, range_join_within
+from cassandra_sql_spark.queries.base import Q, df_q
+
+
+def _asof(spark, sf):
+    ev = load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("purchase_ts"),
+        F.col("value_asof").alias("purchase_value"),
+    )
+
+
+def _range(spark, sf):
+    ev = load(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").alias("err_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    out = range_join_within(
+        errors, clicks, on="user_id", left_ts="err_ts",
+        right_ts="click_ts", tolerance_seconds=600,
+    )
+    return out.select("err_id", "click_id", "user_id")
+
+
+QUERIES: dict[str, Q] = {
+    # Backward as-of join: most recent purchase at or before each click.
+    "asof_join_purchases": df_q(
+        _asof,
+        ("events",),
+        oracle="""
+        WITH c AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), p AS (
+          SELECT user_id, ts AS pts, value FROM events
+          WHERE event_type = 'purchase'
+        )
+        SELECT c.event_id, c.user_id, c.ts,
+               p.pts AS purchase_ts, p.value AS purchase_value
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND p.pts <= c.ts
+        """,
+    ),
+    # Banded range join: error events within 10 minutes of a click by the
+    # same user (whole-second semantics on both sides).
+    "range_join_events": df_q(
+        _range,
+        ("events",),
+        oracle="""
+        SELECT a.event_id AS err_id, b.event_id AS click_id, a.user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'error' AND b.event_type = 'click'
+         AND ABS(FLOOR(epoch(a.ts)) - FLOOR(epoch(b.ts))) <= 600
+        """,
+    ),
+}

@@ -68,7 +68,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 

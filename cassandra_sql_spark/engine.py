@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cassandra_sql_spark.catalog import Catalog, ColumnMeta, TableMeta, ViewMeta
+from cassandra_sql_spark.functions import register_pg_functions
 from cassandra_sql_spark.sqlfront.preprocess import map_pg_type, preprocess
 
 _IDENT = r"[A-Za-z_][\w]*"
@@ -73,6 +74,7 @@ class Engine:
             os.getcwd(), ".warehouse", "engine"
         )
         self.catalog = Catalog(self.warehouse)
+        register_pg_functions(spark)
         for meta in self.catalog.tables.values():
             self._register(meta)
         for view in self.catalog.views.values():

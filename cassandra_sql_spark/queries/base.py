@@ -69,10 +69,15 @@ def df_q(
 # scale factors (and any per-group money sum short of 10^12).
 
 def dsum(col: str, alias: str, scale: int = 2) -> str:
-    """Order-independent, engine-independent sum of a double column."""
+    """Order-independent, engine-independent sum of a double column.
+
+    FLOOR(x*s + 0.5) (round-half-toward-+inf) rather than ROUND: Spark's
+    ROUND(double) allocates a BigDecimal per row (~2x aggregate cost),
+    while FLOOR is plain Math.floor — and both engines evaluate it
+    identically on the same IEEE product."""
     s = 10 ** scale
     return (
-        f"CAST(SUM(CAST(ROUND(({col}) * {s}) AS BIGINT)) AS DOUBLE)"
+        f"CAST(SUM(CAST(FLOOR(({col}) * {s} + 0.5) AS BIGINT)) AS DOUBLE)"
         f" / {s} AS {alias}"
     )
 
@@ -81,7 +86,7 @@ def davg(col: str, alias: str, scale: int = 2) -> str:
     """Deterministic average: exact scaled-integer sum, double division."""
     s = 10 ** scale
     return (
-        f"CAST(SUM(CAST(ROUND(({col}) * {s}) AS BIGINT)) AS DOUBLE)"
+        f"CAST(SUM(CAST(FLOOR(({col}) * {s} + 0.5) AS BIGINT)) AS DOUBLE)"
         f" / {s} / COUNT({col}) AS {alias}"
     )
 

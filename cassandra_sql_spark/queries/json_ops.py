@@ -30,14 +30,17 @@ QUERIES: dict[str, Q] = {
         """,
     ),
     # JSON predicate in WHERE + aggregation over extracted values.
+    # from_json parses the document ONCE per row (get_json_object would
+    # re-parse per extraction — measurably slower on the hot path).
     "json_filter_agg": sql_q(
         """
         SELECT event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT))
-                    AS BIGINT) AS sum_k
-        FROM events
-        WHERE CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) > 50
+               CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM (
+          SELECT event_type, FROM_JSON(props, 'k BIGINT').k AS k FROM events
+        )
+        WHERE k > 50
         GROUP BY event_type
         """,
         ("events",),

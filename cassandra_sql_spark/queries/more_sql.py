@@ -184,6 +184,45 @@ QUERIES: dict[str, Q] = {
         FROM orders
         """,
     ),
+    # Hypertable-style multi-granularity time rollup: one pass produces
+    # day, month, and grand-total aggregates via GROUPING SETS over time
+    # buckets (the continuous-aggregate shape; at scale a single expand +
+    # one shuffle instead of three scans).
+    "hypertable_rollup": sql_q(
+        """
+        SELECT DATE_TRUNC('month', o_orderdate) AS month,
+               DATE_TRUNC('day', o_orderdate) AS day,
+               GROUPING(DATE_TRUNC('day', o_orderdate)) AS g_day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY GROUPING SETS (
+          (DATE_TRUNC('month', o_orderdate), DATE_TRUNC('day', o_orderdate)),
+          (DATE_TRUNC('month', o_orderdate)),
+          ()
+        )
+        """,
+        ("orders",),
+        oracle="""
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(DATE_TRUNC('day', o_orderdate) AS TIMESTAMP) AS day,
+               GROUPING(DATE_TRUNC('day', o_orderdate)) AS g_day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY GROUPING SETS (
+          (DATE_TRUNC('month', o_orderdate), DATE_TRUNC('day', o_orderdate)),
+          (DATE_TRUNC('month', o_orderdate)),
+          ()
+        )
+        """,
+    ),
     # INTERSECT ALL / EXCEPT ALL (bag semantics — upgrade over reference).
     "setop_intersect_all": sql_q(
         """

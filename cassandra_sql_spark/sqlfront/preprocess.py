@@ -145,6 +145,9 @@ _FUNC_ALIASES = {
     r"\bpow\s*\(": "power(",
     r"\blength\s*\(": "length(",
     r"\bnow\s*\(\s*\)": "current_timestamp()",
+    # pg to_char format tokens differ from Spark's builtin to_char;
+    # pg_to_char (functions/pg.py) translates them
+    r"\bto_char\s*\(": "pg_to_char(",
 }
 
 

@@ -175,6 +175,36 @@ def test_pg_isms_rewrites(eng):
     assert rows(eng.sql("SELECT '1.9'::NUMERIC(5,1) AS d"))[0][0] is not None
 
 
+def test_pg_functions(eng):
+    r = rows(
+        eng.sql(
+            """SELECT jsonb_typeof('{"a":1}') AS t_obj,
+                      jsonb_typeof('[1,2]') AS t_arr,
+                      jsonb_typeof('3.5') AS t_num,
+                      jsonb_array_len('[1,2,3]') AS alen,
+                      div(7, 2) AS d,
+                      to_char(TIMESTAMP '2024-03-05 07:08:09',
+                              'YYYY-MM-DD HH24:MI:SS') AS fmt,
+                      last_day_of_month(DATE '2024-02-10') AS ld,
+                      first_day_of_month(DATE '2024-02-10') AS fd,
+                      trunc_n(3.999, 2) AS tn"""
+        )
+    )[0]
+    assert r[0:3] == ("object", "array", "number")
+    assert r[3] == 3 and r[4] == 3
+    assert r[5] == "2024-03-05 07:08:09"
+    assert str(r[6]) == "2024-02-29" and str(r[7]) == "2024-02-01"
+    assert r[8] == 3.99
+    # age() returns an interval
+    a = rows(
+        eng.sql(
+            "SELECT age(TIMESTAMP '2024-01-02 00:00:00', "
+            "TIMESTAMP '2024-01-01 12:00:00') AS a"
+        )
+    )[0][0]
+    assert a is not None
+
+
 def test_explain_passthrough(eng):
     eng.sql("CREATE TABLE ex (id INT)")
     plan = rows(eng.sql("EXPLAIN SELECT * FROM ex WHERE id > 1"))[0][0]

@@ -51,8 +51,9 @@ PG_TYPE_MAP = {
 }
 
 # an operand for the json/cast operators: qualified identifier, function
-# call or parenthesized expression (one level), string literal
-_OPERAND = r"(\([^()]*\)|[A-Za-z_][\w.]*\s*\([^()]*\)|[A-Za-z_][\w.]*|'[^']*')"
+# call (no space before the paren — else `SELECT (expr)` would match) or
+# parenthesized expression (one level), string literal
+_OPERAND = r"(\([^()]*\)|[A-Za-z_][\w.]*\([^()]*\)|[A-Za-z_][\w.]*|'[^']*')"
 
 
 def map_pg_type(t: str) -> str:
@@ -75,9 +76,12 @@ def map_pg_type(t: str) -> str:
 
 def _rewrite_casts(sql: str) -> str:
     # expr::type  (types may be dotted? no — word plus optional (p,s))
+    # the optional second type word is restricted to the known two-word pg
+    # types, otherwise `x::INT FROM t` would swallow the FROM keyword
     pat = re.compile(
-        _OPERAND + r"\s*::\s*([A-Za-z_]+(?:\s+[A-Za-z_]+)?"
-        r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+        _OPERAND + r"\s*::\s*([A-Za-z_]+(?:\s+(?:PRECISION|VARYING|ZONE))?"
+        r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)",
+        re.IGNORECASE,
     )
     prev = None
     while prev != sql:

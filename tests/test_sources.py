@@ -1,0 +1,76 @@
+"""Multi-format IO round-trips, partition pruning, and the bucketed
+co-located join (no Exchange) proof."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_sql_spark import sources
+from cassandra_sql_spark.io import load
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip_formats(spark, sf_dir, tmp_path, fmt):
+    df = load(spark, sf_dir, "nation")
+    path = str(tmp_path / f"nation_{fmt}")
+    sources.write_any(df, path, fmt)
+    back = sources.read_any(
+        spark, path, fmt,
+        schema="n_nationkey int, n_name string, n_regionkey int"
+        if fmt in ("csv", "json") else None,
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    df = load(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_part")
+    sources.write_any(df, path, partition_by=["c_nationkey"])
+    back = sources.read_any(spark, path)
+    pruned = back.filter(F.col("c_nationkey") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must be applied at the file index, not post-scan
+    assert "PartitionFilters: [isnotnull(c_nationkey" in plan or (
+        "c_nationkey=3" in plan
+    )
+    want = df.filter(F.col("c_nationkey") == 3).count()
+    assert pruned.count() == want
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # (bucketed tables land in the session warehouse dir — static conf —
+    # and are dropped in the finally block)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    sources.write_bucketed_table(
+        orders, "b_orders", ["o_custkey"], num_buckets=8
+    )
+    sources.write_bucketed_table(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        ["o_custkey"],
+        num_buckets=8,
+    )
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"), "o_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bad_format_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported format"):
+        sources.read_any(spark, str(tmp_path), "avro")

@@ -19,12 +19,14 @@ from cassandra_sql_spark.queries import (
     subqueries,
     temporal_queries,
     tpch,
+    tpch_extra,
     windows,
 )
 from cassandra_sql_spark.queries.base import Q
 
 _MODULES = (
     tpch,
+    tpch_extra,
     relational,
     joins,
     aggregates,

@@ -1,0 +1,126 @@
+"""Physical-plan audit: the scale-critical properties every operator must
+keep for the 100 TB design point (SURVEY §4.2, README architecture notes).
+
+These pin the *plan shape*, not timings, so they are stable across machines:
+- filters/column pruning reach the parquet scan (no full-row decode — the
+  reference decodes all columns then filters, kv/KvQueryExecutor.java:1083-1088;
+  we require the opposite);
+- aggregates are partial+final (map-side combine bounds the shuffle);
+- no CartesianProduct outside the explicit CROSS JOIN entry;
+- dimension joins are broadcast (no fact-table shuffle);
+- hot relational paths stay JVM-side (no Python row UDF in the plan).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from cassandra_sql_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# --- predicate pushdown & column pruning ------------------------------------
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    # shipdate range + discount bounds + quantity bound all pushed
+    assert "PushedFilters:" in plan
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan).group(1)
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"):
+        assert frag in pushed, plan
+
+
+def test_column_pruning_q1(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # 7 referenced columns only — not the 16-column full row
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }, cols
+
+
+def test_point_lookup_pushes_pk_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "point_lookup")
+    assert re.search(r"PushedFilters: \[.*EqualTo\(", plan), plan
+
+
+# --- aggregation: map-side combine ------------------------------------------
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "q5_local_supplier_volume", "agg_groupby_multi"]
+)
+def test_partial_final_aggregation(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "partial_" in plan, f"{name}: no map-side partial aggregation"
+    assert plan.count("HashAggregate") >= 2, name
+
+
+# --- joins ------------------------------------------------------------------
+
+def test_no_cartesian_outside_cross_join(spark, sf_dir):
+    for name in sorted(REGISTRY):
+        if name in ("join_cross",):
+            continue
+        # pipeline/streaming ops build their own inputs; audit SQL surface
+        q = REGISTRY[name]
+        if q.oracle is None:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    # nation/region/supplier/customer must all come in via broadcast
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_joins_planned(spark, sf_dir):
+    semi = plan_of(spark, sf_dir, "join_semi")
+    anti = plan_of(spark, sf_dir, "join_anti")
+    assert "LeftSemi" in semi, semi
+    assert "LeftAnti" in anti, anti
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_orderby_limit")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+# --- JVM-side execution ------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
+     "win_topk_per_group", "agg_count_distinct", "json_filter_agg"],
+)
+def test_sql_hot_path_has_no_python_udf(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"{name} fell off the JVM path: {marker}"
+
+
+def test_codegen_covers_agg_spine(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in codegen
+
+
+# --- exact dedup stays distributed ------------------------------------------
+
+def test_dedup_exact_is_shuffle_agg_not_collect(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_exact")
+    assert "HashAggregate" in plan or "Window" in plan, plan

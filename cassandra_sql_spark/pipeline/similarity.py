@@ -106,6 +106,121 @@ def lsh_bucket(vec: Column, planes: int = 8) -> Column:
     return bucket
 
 
+def _dot_lit(vec: Column, w: list[float]) -> Column:
+    """Dot product against a driver-side constant vector (inlined literals,
+    evaluated entirely in whole-stage codegen — no shuffle, no UDF)."""
+    arr = F.array(*[F.lit(float(x)) for x in w])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _unit(v: list[float]) -> list[float]:
+    n = sum(x * x for x in v) ** 0.5
+    return [x / n for x in v] if n else list(v)
+
+
+def ivf_assign_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id as a pure map-side expression.
+
+    Centroids are unit-normalized, so argmax over dot(v, c) equals argmax
+    cosine similarity (|v| is constant per row). Ties resolve to the lowest
+    centroid id (array_position finds the first maximum).
+    """
+    scores = F.array(*[_dot_lit(vec, c) for c in centroids])
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer (k-means with hash-seeded init).
+
+    - Seeds: the `n_centroids` vectors with the smallest xxhash64(id) —
+      reproducible on any cluster, no RNG state.
+    - Lloyd iterations: assignment is the map-side expression above (zero
+      shuffle); the mean step shuffles only (centroid, dim) pairs — k*d rows
+      total regardless of data size, via posexplode + partial-agg AVG.
+    - Model size is k*d floats on the driver: constant, broadcast-friendly.
+    """
+    seeds = (
+        emb.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [_unit([float(x) for x in r[vec_col]]) for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = emb.select(
+            ivf_assign_col(F.col(vec_col), centroids).alias("_cid"),
+            F.col(vec_col).alias("_v"),
+        )
+        means = (
+            assigned.select("_cid", F.posexplode("_v"))
+            .groupBy("_cid", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, list[float]] = {}
+        for r in means:
+            by_cid.setdefault(r["_cid"], [0.0] * dim)[r["pos"]] = r["m"]
+        # empty clusters keep their previous centroid
+        centroids = [
+            _unit(by_cid.get(i, centroids[i])) for i in range(n_centroids)
+        ]
+    return centroids
+
+
+def topk_ivf(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only the `nprobe` nearest inverted lists.
+
+    Scale path (100 TB): `ivf_train` cost is constant in data size per
+    iteration scan; the assigned table is written once, partitioned by
+    `_cid`, so each probe is partition-pruned to ~nprobe/k of the data.
+    Here the assignment is computed inline (same plan shape, no
+    materialization step) to keep the query self-contained.
+    """
+    centroids = ivf_train(emb, n_centroids, 2, id_col, vec_col)
+    q = emb.filter(F.col(id_col) == query_id).select(id_col, vec_col).collect()
+    qv = [float(x) for x in q[0][vec_col]]
+    qn = _unit(qv)
+    probe_ids = sorted(
+        range(len(centroids)),
+        key=lambda i: -sum(a * b for a, b in zip(qn, centroids[i])),
+    )[:nprobe]
+    assigned = emb.withColumn(
+        "_cid", ivf_assign_col(F.col(vec_col), centroids)
+    )
+    cands = assigned.filter(
+        F.col("_cid").isin(probe_ids) & (F.col(id_col) != query_id)
+    )
+    scored = cands.select(
+        id_col,
+        (
+            _dot_lit(F.col(vec_col), qv)
+            / (F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+               * F.lit(sum(x * x for x in qv) ** 0.5))
+        ).cast("decimal(18,6)").alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def topk_lsh(
     emb: DataFrame,
     query_id: int,

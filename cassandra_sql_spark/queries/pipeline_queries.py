@@ -164,6 +164,17 @@ QUERIES: dict[str, Q] = {
         ("embeddings",),
         oracle=None,
     ),
+    # IVF approximate top-k (the other scale path): deterministic k-means
+    # coarse quantizer, map-side assignment expression, nprobe-pruned
+    # candidate scan — rows-only; recall vs brute force in tests.
+    "sim_ivf_topk": df_q(
+        lambda spark, sf: similarity.topk_ivf(
+            load(spark, sf, "embeddings"),
+            query_id=0, k=10, n_centroids=8, nprobe=4,
+        ),
+        ("embeddings",),
+        oracle=None,
+    ),
     # Text analysis battery: token counts, quality, language-ID heuristic,
     # rolling-hash fingerprint — all JVM lambdas, oracle replays the exact
     # integer/rational math.

@@ -95,6 +95,49 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert len(approx) == 10
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").cache()
+    exact = [
+        r.vec_id
+        for r in similarity.topk_bruteforce(emb, query_id=0, k=10).collect()
+    ]
+    approx = [
+        r.vec_id
+        for r in similarity.topk_ivf(
+            emb, query_id=0, k=10, n_centroids=8, nprobe=4
+        ).collect()
+    ]
+    # probing half the lists must recover most of the true top-k
+    assert len(set(approx) & set(exact)) >= 5
+    assert len(approx) == 10
+
+
+def test_ivf_train_deterministic_and_unit_norm(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    c1 = similarity.ivf_train(emb, n_centroids=4, iters=1)
+    c2 = similarity.ivf_train(emb, n_centroids=4, iters=1)
+    assert c1 == c2
+    for c in c1:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_ivf_assignment_covers_all_rows(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(emb, n_centroids=8, iters=1)
+    from pyspark.sql import functions as F
+
+    counts = (
+        emb.select(
+            similarity.ivf_assign_col(F.col("embedding"), cents).alias("cid")
+        )
+        .groupBy("cid")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in counts) == emb.count()
+    assert all(0 <= r.cid < 8 for r in counts)
+
+
 def test_lsh_bucket_deterministic(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     b1 = emb.select(

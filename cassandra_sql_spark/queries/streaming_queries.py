@@ -27,7 +27,51 @@ def _sessions(spark, sf_dir):
     return spark.table("sessions_q")
 
 
+def _attribution(spark, sf_dir):
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-attr-")
+    stream = ev.read_events_stream(spark, sf_dir)
+    joined = ev.attribution_join(stream, window_minutes=30)
+    ev.run_available_now(joined, "attribution_q", ckpt, mode="append")
+    return spark.table("attribution_q")
+
+
+def _dedup_stream(spark, sf_dir):
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-sdedup-")
+    stream = ev.read_events_stream(spark, sf_dir)
+    deduped = ev.dedup_within_watermark(stream)
+    ev.run_available_now(deduped, "stream_dedup_q", ckpt, mode="append")
+    return spark.table("stream_dedup_q")
+
+
 QUERIES: dict[str, Q] = {
+    # Stream-stream interval self-join (click -> purchase attribution);
+    # drained result equals the batch interval join the oracle runs.
+    "stream_stream_join": Q(
+        _attribution,
+        """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+    ),
+    # Watermark-bounded streaming dedup == batch SELECT DISTINCT on the key.
+    "stream_dedup": Q(
+        _dedup_stream,
+        """
+        SELECT DISTINCT user_id, event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket
+        FROM events
+        """,
+    ),
     "stream_window_agg": Q(
         _windowed,
         """

@@ -127,6 +127,79 @@ def streaming_event_window_counts(
     return spark.table("event_window_counts")
 
 
+def attribution_join(
+    events: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval self-join: purchases attributed to the same
+    user's clicks within ``window_minutes``.
+
+    Both branches carry a watermark and the join carries a two-sided time
+    constraint, so the state store can evict click state once the purchase
+    watermark passes click_ts + window (bounded state — the requirement for
+    running this forever on 1000 executors). Inner join: rows emit as both
+    sides arrive; with Trigger.AvailableNow the drained result equals the
+    batch interval join, which is how the oracle checks it.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {window_minutes} MINUTES
+            """
+        ),
+        "inner",
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        F.round(F.col("value") * 100).cast("long").alias("purchase_cents"),
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming dedup: first (user, type, hour) observation wins; dedup
+    state for a key is dropped once the watermark passes it (bounded state,
+    unlike an unbounded dropDuplicates). Output restricted to the key so the
+    result is deterministic and equals batch SELECT DISTINCT."""
+    keyed = events.withWatermark("ts", watermark).select(
+        "ts",
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+    )
+    return keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "hour_bucket"]
+    ).select("user_id", "event_type", "hour_bucket")
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -55,10 +55,10 @@ FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
          l_extendedprice * (1 - l_discount) AS volume
-  FROM supplier
-  JOIN lineitem ON s_suppkey = l_suppkey
-  JOIN orders ON o_orderkey = l_orderkey
-  JOIN customer ON c_custkey = o_custkey
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
   WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
@@ -79,8 +79,8 @@ FROM (
   SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
          n2.n_name AS nation
-  FROM part
-  JOIN lineitem ON p_partkey = l_partkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -193,9 +193,9 @@ WHERE p_brand = 'Brand#3'
 Q18_LARGE_VOLUME_CUSTOMER = f"""
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
   {dsum('l_quantity', 'sum_qty')}
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON o_orderkey = l_orderkey
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
 WHERE o_orderkey IN (
   SELECT l_orderkey FROM lineitem
   GROUP BY l_orderkey

@@ -86,6 +86,25 @@ def test_dim_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
+     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+     "q18_large_volume_customer"],
+)
+def test_fact_table_is_streamed_not_broadcast(spark, sf_dir, name):
+    """lineitem must be the leftmost (streamed) leaf, never broadcast-built:
+    the shape that survives 100 TB (SCALE.md §3)."""
+    plan = plan_of(spark, sf_dir, name)
+    first_scan = re.search(r"Location: InMemoryFileIndex \[[^\]]*?(\w+)\.parquet\]", plan)
+    assert first_scan.group(1) == "lineitem", f"{name}: {first_scan.group(1)}"
+    # no BroadcastExchange node may take its input from the lineitem scan:
+    # in the formatted tree the lineitem scan is node (1), referenced only
+    # by the leftmost join spine
+    for m in re.finditer(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "l_extendedprice" not in m.group(1), f"{name} broadcasts lineitem"
+
+
 def test_semi_anti_joins_planned(spark, sf_dir):
     semi = plan_of(spark, sf_dir, "join_semi")
     anti = plan_of(spark, sf_dir, "join_anti")

@@ -25,7 +25,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "q10_returned_items",
+    "q18_large_volume_customer",
     "agg_count_distinct",
     "agg_rollup",
     "win_topk_per_group",

@@ -30,15 +30,20 @@ QUERIES: dict[str, Q] = {
         """,
     ),
     # JSON predicate in WHERE + aggregation over extracted values.
-    # from_json parses the document ONCE per row (get_json_object would
-    # re-parse per extraction — measurably slower on the hot path).
+    # get_json_object (Jackson streaming path extractor) measured fastest
+    # here: the filter gets pushed below the project, so whichever
+    # expression is used is evaluated twice per surviving row — single-path
+    # streaming extraction beats materializing a from_json struct twice
+    # (0.38s vs 0.50s at sf0.1; variant_get 0.43s).
     "json_filter_agg": sql_q(
         """
         SELECT event_type,
                COUNT(*) AS n,
                CAST(SUM(k) AS BIGINT) AS sum_k
         FROM (
-          SELECT event_type, FROM_JSON(props, 'k BIGINT').k AS k FROM events
+          SELECT event_type,
+                 CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) AS k
+          FROM events
         )
         WHERE k > 50
         GROUP BY event_type

@@ -12,9 +12,47 @@ SubqueryExecutor.java:35-263 — not scalable; do not replicate).
 
 from __future__ import annotations
 
-from cassandra_sql_spark.queries.base import Q, dsum, sql_q
+from pyspark.sql import functions as F
+
+from cassandra_sql_spark.io import load
+from cassandra_sql_spark.operators import skew
+from cassandra_sql_spark.queries.base import Q, df_q, dsum, sql_q
+
+
+def _salted_join_agg(spark, sf):
+    """Salted orders x customer join (skew escape hatch, operators/skew.py),
+    aggregated per nation — must equal the plain join's result exactly."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    joined = skew.salted_equi_join(
+        orders, customer, [("o_custkey", "c_custkey")], salt=8
+    )
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+
 
 QUERIES: dict[str, Q] = {
+    # Salting correctness: the redistributed join hash-matches the plain
+    # join (the oracle runs the unsalted SQL).
+    "join_salted_skew": df_q(
+        _salted_join_agg,
+        ("orders", "customer"),
+        oracle="""
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+        """,
+    ),
     "join_inner": sql_q(
         """
         SELECT o_orderkey, o_totalprice, c_name

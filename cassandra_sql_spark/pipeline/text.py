@@ -83,6 +83,70 @@ def fingerprint(col: Column, prefix_len: int = 128) -> Column:
     )
 
 
+# GPT-2-shaped pretokenizer, minus the trailing-whitespace lookahead (RE2,
+# used by the DuckDB oracle, has no lookahead; the simplification only
+# changes how runs of spaces split, which BPE merges anyway).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: pretokenizer segments, the standard fast proxy
+    for LLM token budgeting (real BPE merges only ever reduce the count
+    within a segment)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0)).cast(
+        "long"
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword relevance over a document table, fully declarative.
+
+    Corpus stats (N, avgdl, per-term document frequency) are one global
+    aggregate producing a single row that broadcasts back over the corpus —
+    at 100 TB that's one partial+final agg pass plus a map-side scored scan,
+    no per-term shuffles. IDF uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)) form; scores round to 6 decimals so
+    the last-ulp of ln() can't differ across engines.
+    """
+    w = tokens(F.col(text_col))
+    dl = F.size(w).cast("double")
+    docs = df.select(F.col(id_col), w.alias("_w"), dl.alias("_dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("_w", t), F.lit(1.0)).otherwise(0.0)
+            ).alias(f"_df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    scored = docs.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl") / F.col("_n")
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter("_w", lambda x: x == F.lit(t))).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5)
+        )
+        score = score + idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("_dl") / avgdl)
+        )
+    return (
+        scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+    )
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     c = F.col(text_col)
     return df.select(

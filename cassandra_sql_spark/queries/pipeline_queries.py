@@ -185,6 +185,107 @@ QUERIES: dict[str, Q] = {
         ("documents",),
         oracle=_TEXT_STATS_ORACLE,
     ),
+    # BPE-ish pretokenizer count (LLM token budgeting; text.BPE_PRETOKEN_RE).
+    "text_bpe_tokens": df_q(
+        lambda spark, sf: load(spark, sf, "documents").select(
+            "doc_id",
+            text.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        ),
+        ("documents",),
+        oracle=(
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+            + text.BPE_PRETOKEN_RE.replace("'", "''")
+            + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
+    ),
+    # BM25 keyword relevance: one corpus-stats aggregate broadcast back
+    # over a map-side scored scan.
+    "text_bm25": df_q(
+        lambda spark, sf: text.bm25_scores(
+            load(spark, sf, "documents"), "doc_id", "text",
+            terms=("spark", "join", "vector"),
+        ),
+        ("documents",),
+        oracle="""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                   AS dl
+          FROM documents
+        ), s AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(dl) AS sumdl,
+                 SUM(CASE WHEN list_contains(w, 'spark') THEN 1.0 ELSE 0.0
+                     END) AS df0,
+                 SUM(CASE WHEN list_contains(w, 'join') THEN 1.0 ELSE 0.0
+                     END) AS df1,
+                 SUM(CASE WHEN list_contains(w, 'vector') THEN 1.0 ELSE 0.0
+                     END) AS df2
+          FROM d
+        )
+        SELECT doc_id,
+               round(
+                 0.0
+                 + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                   * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * 2.2)
+                   / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+                      + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+                 + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                   * (len(list_filter(w, x -> x = 'join'))::DOUBLE * 2.2)
+                   / (len(list_filter(w, x -> x = 'join'))::DOUBLE
+                      + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+                 + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                   * (len(list_filter(w, x -> x = 'vector'))::DOUBLE * 2.2)
+                   / (len(list_filter(w, x -> x = 'vector'))::DOUBLE
+                      + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))),
+                 6) AS bm25
+        FROM d, s
+        WHERE round(
+                 0.0
+                 + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                   * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * 2.2)
+                   / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+                      + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+                 + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                   * (len(list_filter(w, x -> x = 'join'))::DOUBLE * 2.2)
+                   / (len(list_filter(w, x -> x = 'join'))::DOUBLE
+                      + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+                 + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                   * (len(list_filter(w, x -> x = 'vector'))::DOUBLE * 2.2)
+                   / (len(list_filter(w, x -> x = 'vector'))::DOUBLE
+                      + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))),
+                 6) > 0
+        ORDER BY bm25 DESC, doc_id
+        """,
+    ),
+    # Per-label embedding centroids: posexplode -> (label, dim) partial agg.
+    # The shuffle carries labels x dims rows, independent of corpus size.
+    "emb_label_centroids": df_q(
+        lambda spark, sf: (
+            load(spark, sf, "embeddings")
+            .select("label", F.posexplode("embedding"))
+            .groupBy("label", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("col").cast("double") * 1000000 + 0.5)
+                        .cast("bigint")
+                    ).cast("double")
+                    / 1000000
+                    / F.count(F.lit(1))
+                ).alias("centroid")
+            )
+        ),
+        ("embeddings",),
+        oracle="""
+        SELECT label, i - 1 AS pos,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000
+                                   + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000 / COUNT(*) AS centroid
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY label, i
+        """,
+    ),
     # Multimodal plumbing: binary payload + typed metadata struct.
     "multimodal_binary_meta": df_q(
         lambda spark, sf: multimodal.with_binary_payload(

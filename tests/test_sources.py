@@ -1,5 +1,5 @@
-"""Multi-format IO round-trips, partition pruning, and the bucketed
-co-located join (no Exchange) proof."""
+"""Multi-format IO round-trips, partition pruning, the bucketed
+co-located join (no Exchange) proof, and layout optimization."""
 
 from __future__ import annotations
 
@@ -74,3 +74,29 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
 def test_bad_format_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported format"):
         sources.read_any(spark, str(tmp_path), "avro")
+
+
+def test_optimize_layout_preserves_data_and_caches(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    cache = str(tmp_path / "cache")
+    out = sources.optimize_layout(sf_dir, cache_dir=cache, row_group_rows=100)
+    assert out == cache
+    # bit-exact: same schema, same rows (lineitem spot check)
+    src = pq.read_table(f"{sf_dir}/lineitem.parquet")
+    dst = pq.read_table(f"{cache}/lineitem.parquet")
+    assert src.schema == dst.schema
+    assert src.num_rows == dst.num_rows
+    assert src.equals(dst)  # re-encode preserves row order and values
+    # splittable now
+    assert pq.ParquetFile(f"{cache}/lineitem.parquet").metadata.num_row_groups > 1
+    # second call is a marker-validated no-op (mtime of outputs unchanged)
+    import os
+
+    before = os.path.getmtime(f"{cache}/lineitem.parquet")
+    assert sources.optimize_layout(sf_dir, cache_dir=cache) == cache
+    assert os.path.getmtime(f"{cache}/lineitem.parquet") == before
+    # events TIMESTAMP(NANOS) must survive re-encode untouched
+    se = pq.read_table(f"{sf_dir}/events.parquet")
+    de = pq.read_table(f"{cache}/events.parquet")
+    assert se.schema == de.schema

@@ -133,4 +133,29 @@ QUERIES: dict[str, Q] = {
         """,
         ("orders",),
     ),
+    # Exact interpolated percentiles (linear interpolation matches
+    # DuckDB quantile_cont bit-for-bit on the same doubles); at scale the
+    # approx_percentile sketch is the alternative (agg_approx_distinct_bound
+    # shows the sketch pattern).
+    "agg_percentiles": sql_q(
+        """
+        SELECT l_returnflag,
+               percentile(l_quantity, 0.25) AS p25,
+               percentile(l_quantity, 0.5) AS p50,
+               percentile(l_quantity, 0.75) AS p75,
+               percentile(l_extendedprice, 0.9) AS p90
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+        ("lineitem",),
+        oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.5) AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75,
+               quantile_cont(l_extendedprice, 0.9) AS p90
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    ),
 }

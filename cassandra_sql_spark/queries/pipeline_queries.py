@@ -6,6 +6,7 @@ rows-only here and recall-tested in tests/test_pipeline.py.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from cassandra_sql_spark.io import load
@@ -284,6 +285,70 @@ QUERIES: dict[str, Q] = {
                  / 1000000 / COUNT(*) AS centroid
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
         GROUP BY label, i
+        """,
+    ),
+    # Deterministic hash-based train/eval split (the standard reproducible
+    # holdout: assignment depends only on the id, never on partitioning,
+    # sampling order, or cluster size). ~1/16 of docs land in eval.
+    "sample_md5_split": df_q(
+        lambda spark, sf: load(spark, sf, "documents").select(
+            "doc_id",
+            F.when(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                == "0",
+                F.lit("eval"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        ),
+        ("documents",),
+        oracle="""
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM documents
+        """,
+    ),
+    # Token-budget sequence packing: contiguous-fill pack assignment via a
+    # running token total (one window pass; at scale, partition the window
+    # by a shard key and pack within shards).
+    "pack_token_budget": df_q(
+        lambda spark, sf: load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            text.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (
+                    F.sum("n_tokens").over(
+                        W.orderBy("doc_id").rowsBetween(
+                            W.unboundedPreceding, W.currentRow
+                        )
+                    )
+                    - F.col("n_tokens")
+                ).cast("double")
+                / 512
+            )
+            .cast("bigint")
+            .alias("pack_id"),
+        ),
+        ("documents",),
+        oracle="""
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT)
+                 AS pack_id
+        FROM (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+                 SUM(CAST(len(string_split_regex(trim(text), '\\s+'))
+                     AS BIGINT))
+                   OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents
+        )
         """,
     ),
     # Multimodal plumbing: binary payload + typed metadata struct.

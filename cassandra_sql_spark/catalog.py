@@ -27,6 +27,7 @@ class ColumnMeta:
     nullable: bool = True
     identity: bool = False  # SERIAL / GENERATED ... AS IDENTITY
     enum_type: Optional[str] = None
+    hidden: bool = False   # system column (hidden rowid), excluded from *
 
 
 @dataclass

@@ -79,6 +79,7 @@ class Engine:
             self._register(meta)
         for view in self.catalog.views.values():
             self._register_view(view)
+        self._register_pg_catalog()
 
     # ------------------------------------------------------------------ util
 
@@ -92,6 +93,13 @@ class Engine:
             df = self.spark.read.schema(meta.spark_ddl()).parquet(meta.path)
         else:
             df = self.spark.createDataFrame([], meta.spark_ddl())
+        visible = [c.name for c in meta.columns if not c.hidden]
+        if len(visible) != len(meta.columns):
+            # hidden rowid (reference kv/SchemaManager.java:736): SELECT *
+            # must not show it, but explicit `rowid` references resolve via
+            # the raw view (rewrite in _one)
+            df.createOrReplaceTempView(f"__raw_{meta.name}")
+            df = df.select(*visible)
         df.createOrReplaceTempView(meta.name)
 
     def _register_view(self, view: ViewMeta) -> None:
@@ -104,6 +112,42 @@ class Engine:
             self.spark.sql(preprocess(view.sql)).createOrReplaceTempView(
                 view.name
             )
+
+    def _register_pg_catalog(self) -> None:
+        """pg_catalog introspection views over the metastore.
+
+        The reference materializes pg_namespace/pg_class/pg_attribute/... as
+        real KV tables so psql/JDBC introspection works
+        (kv/PgCatalogManager.java:23-36). Here they are zero-cost temp views
+        regenerated on DDL; hidden system columns are excluded, matching
+        what the reference's catalog exposes.
+        """
+        spark = self.spark
+        tables = sorted(self.catalog.tables.values(), key=lambda t: t.name)
+        views = sorted(self.catalog.views.values(), key=lambda v: v.name)
+        rel = [(t.name, "r") for t in tables] + [
+            (v.name, "m" if v.materialized else "v") for v in views
+        ]
+        spark.createDataFrame(
+            rel, "relname string, relkind string"
+        ).createOrReplaceTempView("pg_class")
+        spark.createDataFrame(
+            [("public", t.name) for t in tables],
+            "schemaname string, tablename string",
+        ).createOrReplaceTempView("pg_tables")
+        attrs = [
+            (t.name, c.name, c.sql_type, i + 1, not c.nullable)
+            for t in tables
+            for i, c in enumerate(cc for cc in t.columns if not cc.hidden)
+        ]
+        spark.createDataFrame(
+            attrs,
+            "relname string, attname string, atttype string, "
+            "attnum int, attnotnull boolean",
+        ).createOrReplaceTempView("pg_attribute")
+        spark.createDataFrame(
+            [("public",), ("pg_catalog",)], "nspname string"
+        ).createOrReplaceTempView("pg_namespace")
 
     def _table(self, name: str) -> TableMeta:
         if name not in self.catalog.tables:
@@ -145,6 +189,10 @@ class Engine:
         result = self._status("ok", 0)
         for stmt in split_statements(text):
             result = self._one(stmt)
+            if re.match(
+                r"\s*(CREATE|DROP|ALTER|TRUNCATE|REFRESH)\b", stmt, re.I
+            ):
+                self._register_pg_catalog()
         return result
 
     def _one(self, stmt: str) -> DataFrame:
@@ -198,6 +246,12 @@ class Engine:
         # sequence functions in scalar selects
         if re.search(r"\b(nextval|currval)\s*\(", s, re.IGNORECASE):
             s = self._substitute_sequences(s)
+        if re.search(r"\browid\b", s, re.IGNORECASE):
+            # explicit rowid reference -> route rowid-bearing tables to
+            # their raw (hidden-column-included) views
+            for name, meta in self.catalog.tables.items():
+                if any(c.hidden for c in meta.columns):
+                    s = re.sub(rf"\b{name}\b", f"__raw_{name}", s)
         return self.spark.sql(preprocess(s))
 
     # ----------------------------------------------------------------- DDL
@@ -369,6 +423,21 @@ class Engine:
             )
             if identity:
                 self.catalog.create_sequence(f"{name}_{cname}_seq")
+        if not meta.primary_key:
+            # hidden auto-increment rowid for PK-less tables (reference
+            # kv/SchemaManager.java:736, docs/SQL_GRAMMAR.md:440-441)
+            meta.columns.append(
+                ColumnMeta(
+                    name="rowid",
+                    sql_type="BIGINT",
+                    spark_type="BIGINT",
+                    nullable=False,
+                    identity=True,
+                    hidden=True,
+                )
+            )
+            meta.primary_key = ["rowid"]
+            self.catalog.create_sequence(f"{name}_rowid_seq")
         if meta.primary_key:
             meta.unique.append(list(meta.primary_key))
         meta.path = os.path.join(self.catalog.table_path(name), "v1")
@@ -562,12 +631,16 @@ class Engine:
         if m.group(3):
             cols = [c.strip() for c in m.group(3).split(",")]
         else:
-            cols = [c.name for c in meta.columns]
+            cols = [c.name for c in meta.columns if not c.hidden]
             if len(src.columns) == len(
-                [c for c in meta.columns if not c.identity]
+                [c for c in meta.columns if not c.identity and not c.hidden]
             ):
                 # bare INSERT omitting identity columns (SERIAL usage)
-                cols = [c.name for c in meta.columns if not c.identity]
+                cols = [
+                    c.name
+                    for c in meta.columns
+                    if not c.identity and not c.hidden
+                ]
         if len(src.columns) != len(cols):
             raise EngineError(
                 f"INSERT column count mismatch: {len(src.columns)} values "

@@ -231,3 +231,48 @@ def test_insert_from_select(eng):
     eng.sql("CREATE TABLE dst (id INT, v INT)")
     eng.sql("INSERT INTO dst SELECT id, v * 10 FROM src WHERE v > 5")
     assert rows(eng.sql("SELECT * FROM dst")) == [(2, 60)]
+
+
+def test_hidden_rowid(eng):
+    # PK-less tables get a hidden auto-increment rowid (reference
+    # kv/SchemaManager.java:736; HiddenRowIdTest / HiddenRowIdSelectTest)
+    eng.sql("CREATE TABLE nk (v TEXT)")
+    eng.sql("INSERT INTO nk VALUES ('a'), ('b'), ('c')")
+    star = eng.sql("SELECT * FROM nk")
+    assert star.columns == ["v"]  # hidden from *
+    out = rows(eng.sql("SELECT rowid, v FROM nk ORDER BY rowid"))
+    assert [v for _, v in out] == ["a", "b", "c"]
+    ids = [r for r, _ in out]
+    assert len(set(ids)) == 3 and ids == sorted(ids)
+    # rowid usable in predicates (DELETE targets one physical row)
+    eng.sql(f"DELETE FROM nk WHERE rowid = {ids[1]}")
+    assert rows(eng.sql("SELECT v FROM nk ORDER BY rowid")) == [("a",), ("c",)]
+
+
+def test_pg_catalog_views(eng):
+    eng.sql("CREATE TABLE pgc (id INT PRIMARY KEY, name TEXT)")
+    eng.sql("CREATE VIEW pgv AS SELECT id FROM pgc")
+    assert ("public", "pgc") in rows(
+        eng.sql("SELECT schemaname, tablename FROM pg_tables")
+    )
+    kinds = dict(rows(eng.sql("SELECT relname, relkind FROM pg_class")))
+    assert kinds["pgc"] == "r" and kinds["pgv"] == "v"
+    attrs = rows(
+        eng.sql(
+            "SELECT attname, attnum, attnotnull FROM pg_attribute "
+            "WHERE relname = 'pgc' ORDER BY attnum"
+        )
+    )
+    assert attrs == [("id", 1, True), ("name", 2, False)]
+    eng.sql("DROP TABLE pgc")
+    assert ("public", "pgc") not in rows(
+        eng.sql("SELECT schemaname, tablename FROM pg_tables")
+    )
+
+
+def test_pg_attribute_hides_rowid(eng):
+    eng.sql("CREATE TABLE hid (v TEXT)")
+    attrs = rows(
+        eng.sql("SELECT attname FROM pg_attribute WHERE relname = 'hid'")
+    )
+    assert attrs == [("v",)]

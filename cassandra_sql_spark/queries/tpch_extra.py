@@ -1,9 +1,12 @@
-"""Extended TPC-H-shaped suite (q4..q22, adapted to the driver's schema).
+"""Extended TPC-H-shaped suite (q2..q22, adapted to the driver's schema).
 
 The driver's tables are a reduced TPC-H: there is no partsupp table and
-lineitem lacks commitdate/receiptdate/shipmode, so q2/q11/q12/q21 cannot be
-expressed and q4/q9/q16/q20/q22 are adapted (noted per query). Everything
-else follows the official query shapes. Reference parity: these exercise the
+lineitem lacks commitdate/receiptdate/shipmode, so q2/q4/q9/q11/q12/q16/
+q20/q21/q22 are adapted (noted per query — partsupp is derived from
+lineitem as the observed part<->supplier relation; ship-delay bands stand
+in for shipmode; "shipped >60 days after order" stands in for
+receipt-after-commit lateness). Everything else follows the official
+query shapes, so all 22 query spines are covered. Reference parity: these exercise the
 same operator spine as the reference's executors (scan+filter
 kv/KvQueryExecutor.java:1004-1136, hash joins kv/KvJoinExecutor.java:113-316,
 hash aggregation kv/KvQueryExecutor.java:3269-3627, subquery rewrites
@@ -31,6 +34,40 @@ from cassandra_sql_spark.queries.base import Q, dsum, sql_q
 def _ssum(expr: str, s: int = 1000000) -> str:
     return f"CAST(FLOOR(({expr}) * {s} + 0.5) AS BIGINT)"
 
+
+# q2 adapted: partsupp derived from lineitem (observed part<->supplier
+# pairs); ps_supplycost = best observed unit price (MIN of a per-row
+# double expression — order-independent, engine-independent). Preserves
+# q2's distinctive shape: multi-dim join + correlated scalar MIN subquery
+# re-traversing the same join. At scale the correlated MIN decorrelates
+# into an aggregate + self-join on ps_partkey (Catalyst
+# RewriteCorrelatedScalarSubquery), shuffling only the distinct-key set.
+Q2_MIN_COST_SUPPLIER = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(MIN(CAST(FLOOR(l_extendedprice * 100 / l_quantity + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 100 AS ps_supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'PROMO' AND r_name = 'ASIA'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
 
 # q4 adapted: no commitdate/receiptdate -> "late shipment" EXISTS predicate
 # (any line shipped >60 days after the order date). Same semi-join shape.
@@ -114,6 +151,55 @@ FROM (
 ) profit
 GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
+"""
+
+# q11 adapted: partsupp value = shipped revenue per (part, supplier);
+# same group-by + HAVING-vs-global-scalar-subquery shape. Integer cents
+# keep both the per-part sums and the global threshold exact.
+Q11_IMPORTANT_PARTS = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS value_cents
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT ps_partkey, CAST(SUM(value_cents) AS DOUBLE) / 100 AS part_value
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+GROUP BY ps_partkey
+HAVING SUM(value_cents) > (
+  SELECT SUM(value_cents) * 0.001
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+# q12 adapted: no l_shipmode -> ship-delay bands (FAST <=30d, NORMAL,
+# SLOW >60d after order date); same join + CASE-count-by-priority shape.
+Q12_SHIP_PRIORITY = """
+SELECT shipband,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN l_shipdate <= o_orderdate + INTERVAL '30' DAY THEN 'FAST'
+              WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY THEN 'SLOW'
+              ELSE 'NORMAL' END AS shipband
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+) shipping
+GROUP BY shipband
+ORDER BY shipband
 """
 
 Q13_CUSTOMER_DISTRIBUTION = """
@@ -239,6 +325,40 @@ WHERE s_suppkey IN (
 ORDER BY s_suppkey
 """
 
+# q21 adapted: "kept orders waiting" = this supplier's line shipped >60
+# days after the order date on a finished multi-supplier order where no
+# OTHER supplier's line was late. Preserves q21's distinctive double
+# correlated EXISTS / NOT EXISTS self-join on lineitem. Both subqueries
+# decorrelate to semi/anti hash joins on l_orderkey (no nested loops).
+Q21_WAITING_SUPPLIER = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM flagged l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l1.is_late = 1
+  AND n_name = 'NATION_1'
+  AND EXISTS (
+    SELECT 1 FROM flagged l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM flagged l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.is_late = 1
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
 # q22 adapted: no c_phone -> country code is c_nationkey % 10; every
 # customer has orders in this dataset, so "no orders at all" is replaced by
 # "no orders since 1999" (same anti-join shape). Deterministic average via
@@ -269,7 +389,18 @@ ORDER BY cntrycode
 _ALL = ("customer", "orders", "lineitem", "supplier", "part", "nation", "region")
 
 QUERIES: dict[str, Q] = {
+    "q2_min_cost_supplier": sql_q(
+        Q2_MIN_COST_SUPPLIER,
+        ("part", "lineitem", "supplier", "nation", "region"),
+    ),
     "q4_order_priority": sql_q(Q4_ORDER_PRIORITY, ("orders", "lineitem")),
+    "q11_important_parts": sql_q(
+        Q11_IMPORTANT_PARTS, ("lineitem", "supplier", "nation")
+    ),
+    "q12_ship_priority": sql_q(Q12_SHIP_PRIORITY, ("lineitem", "orders")),
+    "q21_waiting_supplier": sql_q(
+        Q21_WAITING_SUPPLIER, ("lineitem", "orders", "supplier", "nation")
+    ),
     "q7_volume_shipping": sql_q(
         Q7_VOLUME_SHIPPING, ("supplier", "lineitem", "orders", "customer", "nation")
     ),

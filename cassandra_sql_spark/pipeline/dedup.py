@@ -106,6 +106,39 @@ def ngram_jaccard_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Train/eval decontamination: (train_id, eval_id, n_shared) for every
+    train document sharing >= 1 distinct k-gram with an eval document —
+    the GPT-3-style n-gram overlap check.
+
+    Shape: explode both sides' distinct shingles, equi-join on the gram,
+    count matches per pair (lists are distinct per doc, so COUNT(*) is the
+    distinct shared-gram count). The eval side is the small one by
+    construction (holdout sets are tiny next to a 100 TB corpus), so it
+    broadcasts: the train corpus is scanned once map-side, never shuffled.
+    """
+    w = tokens(F.col(text_col))
+    tsh = train.filter(F.size(w) >= k).select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_g"),
+    )
+    esh = eval_df.filter(F.size(w) >= k).select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_g"),
+    )
+    return (
+        tsh.join(F.broadcast(esh), "_g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
 def minhash_signature(col: Column, num_hashes: int = 64) -> Column:
     """Array of num_hashes minhash values over the shingle array.
 

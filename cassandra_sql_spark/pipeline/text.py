@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cassandra_sql_spark.pipeline.dedup import tokens
+from cassandra_sql_spark.pipeline.dedup import tokens, word_ngrams
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 FINGERPRINT_MOD = 1_000_000_007
@@ -161,10 +161,7 @@ def repetition_stats(
     re-evaluates the gram array per outer element — measured 400x slower.)
     """
     w = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
-    )
+    grams = word_ngrams(F.col(text_col), 2)
     per_gram = (
         df.filter(F.size(w) >= 2)
         .select(F.col(id_col), F.explode(grams).alias("_g"))

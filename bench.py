@@ -37,6 +37,12 @@ HEADLINE = [
     "setop_union_distinct",
     "json_filter_agg",
     "expr_time_bucket_agg",
+    # training-data pipeline operators (north-star extensions)
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "decontam_ngram_overlap",
+    "text_repetition_filter",
+    "sim_topk_bruteforce",
 ]
 
 

@@ -26,6 +26,63 @@ def truth_pairs(docs):
     }
 
 
+def test_word_ngrams_order_repeats_and_short_docs(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d"),
+            Row(doc_id=2, text="a b a b"),  # repeated gram preserved
+            Row(doc_id=3, text="x y"),      # shorter than k
+            Row(doc_id=4, text="solo"),     # single token
+        ]
+    )
+    out = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", dedup.word_ngrams(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == ["a b a", "b a b"]
+    # n < k degrades to one gram of all tokens (matches shingle semantics)
+    assert out[3] == ["x y"]
+    assert out[4] == ["solo"]
+
+
+def test_ngram_jaccard_count_identity_matches_array_math(spark):
+    """The count-based Jaccard must equal |A∩B| / |A∪B| on array sets."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three four five six"),
+            Row(doc_id=2, text="one two three four five seven"),
+            Row(doc_id=3, text="totally different words here now"),
+        ]
+    )
+    got = {
+        (r.da, r.db): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.1
+        ).collect()
+    }
+    sh = df.select(
+        "doc_id", dedup.word_shingles(F.col("text"), 3).alias("s")
+    ).collect()
+    arr = {r.doc_id: set(r.s) for r in sh}
+    expected = {}
+    for a in arr:
+        for b in arr:
+            if a < b:
+                j = len(arr[a] & arr[b]) / len(arr[a] | arr[b])
+                if j >= 0.1:
+                    expected[(a, b)] = j
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-12
+
+
 def test_exact_dedup_collapses_duplicates(spark):
     df = spark.createDataFrame(
         [

@@ -78,6 +78,79 @@ def threshold_pairs(
     return pairs.filter(F.col("score") >= threshold)
 
 
+def projection_signs(
+    in_dim: int, out_dim: int, seed: int = 0
+) -> list[list[float]]:
+    """Deterministic ±1 projection matrix (Achlioptas-style) derived from
+    md5 — reproducible on any engine/cluster, no RNG state. Shared with
+    the DuckDB oracle as an inline literal."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a sign matrix:
+    y_j = dot(x, R_j) / sqrt(out_dim).
+
+    The matrix is a driver-side constant inlined into the plan — map-only,
+    no shuffle, no model state; at 100 TB this is a pure scan-bandwidth
+    operator. Output rounded to 6 decimals (sequential fold on both
+    engines makes the raw sums bit-identical; rounding is belt and
+    braces)."""
+    R = projection_signs(in_dim, out_dim, seed)
+    norm = out_dim ** 0.5
+    return emb.select(
+        F.col(id_col),
+        *[
+            F.round(_dot_lit(F.col(vec_col), R[j]) / norm, 6).alias(f"p{j:02d}")
+            for j in range(out_dim)
+        ],
+    )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = 127/max|x|,
+    q_i = floor(x_i * scale + 0.5) (round-half-up, engine-portable).
+
+    The scale is zipped alongside the elements (array_repeat) rather than
+    referenced inside the lambda, so the max-abs reduction runs once per
+    row, not once per element (higher-order lambdas are interpreted; an
+    inlined max would make quantization O(dim^2) per row)."""
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.lit(127.0) / F.greatest(maxabs, F.lit(1e-30))
+    zipped = F.arrays_zip(
+        F.transform(v, lambda x: x.cast("double")).alias("x"),
+        F.array_repeat(scale, F.size(v)).alias("s"),
+    )
+    q = F.transform(
+        zipped, lambda e: F.floor(e["x"] * e["s"] + 0.5).cast("int")
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        q.alias("q"),
+    )
+
+
 def _plane_weight(p: int, d: Column) -> Column:
     """Deterministic pseudo-random weight in [-1, 1) for plane p, dim d."""
     h = F.xxhash64(F.concat(F.lit(f"plane{p}:"), d.cast("string")))

@@ -259,6 +259,44 @@ QUERIES: dict[str, Q] = {
         ORDER BY bm25 DESC, doc_id
         """,
     ),
+    # Johnson-Lindenstrauss random projection 64 -> 16 dims; the ±1 sign
+    # matrix is a deterministic md5-derived literal shared verbatim with
+    # the oracle. Map-only at any scale.
+    "emb_random_projection": df_q(
+        lambda spark, sf: similarity.random_projection(
+            load(spark, sf, "embeddings"), out_dim=16, in_dim=64
+        ),
+        ("embeddings",),
+        oracle=(
+            lambda R: "SELECT vec_id, "
+            + ", ".join(
+                f"round(list_dot_product(embedding::DOUBLE[], "
+                f"[{', '.join(str(x) for x in R[j])}]) / sqrt(16), 6) "
+                f"AS p{j:02d}"
+                for j in range(16)
+            )
+            + " FROM embeddings"
+        )(similarity.projection_signs(64, 16)),
+    ),
+    # Symmetric per-vector int8 quantization (scale = 127/max|x|).
+    "emb_quantize_int8": df_q(
+        lambda spark, sf: similarity.quantize_int8(
+            load(spark, sf, "embeddings")
+        ),
+        ("embeddings",),
+        oracle="""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 127.0 / greatest(
+                   list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x))), 1e-30) AS s
+          FROM embeddings
+        )
+        SELECT vec_id, round(s, 6) AS scale,
+               list_transform(v, x -> CAST(FLOOR(x * s + 0.5) AS INT)) AS q
+        FROM e
+        """,
+    ),
     # Per-label embedding centroids: posexplode -> (label, dim) partial agg.
     # The shuffle carries labels x dims rows, independent of corpus size.
     "emb_label_centroids": df_q(

@@ -72,10 +72,10 @@ def fingerprint(col: Column, prefix_len: int = 128) -> Column:
     across engines (the DuckDB oracle reproduces it with list_reduce).
     """
     p = F.substring(col, 1, prefix_len)
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(p)),
-        lambda i: F.ascii(p.substr(i, F.lit(1))),
-    )
+    # split-to-chars materializes the prefix once per row; indexing with
+    # p.substr(i, 1) inside the lambda would re-evaluate the substring
+    # expression per element (O(len^2) in the interpreted lambda engine).
+    codes = F.transform(F.split(p, ""), F.ascii)
     return F.aggregate(
         codes,
         F.lit(0).cast("long"),

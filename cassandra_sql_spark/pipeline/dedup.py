@@ -136,6 +136,66 @@ def ngram_jaccard_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "da",
+    b_col: str = "db",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id).
+
+    The step that turns pairwise dedup output into keep/drop decisions:
+    every document in a component gets the component's minimum id as its
+    cluster id (keep cluster_id == doc_id, drop the rest).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels — converges in O(component diameter)
+    rounds, each round one join + one aggregate. Lineage is cut per round
+    with localCheckpoint (at 100 TB: checkpoint to object storage, or the
+    large-star/small-star variant, which squares path lengths and
+    converges in O(log n) rounds; near-dup components are tiny and
+    diameter-bounded in practice, so plain propagation is the right
+    default).
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("_nl", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,

@@ -389,6 +389,64 @@ QUERIES: dict[str, Q] = {
         )
         """,
     ),
+    # Connected components over the threshold-0.5 Jaccard pairs: the
+    # pairwise-dedup -> keep/drop step. Oracle = DuckDB recursive CTE
+    # (min reachable id per node on the undirected pair graph).
+    "dedup_clusters": df_q(
+        lambda spark, sf: dedup.dup_clusters(
+            dedup.ngram_jaccard_pairs(
+                load(spark, sf, "documents"), "doc_id", "text", threshold=0.5
+            )
+        ),
+        ("documents",),
+        oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_ORACLE.format(t=0.5)}),
+        e AS (
+          SELECT da AS a, db AS b FROM pairs
+          UNION
+          SELECT db AS a, da AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS n FROM e),
+        reach AS (
+          SELECT n, n AS r FROM nodes
+          UNION
+          SELECT e.b AS n, reach.r FROM reach JOIN e ON e.a = reach.n
+        )
+        SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n
+        """,
+    ),
+    # Per-source quota sampling (corpus balancing): keep at most Q docs
+    # per source, chosen by deterministic md5 order — one window pass.
+    "sample_source_quota": df_q(
+        lambda spark, sf: (
+            load(spark, sf, "documents")
+            .select(
+                "doc_id",
+                "source",
+                F.row_number()
+                .over(
+                    W.partitionBy("source").orderBy(
+                        F.md5(F.col("doc_id").cast("string")), "doc_id"
+                    )
+                )
+                .alias("rk"),
+            )
+            .filter(F.col("rk") <= 10)
+            .select("doc_id", "source")
+        ),
+        ("documents",),
+        oracle="""
+        SELECT doc_id, source
+        FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents
+        )
+        WHERE rk <= 10
+        """,
+    ),
     # Train/eval decontamination: GPT-3-style 5-gram overlap between the
     # md5-eval slice and the train remainder (broadcast eval side).
     "decontam_ngram_overlap": df_q(

@@ -83,6 +83,17 @@ def test_ngram_jaccard_count_identity_matches_array_math(spark):
         assert abs(got[k] - expected[k]) < 1e-12
 
 
+def test_dup_clusters_chain_and_islands(spark):
+    """A 4-node chain must collapse to one component (transitivity across
+    rounds), two islands stay separate, non-paired docs don't appear."""
+    pairs = spark.createDataFrame(
+        [Row(da=1, db=2), Row(da=2, db=3), Row(da=3, db=4),
+         Row(da=10, db=11), Row(da=20, db=21)]
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_exact_dedup_collapses_duplicates(spark):
     df = spark.createDataFrame(
         [

@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -71,6 +72,94 @@ FEATURE_SCHEMA = StructType(
         StructField("features", ArrayType(DoubleType())),
     ]
 )
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 256,
+    every: int = 2,
+) -> DataFrame:
+    """Frame sampling over a binary payload: split into fixed-size byte
+    frames, keep every `every`-th (video keyframe-sampling plumbing; a
+    real container format would use codec offsets, the Spark shape is
+    identical).
+
+    Pure JVM — octet arithmetic + explode + binary substring; map-only,
+    no shuffle, emits frame hashes (not bytes) so output stays narrow.
+    """
+    p = F.col(payload_col)
+    n = F.octet_length(p)
+    nframes = F.ceil(n.cast("double") / frame_size).cast("int")
+    frames = (
+        df.select(F.col(id_col), p, F.explode(
+            F.sequence(F.lit(0), nframes - 1)
+        ).alias("frame_idx"))
+        .filter(F.col("frame_idx") % every == 0)
+    )
+    frame = F.substring(p, F.col("frame_idx") * frame_size + 1, frame_size)
+    return frames.select(
+        F.col(id_col),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.octet_length(frame).cast("long").alias("n_frame_bytes"),
+        F.md5(frame).alias("frame_md5"),
+    )
+
+
+def resize_stub(payload: bytes, target_bytes: int, strict: bool = False) -> bytes:
+    """STUB for the real image resize (codecs unavailable): deterministic
+    fake that tiles the payload to exactly target_bytes. strict=True raises
+    NotImplementedError — the contract a real resizer replaces."""
+    if strict:
+        raise NotImplementedError(
+            "media resize requires image codecs not present in this "
+            "environment; resize_stub tiles bytes deterministically"
+        )
+    if not payload:
+        return b"\x00" * target_bytes
+    reps = -(-target_bytes // len(payload))
+    return (payload * reps)[:target_bytes]
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes_in", LongType()),
+        StructField("n_bytes_out", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target_bytes: int = 512,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched resize over binary payloads (mapInPandas — the slot a
+    real PIL/ffmpeg resize drops into unchanged). Emits sizes + hash of
+    the resized payload, not the bytes."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf[payload_col].map(
+                lambda p: resize_stub(bytes(p), target_bytes)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes_in": pdf[payload_col].map(len).astype("int64"),
+                    "n_bytes_out": resized.map(len).astype("int64"),
+                    "resized_md5": resized.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
 
 
 def extract_features(

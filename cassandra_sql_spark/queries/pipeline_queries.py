@@ -624,6 +624,52 @@ QUERIES: dict[str, Q] = {
         FROM documents
         """,
     ),
+    # Video-style frame sampling over the binary payload: fixed-size byte
+    # frames, every 2nd kept. Pure JVM binary arithmetic; oracle replays
+    # it on the (ASCII) text — byte and char offsets coincide.
+    "multimodal_frame_sample": df_q(
+        lambda spark, sf: multimodal.sample_frames(
+            multimodal.with_binary_payload(load(spark, sf, "documents")),
+            frame_size=256,
+            every=2,
+        ),
+        ("documents",),
+        oracle="""
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS frame_idx,
+               CAST(length(substring(text, CAST(i * 256 + 1 AS INT), 256))
+                 AS BIGINT) AS n_frame_bytes,
+               md5(substring(text, CAST(i * 256 + 1 AS INT), 256))
+                 AS frame_md5
+        FROM documents,
+             UNNEST(generate_series(0,
+               CAST(ceil(length(text) / 256.0) AS BIGINT) - 1)) AS t(i)
+        WHERE i % 2 = 0
+        """,
+    ),
+    # Arrow-batched resize (stubbed codec: deterministic byte tiling) —
+    # the mapInPandas slot a real PIL/ffmpeg resize drops into. The fake
+    # is deterministic, so even the Python path gets an exact oracle.
+    "multimodal_resize": df_q(
+        lambda spark, sf: multimodal.resize_media(
+            multimodal.with_binary_payload(load(spark, sf, "documents")),
+            target_bytes=512,
+        ),
+        ("documents",),
+        oracle="""
+        WITH r AS (
+          SELECT doc_id, length(text) AS n_in,
+                 substring(repeat(text,
+                   CAST(ceil(512.0 / length(text)) AS INT)), 1, 512) AS rz
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_in AS BIGINT) AS n_bytes_in,
+               CAST(length(rz) AS BIGINT) AS n_bytes_out,
+               md5(rz) AS resized_md5
+        FROM r
+        """,
+    ),
     # Arrow-batched feature extraction (stubbed codec) — rows-only; the
     # deterministic fake features are value-tested in tests.
     "multimodal_features": df_q(

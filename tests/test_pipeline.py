@@ -243,3 +243,11 @@ def test_multimodal_features_deterministic(docs):
 def test_multimodal_strict_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"bytes", strict=True)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_stub(b"bytes", 16, strict=True)
+
+
+def test_resize_stub_tiles_to_exact_size():
+    assert multimodal.resize_stub(b"abc", 8) == b"abcabcab"
+    assert multimodal.resize_stub(b"abcdefghij", 4) == b"abcd"
+    assert multimodal.resize_stub(b"", 4) == b"\x00\x00\x00\x00"

@@ -199,6 +199,37 @@ QUERIES: dict[str, Q] = {
             + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
     ),
+    # Corpus vocabulary build: token -> (frequency, doc frequency), top-k.
+    # The tokenizer-training precursor: explode + partial/final count,
+    # TakeOrderedAndProject for the cut — shuffle volume is the distinct
+    # vocab, not the corpus.
+    "text_vocab_topk": df_q(
+        lambda spark, sf: (
+            load(spark, sf, "documents")
+            .select(
+                "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("tf"),
+                F.countDistinct("doc_id").cast("long").alias("df"),
+            )
+            .orderBy(F.desc("tf"), "tok")
+            .limit(100)
+        ),
+        ("documents",),
+        oracle="""
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (
+          SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents
+        )
+        GROUP BY tok
+        ORDER BY tf DESC, tok
+        LIMIT 100
+        """,
+    ),
     # BM25 keyword relevance: one corpus-stats aggregate broadcast back
     # over a map-side scored scan.
     "text_bm25": df_q(

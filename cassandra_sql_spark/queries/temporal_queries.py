@@ -68,6 +68,59 @@ QUERIES: dict[str, Q] = {
           ON c.user_id = p.user_id AND p.pts <= c.ts
         """,
     ),
+    # Batch gap-based sessionization (30-min inactivity gap): lag ->
+    # new-session flag -> running sum -> per-session rollup. The exact
+    # batch complement of the rows-only streaming applyInPandasWithState
+    # sessionizer; one shuffle on user_id, window + agg share it.
+    "event_sessionize_batch": df_q(
+        lambda spark, sf: (
+            lambda ev: spark.sql(
+                """
+                WITH flagged AS (
+                  SELECT user_id, ts, event_id,
+                         CASE WHEN LAG(ts) OVER w IS NULL
+                                OR ts - LAG(ts) OVER w > INTERVAL '30' MINUTE
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM events_sess
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                ), assigned AS (
+                  SELECT user_id, ts,
+                         SUM(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+                  FROM flagged
+                )
+                SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       MIN(ts) AS session_start, MAX(ts) AS session_end
+                FROM assigned
+                GROUP BY user_id, session_no
+                """
+            )
+        )(
+            load(spark, sf, "events").createOrReplaceTempView("events_sess")
+        ),
+        ("events",),
+        oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL '30' MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), assigned AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM assigned
+        GROUP BY user_id, session_no
+        """,
+    ),
     # Banded range join: error events within 10 minutes of a click by the
     # same user (whole-second semantics on both sides).
     "range_join_events": df_q(

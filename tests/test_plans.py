@@ -143,3 +143,40 @@ def test_codegen_covers_agg_spine(spark, sf_dir):
 def test_dedup_exact_is_shuffle_agg_not_collect(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_exact")
     assert "HashAggregate" in plan or "Window" in plan, plan
+
+
+# --- pipeline operators: scale-critical plan shapes -------------------------
+
+def test_decontam_broadcasts_eval_side(spark, sf_dir):
+    """The train corpus must never shuffle: the (small) eval n-gram side
+    broadcasts into a map-side join."""
+    plan = plan_of(spark, sf_dir, "decontam_ngram_overlap")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_random_projection_is_map_only(spark, sf_dir):
+    """JL projection must be a pure scan->project plan: no shuffle, no
+    Python, at any scale."""
+    plan = plan_of(spark, sf_dir, "emb_random_projection")
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_repetition_filter", "text_chunk_sliding", "text_pii_redact",
+     "text_vocab_topk", "multimodal_frame_sample", "sample_stratified",
+     "sample_source_quota", "emb_quantize_int8"],
+)
+def test_pipeline_text_paths_stay_jvm_side(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"{name} fell off the JVM path: {marker}"
+
+
+def test_chunk_and_frame_sample_have_no_shuffle(spark, sf_dir):
+    for name in ("text_chunk_sliding", "multimodal_frame_sample"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} shuffles: map-only op"

@@ -1,0 +1,136 @@
+"""Property-based differential testing: hypothesis-generated predicate and
+expression trees executed on Spark AND DuckDB over the same parquet, results
+compared exactly.
+
+This is the test-strategy upgrade SURVEY §5 calls out as missing in the
+reference (no property-based/randomized testing there): instead of
+hand-picked WHERE clauses, we let hypothesis explore the predicate algebra
+(comparisons x AND/OR/NOT x BETWEEN/IN/IS NULL x int arithmetic) and assert
+the two engines agree on COUNT(*) plus an order-insensitive BIGINT checksum.
+Any dialect divergence in comparison, null, or boolean semantics shows up as
+a minimal shrunk counterexample.
+
+Determinism notes: predicates stick to exactly-representable literals and
+integer arithmetic; doubles are only *compared*, never aggregated, so both
+engines evaluate bit-identical IEEE ops on the same parquet values.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# --- predicate grammar ------------------------------------------------------
+
+_INT_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity")
+_DBL_COLS = ("l_extendedprice", "l_discount", "l_tax")
+_STR_COLS = ("l_returnflag", "l_linestatus")
+_STR_VALS = ("A", "N", "R", "O", "F", "Z")
+_CMP = ("=", "<>", "<", "<=", ">", ">=")
+
+
+def _int_term(draw):
+    col = draw(st.sampled_from(_INT_COLS))
+    if draw(st.booleans()):
+        k = draw(st.integers(min_value=-3, max_value=3))
+        op = draw(st.sampled_from(("+", "-", "*")))
+        return f"({col} {op} {k})"
+    return col
+
+
+@st.composite
+def _leaf(draw):
+    kind = draw(st.sampled_from(
+        ("int_cmp", "dbl_cmp", "str_cmp", "between", "in_list", "null",
+         "col_cmp")
+    ))
+    if kind == "int_cmp":
+        t = _int_term(draw)
+        v = draw(st.integers(min_value=-10, max_value=60000))
+        return f"{t} {draw(st.sampled_from(_CMP))} {v}"
+    if kind == "dbl_cmp":
+        c = draw(st.sampled_from(_DBL_COLS))
+        # exactly-representable literals: k/2^7
+        v = draw(st.integers(min_value=0, max_value=1280)) / 128.0
+        return f"{c} {draw(st.sampled_from(_CMP))} {v!r}"
+    if kind == "str_cmp":
+        c = draw(st.sampled_from(_STR_COLS))
+        v = draw(st.sampled_from(_STR_VALS))
+        return f"{c} {draw(st.sampled_from(('=', '<>', '<', '>')))} '{v}'"
+    if kind == "between":
+        c = draw(st.sampled_from(_INT_COLS))
+        lo = draw(st.integers(min_value=0, max_value=100))
+        hi = lo + draw(st.integers(min_value=0, max_value=5000))
+        neg = "NOT " if draw(st.booleans()) else ""
+        return f"{c} {neg}BETWEEN {lo} AND {hi}"
+    if kind == "in_list":
+        c = draw(st.sampled_from(_STR_COLS))
+        vals = draw(st.lists(st.sampled_from(_STR_VALS), min_size=1,
+                             max_size=4, unique=True))
+        neg = "NOT " if draw(st.booleans()) else ""
+        return f"{c} {neg}IN ({', '.join(repr(v) for v in vals)})"
+    if kind == "null":
+        c = draw(st.sampled_from(_INT_COLS + _STR_COLS))
+        neg = " NOT" if draw(st.booleans()) else ""
+        return f"{c} IS{neg} NULL"
+    a = draw(st.sampled_from(_INT_COLS))
+    b = draw(st.sampled_from(_INT_COLS))
+    return f"{a} {draw(st.sampled_from(_CMP))} {b}"
+
+
+def _pred(depth: int):
+    if depth == 0:
+        return _leaf()
+    sub = _pred(depth - 1)
+    return st.one_of(
+        _leaf(),
+        st.tuples(sub, st.sampled_from(("AND", "OR")), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        sub.map(lambda p: f"(NOT {p})"),
+    )
+
+
+PRED = _pred(3)
+
+
+def _both(spark, duck, sql: str):
+    got = spark.sql(sql).collect()[0]
+    want = duck.execute(sql).fetchone()
+    return (got[0], got[1]), (want[0], want[1])
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(pred=PRED)
+def test_predicate_agrees_with_duckdb(spark, duck, sf_dir, pred):
+    from cassandra_sql_spark.io import register
+
+    register(spark, sf_dir, "lineitem")
+    sql = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COALESCE(SUM(l_orderkey * l_linenumber), 0) AS BIGINT) AS s "
+        f"FROM lineitem WHERE {pred}"
+    )
+    got, want = _both(spark, duck, sql)
+    assert got == want, f"divergence on: {pred}"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(pred=PRED, grp=st.sampled_from(_STR_COLS))
+def test_filtered_groupby_agrees_with_duckdb(spark, duck, sf_dir, pred, grp):
+    """Same algebra one level up: predicate under a GROUP BY, comparing the
+    per-group count multiset via an order-insensitive checksum."""
+    from cassandra_sql_spark.io import register
+
+    register(spark, sf_dir, "lineitem")
+    sql = (
+        f"SELECT CAST(COUNT(DISTINCT {grp}) AS BIGINT) AS n, "
+        "CAST(COALESCE(SUM(cnt * cnt), 0) AS BIGINT) AS s FROM ("
+        f"SELECT {grp}, COUNT(*) AS cnt FROM lineitem WHERE {pred} "
+        f"GROUP BY {grp})"
+    )
+    got, want = _both(spark, duck, sql)
+    assert got == want, f"divergence on: {pred} grouped by {grp}"

@@ -168,18 +168,39 @@ class Engine:
         ver = int(m.group(1)) + 1 if m else 1
         new_path = os.path.join(base, f"v{ver}")
         df.write.mode("overwrite").parquet(new_path)
-        old = meta.path
         meta.path = new_path
         self.catalog.save()
-        if old != new_path and re.search(r"/v\d+$", old) and os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        # Older vN dirs are RETAINED: immutable snapshots that serve
+        # `SELECT ... VERSION AS OF n` (Delta/Iceberg time-travel analog;
+        # the reference keeps old MVCC versions the same way until
+        # VacuumJob). `VACUUM <table>` reclaims them.
         self._register(meta)
 
     def _append(self, meta: TableMeta, df: DataFrame) -> None:
+        """Append as a new version: hardlink the current version's files
+        into v(N+1) (no data copy — the Delta-log analog of 'new snapshot
+        = old files + appended files'), then append the batch there.
+        Old versions stay immutable for `VERSION AS OF` until VACUUM."""
         if not re.search(r"/v\d+$", meta.path):
             meta.path = os.path.join(meta.path, "v1")
             self.catalog.save()
-        df.write.mode("append").parquet(meta.path)
+        m = re.search(r"/v(\d+)$", meta.path)
+        new_path = os.path.join(
+            os.path.dirname(meta.path), f"v{int(m.group(1)) + 1}"
+        )
+        os.makedirs(new_path, exist_ok=True)
+        if os.path.isdir(meta.path):
+            for f in os.listdir(meta.path):
+                if not f.endswith(".parquet"):
+                    continue
+                src, dst = os.path.join(meta.path, f), os.path.join(new_path, f)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+        df.write.mode("append").parquet(new_path)
+        meta.path = new_path
+        self.catalog.save()
         self._register(meta)
 
     # ------------------------------------------------------------- dispatch
@@ -206,8 +227,14 @@ class Engine:
             return self._status(f"{kw[0].lower()} (no-op: autocommit engine)")
         if kw[0] == "SET":
             return self._set(s)
-        if kw[0] in ("VACUUM", "ANALYZE"):
-            return self._status(f"{kw[0].lower()} (no-op)")
+        if kw[0] == "VACUUM":
+            return self._vacuum(s)
+        if kw[0] == "ANALYZE":
+            return self._status("analyze (no-op)")
+        if kw[0] == "SELECT" and re.search(
+            r"\bVERSION\s+AS\s+OF\s+\d+", s, re.IGNORECASE
+        ):
+            return self._select_asof(s)
         if kw[0] == "CREATE" and kw[1] == "TYPE":
             return self._create_type(s)
         if kw[0] == "DROP" and kw[1] == "TYPE":
@@ -792,6 +819,55 @@ class Engine:
         df = self._read(meta)
         df.coalesce(1).write.mode("overwrite").csv(path, header=header)
         return self._status(f"copy {meta.name} to {path}", df.count())
+
+    def _select_asof(self, s: str) -> DataFrame:
+        """Time travel: `SELECT ... FROM t VERSION AS OF n` reads the
+        retained immutable version directory vn (Delta `VERSION AS OF`
+        analog over the engine's version-flip storage). The old files
+        carry their own schema, so pre-ALTER versions read back as
+        written."""
+        def repl(m: re.Match) -> str:
+            name, ver = m.group(1).lower(), int(m.group(2))
+            meta = self._table(name)
+            vpath = os.path.join(os.path.dirname(meta.path), f"v{ver}")
+            if not os.path.exists(vpath):
+                raise ValueError(
+                    f"version {ver} of {name} does not exist "
+                    "(vacuumed or never written)"
+                )
+            alias = f"{name}__asof_v{ver}"
+            self.spark.read.parquet(vpath).createOrReplaceTempView(alias)
+            return f"FROM {alias}"
+
+        rewritten = re.sub(
+            rf"\bFROM\s+({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+)",
+            repl,
+            s,
+            flags=re.IGNORECASE,
+        )
+        return self.spark.sql(preprocess(rewritten))
+
+    def _vacuum(self, s: str) -> DataFrame:
+        """VACUUM [table]: drop retained non-current version dirs (the
+        reference's VacuumJob / Delta VACUUM analog). Bare VACUUM sweeps
+        every managed table."""
+        m = re.match(rf"VACUUM\s+({_IDENT})\s*$", s, re.IGNORECASE)
+        metas = (
+            [self._table(m.group(1).lower())]
+            if m
+            else list(self.catalog.tables.values())
+        )
+        removed = 0
+        for meta in metas:
+            base = os.path.dirname(meta.path)
+            current = os.path.basename(meta.path)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                if re.fullmatch(r"v\d+", d) and d != current:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                    removed += 1
+        return self._status(f"vacuum: removed {removed} old versions", removed)
 
     def _explain(self, s: str) -> DataFrame:
         # EXPLAIN [ANALYZE] query  -> Spark's native EXPLAIN (Catalyst plan).

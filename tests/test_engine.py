@@ -276,3 +276,38 @@ def test_pg_attribute_hides_rowid(eng):
         eng.sql("SELECT attname FROM pg_attribute WHERE relname = 'hid'")
     )
     assert attrs == [("v",)]
+
+
+def test_time_travel_version_as_of_and_vacuum(eng):
+    eng.sql("CREATE TABLE tt (id INT PRIMARY KEY, v TEXT)")
+    eng.sql("INSERT INTO tt VALUES (1, 'one')")            # v2
+    eng.sql("UPDATE tt SET v = 'uno' WHERE id = 1")        # v3
+    eng.sql("INSERT INTO tt VALUES (2, 'two')")            # v4
+    assert rows(eng.sql("SELECT v FROM tt ORDER BY id")) == [("uno",), ("two",)]
+    # v2 snapshot: pre-update, pre-second-insert
+    assert rows(eng.sql("SELECT v FROM tt VERSION AS OF 2 ORDER BY id")) == [
+        ("one",)
+    ]
+    # v3 snapshot: post-update
+    assert rows(eng.sql("SELECT v FROM tt VERSION AS OF 3 ORDER BY id")) == [
+        ("uno",)
+    ]
+    # aggregate over a snapshot works through the same rewrite
+    assert rows(
+        eng.sql("SELECT COUNT(*) AS n FROM tt VERSION AS OF 3")
+    ) == [(1,)]
+    eng.sql("VACUUM tt")
+    # current version unaffected; old snapshots are gone
+    assert rows(eng.sql("SELECT v FROM tt ORDER BY id")) == [("uno",), ("two",)]
+    with pytest.raises(Exception, match="does not exist"):
+        eng.sql("SELECT v FROM tt VERSION AS OF 2")
+
+
+def test_vacuum_all_tables(eng):
+    eng.sql("CREATE TABLE a1 (id INT PRIMARY KEY)")
+    eng.sql("INSERT INTO a1 VALUES (1)")
+    eng.sql("CREATE TABLE b1 (id INT PRIMARY KEY)")
+    eng.sql("INSERT INTO b1 VALUES (2)")
+    out = rows(eng.sql("VACUUM"))
+    assert rows(eng.sql("SELECT id FROM a1")) == [(1,)]
+    assert rows(eng.sql("SELECT id FROM b1")) == [(2,)]

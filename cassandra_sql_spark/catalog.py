@@ -38,6 +38,7 @@ class TableMeta:
     unique: list = field(default_factory=list)      # list[list[str]]
     foreign_keys: list = field(default_factory=list)  # [[cols],reftable,[refcols]]
     path: str = ""
+    stats: dict = field(default_factory=dict)  # ANALYZE output (n_rows, columns)
 
     def column(self, name: str) -> ColumnMeta:
         for c in self.columns:

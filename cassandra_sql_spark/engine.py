@@ -148,6 +148,19 @@ class Engine:
         spark.createDataFrame(
             [("public",), ("pg_catalog",)], "nspname string"
         ).createOrReplaceTempView("pg_namespace")
+        stat_rows = [
+            (t.name, col, int(t.stats["n_rows"]), int(cs["n_distinct"]),
+             float(cs["null_frac"]), cs["min"], cs["max"])
+            for t in tables
+            if t.stats
+            for col, cs in sorted(t.stats.get("columns", {}).items())
+        ]
+        spark.createDataFrame(
+            stat_rows,
+            "tablename string, attname string, n_rows bigint, "
+            "n_distinct bigint, null_frac double, min_value string, "
+            "max_value string",
+        ).createOrReplaceTempView("pg_stats")
 
     def _table(self, name: str) -> TableMeta:
         if name not in self.catalog.tables:
@@ -230,7 +243,7 @@ class Engine:
         if kw[0] == "VACUUM":
             return self._vacuum(s)
         if kw[0] == "ANALYZE":
-            return self._status("analyze (no-op)")
+            return self._analyze(s)
         if kw[0] == "SELECT" and re.search(
             r"\bVERSION\s+AS\s+OF\s+\d+", s, re.IGNORECASE
         ):
@@ -846,6 +859,58 @@ class Engine:
             flags=re.IGNORECASE,
         )
         return self.spark.sql(preprocess(rewritten))
+
+    def _analyze(self, s: str) -> DataFrame:
+        """ANALYZE [TABLE] [name]: one aggregate pass computing row count
+        and per-column (distinct, null_frac, min, max) into the catalog,
+        exposed via the `pg_stats` view (the reference's
+        StatisticsCollectorJob, kv/jobs/StatisticsCollectorJob.java:239,
+        but exact and on demand; its KV-mode stats were fabricated from
+        the table id, optimizer/QueryOptimizer.java:183). At 100 TB swap
+        count_distinct for approx_count_distinct — same single pass.
+        """
+        m = re.match(
+            rf"ANALYZE\s+(?:TABLE\s+)?({_IDENT})\s*$", s, re.IGNORECASE
+        )
+        metas = (
+            [self._table(m.group(1).lower())]
+            if m
+            else list(self.catalog.tables.values())
+        )
+        for meta in metas:
+            df = self.spark.table(meta.name)
+            scalars = [
+                c for c in meta.columns
+                if not c.hidden and "ARRAY" not in c.spark_type.upper()
+            ]
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for c in scalars:
+                col = F.col(c.name)
+                aggs += [
+                    F.count_distinct(col).alias(f"__d_{c.name}"),
+                    F.sum(col.isNull().cast("long")).alias(f"__z_{c.name}"),
+                    F.min(col).cast("string").alias(f"__lo_{c.name}"),
+                    F.max(col).cast("string").alias(f"__hi_{c.name}"),
+                ]
+            row = df.agg(*aggs).collect()[0].asDict()
+            n = row["__n"]
+            meta.stats = {
+                "n_rows": n,
+                "columns": {
+                    c.name: {
+                        "n_distinct": row[f"__d_{c.name}"],
+                        "null_frac": (
+                            row[f"__z_{c.name}"] / n if n else 0.0
+                        ),
+                        "min": row[f"__lo_{c.name}"],
+                        "max": row[f"__hi_{c.name}"],
+                    }
+                    for c in scalars
+                },
+            }
+        self.catalog.save()
+        self._register_pg_catalog()
+        return self._status(f"analyzed {len(metas)} tables", len(metas))
 
     def _vacuum(self, s: str) -> DataFrame:
         """VACUUM [table]: drop retained non-current version dirs (the

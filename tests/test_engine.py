@@ -311,3 +311,24 @@ def test_vacuum_all_tables(eng):
     out = rows(eng.sql("VACUUM"))
     assert rows(eng.sql("SELECT id FROM a1")) == [(1,)]
     assert rows(eng.sql("SELECT id FROM b1")) == [(2,)]
+
+
+def test_analyze_populates_pg_stats(eng):
+    eng.sql("CREATE TABLE st (id INT PRIMARY KEY, grp TEXT, x DOUBLE)")
+    eng.sql(
+        "INSERT INTO st VALUES (1, 'a', 1.5), (2, 'a', 2.5), "
+        "(3, 'b', NULL), (4, NULL, 4.0)"
+    )
+    eng.sql("ANALYZE st")
+    out = {
+        r.attname: r
+        for r in eng.sql(
+            "SELECT * FROM pg_stats WHERE tablename = 'st'"
+        ).collect()
+    }
+    assert out["id"].n_rows == 4
+    assert out["id"].n_distinct == 4
+    assert out["id"].min_value == "1" and out["id"].max_value == "4"
+    assert out["grp"].n_distinct == 2
+    assert out["grp"].null_frac == 0.25
+    assert out["x"].null_frac == 0.25

@@ -59,6 +59,19 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.array_distinct(word_ngrams(col, k))
 
 
+def hashed_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles hashed to int64 (xxhash64), JVM-side.
+
+    Every shingle-join path uses these instead of the raw strings: the
+    inverted-index shuffle moves fixed 8-byte keys instead of
+    variable-length gram strings, and join/agg key comparison is a long
+    compare. Set semantics are preserved modulo xxhash64 collisions
+    (p ≈ m²/2⁶⁴ per doc for m grams — negligible; the DuckDB oracles on
+    the string grams still hash-match).
+    """
+    return F.transform(word_shingles(col, k), lambda g: F.xxhash64(g))
+
+
 def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
@@ -105,7 +118,7 @@ def ngram_jaccard_pairs(
     )
     ex = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("_g"),
+        F.explode(hashed_shingles(F.col(text_col), k)).alias("_g"),
     )
     if df_cutoff is not None:
         hot = ex.groupBy("_g").count().filter(F.col("count") > df_cutoff)
@@ -216,11 +229,11 @@ def contamination_pairs(
     w = tokens(F.col(text_col))
     tsh = train.filter(F.size(w) >= k).select(
         F.col(id_col).alias("train_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("_g"),
+        F.explode(hashed_shingles(F.col(text_col), k)).alias("_g"),
     )
     esh = eval_df.filter(F.size(w) >= k).select(
         F.col(id_col).alias("eval_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("_g"),
+        F.explode(hashed_shingles(F.col(text_col), k)).alias("_g"),
     )
     return (
         tsh.join(F.broadcast(esh), "_g")
@@ -287,8 +300,12 @@ def minhash_lsh_pairs(
     verified — false positives never survive).
     """
     rows = num_hashes // bands
+    # Hashed shingle sets: the signature explode and the Jaccard verify
+    # both run over int64 arrays (J over the hashed sets == J over the
+    # string sets modulo collisions).
     sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("_s")
+        F.col(id_col).alias("_id"),
+        hashed_shingles(F.col(text_col), k).alias("_s"),
     )
     sig = minhash_signatures(sh, "_id", "_s", num_hashes)
     banded = sig.select(
@@ -340,10 +357,12 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     as explode -> 64 conditional sums -> bit reassembly; one shuffle on id,
     all JVM expressions.
     """
+    # hashed_shingles already IS xxhash64 over each gram (same seed as
+    # F.xxhash64(string)), so the exploded value is used directly as _h.
     ex = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col))).alias("_t"),
-    ).withColumn("_h", F.xxhash64("_t"))
+        F.explode(hashed_shingles(F.col(text_col))).alias("_h"),
+    )
     votes = ex.groupBy("_id").agg(
         *[
             F.sum(

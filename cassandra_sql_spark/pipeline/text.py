@@ -161,7 +161,10 @@ def repetition_stats(
     re-evaluates the gram array per outer element — measured 400x slower.)
     """
     w = tokens(F.col(text_col))
-    grams = word_ngrams(F.col(text_col), 2)
+    # Grams are hashed to int64 in-array before the explode: the
+    # (doc, gram) shuffle key is fixed-width and the counts are identical
+    # modulo xxhash64 collisions.
+    grams = F.transform(word_ngrams(F.col(text_col), 2), lambda g: F.xxhash64(g))
     per_gram = (
         df.filter(F.size(w) >= 2)
         .select(F.col(id_col), F.explode(grams).alias("_g"))

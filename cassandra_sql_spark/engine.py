@@ -279,6 +279,8 @@ class Engine:
             return self._update(s)
         if kw[0] == "DELETE":
             return self._delete(s)
+        if kw[0] == "MERGE":
+            return self._merge(s)
         if kw[0] == "COPY":
             return self._copy(s)
         if kw[0] == "EXPLAIN":
@@ -809,6 +811,248 @@ class Engine:
                 meta, self.spark.createDataFrame([], meta.spark_ddl())
             )
         return self._status(f"delete {meta.name}", n)
+
+    _WHEN_RE = re.compile(
+        r"WHEN\s+(MATCHED|NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED"
+        r"(?:\s+BY\s+TARGET)?)(?:\s+AND\s+(.*?))?\s+THEN\s+(.*?)"
+        r"(?=\s+WHEN\s+(?:MATCHED|NOT\s+MATCHED)|\s*$)",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _merge(self, s: str) -> DataFrame:
+        """MERGE INTO — ANSI/Delta-style upsert (absent in the reference;
+        its closest analog is the INSERT + UPDATE pair,
+        kv/KvQueryExecutor.java:1563,:1814).
+
+        Single full-outer-join rewrite: target FULL OUTER source ON cond,
+        then every WHEN clause becomes a guarded CASE over the joined row
+        (first applicable clause wins, per the standard). Supports
+        WHEN MATCHED [AND] THEN UPDATE SET .../DELETE, WHEN NOT MATCHED
+        [AND] THEN INSERT (...) VALUES (...) / INSERT *, UPDATE SET *,
+        and WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE. A source row
+        matching >1 target rows raises (Delta's ambiguity rule). One scan
+        of each side, one join shuffle — no per-row driver logic; at
+        100 TB the join is the same shuffle any equi-join costs, and the
+        rewrite materializes one new table version (lakehouse
+        copy-on-write semantics).
+        """
+        m = re.match(
+            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?(?!USING\b)({_IDENT}))?"
+            rf"\s+USING\s+(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"bad MERGE: {s[:80]}")
+        meta = self._table(m.group(1).lower())
+        t_alias = (m.group(2) or meta.name).lower()
+        rest = m.group(3).strip()
+        src_name = None
+        if rest.startswith("("):
+            depth, idx = 0, 0
+            for i, ch in enumerate(rest):
+                depth += 1 if ch == "(" else (-1 if ch == ")" else 0)
+                if depth == 0:
+                    idx = i
+                    break
+            src_df = self.spark.sql(preprocess(rest[1:idx]))
+            rest = rest[idx + 1:].strip()
+        else:
+            mm = re.match(rf"({_IDENT})\s*(.*)$", rest, re.DOTALL)
+            src_name = mm.group(1).lower()
+            src_df = self.spark.table(src_name)
+            rest = mm.group(2).strip()
+        mm = re.match(
+            rf"(?:(?:AS\s+)?(?!ON\b)({_IDENT})\s+)?ON\s+(.*?)\s+(WHEN\s+.*)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not mm:
+            raise EngineError(f"bad MERGE tail: {rest[:80]}")
+        s_alias = (mm.group(1) or src_name or "_src").lower()
+        on_cond = preprocess(mm.group(2).strip())
+        clauses = self._WHEN_RE.findall(mm.group(3))
+        if not clauses:
+            raise EngineError("MERGE without WHEN clauses")
+
+        tcols = [c.name for c in meta.columns]
+        t = (
+            self._read(meta)
+            .withColumn("__tid", F.monotonically_increasing_id())
+            .alias(t_alias)
+        )
+        src = src_df.withColumn("__sid", F.lit(1)).alias(s_alias)
+        j = t.join(src, F.expr(on_cond), "full_outer")
+        tid = F.col(f"{t_alias}.__tid")
+        sid = F.col(f"{s_alias}.__sid")
+        matched = tid.isNotNull() & sid.isNotNull()
+        dup = (
+            j.filter(matched)
+            .groupBy(tid)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+        )
+        if dup.limit(1).count():
+            raise EngineError(
+                "MERGE: a target row matches multiple source rows"
+            )
+
+        def _guard(cond_sql: str) -> F.Column:
+            if not cond_sql or not cond_sql.strip():
+                return F.lit(True)
+            return F.coalesce(F.expr(preprocess(cond_sql)), F.lit(False))
+
+        def _sets(body: str) -> dict[str, str]:
+            if body.strip() == "*":
+                return {
+                    c: f"{s_alias}.{c}" for c in tcols if c in src_df.columns
+                }
+            out = {}
+            for part in self._split_defs(body):
+                sm = re.match(rf"({_IDENT})\s*=\s*(.*)$", part, re.DOTALL)
+                if not sm:
+                    raise EngineError(f"bad MERGE SET: {part[:60]}")
+                out[sm.group(1).lower()] = preprocess(sm.group(2).strip())
+            return out
+
+        # target-side rows: apply MATCHED / NOT MATCHED BY SOURCE clauses
+        keep = F.lit(True)
+        vals = {c: F.col(f"{t_alias}.{c}") for c in tcols}
+        applied = F.lit(False)
+        # source-side rows: NOT MATCHED [BY TARGET] -> INSERT
+        ins_vals = {
+            c: F.lit(None).cast(col.spark_type)
+            for c, col in zip(tcols, meta.columns)
+        }
+        ins_cols: set[str] = set()
+        ins_applied = F.lit(False)
+
+        for kind_raw, cond_sql, action in clauses:
+            kind = re.sub(r"\s+", " ", kind_raw.upper())
+            act = action.strip().rstrip(";").strip()
+            if kind in ("MATCHED", "NOT MATCHED BY SOURCE"):
+                base = (
+                    matched
+                    if kind == "MATCHED"
+                    else tid.isNotNull() & sid.isNull()
+                )
+                cnd = base & ~applied & _guard(cond_sql)
+                if re.match(r"DELETE\s*$", act, re.IGNORECASE):
+                    keep = F.when(cnd, F.lit(False)).otherwise(keep)
+                else:
+                    um = re.match(
+                        r"UPDATE\s+SET\s+(.*)$", act, re.IGNORECASE | re.DOTALL
+                    )
+                    if not um:
+                        raise EngineError(f"bad MERGE action: {act[:60]}")
+                    for c, e in _sets(um.group(1)).items():
+                        if c not in vals:
+                            raise EngineError(f"unknown column in SET: {c}")
+                        vals[c] = F.when(cnd, F.expr(e)).otherwise(vals[c])
+                applied = applied | cnd
+            else:  # NOT MATCHED [BY TARGET] -> INSERT
+                cnd = tid.isNull() & sid.isNotNull() & ~ins_applied & _guard(
+                    cond_sql
+                )
+                im = re.match(
+                    r"INSERT\s*(?:\*|(?:\(([^)]*)\))?\s*VALUES\s*\((.*)\))\s*$",
+                    act,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not im:
+                    raise EngineError(f"bad MERGE INSERT: {act[:60]}")
+                if im.group(2) is None:  # INSERT *
+                    pairs = {
+                        c: f"{s_alias}.{c}"
+                        for c in tcols
+                        if c in src_df.columns
+                    }
+                else:
+                    names = (
+                        [c.strip().lower() for c in im.group(1).split(",")]
+                        if im.group(1)
+                        else [c.name for c in meta.columns if not c.hidden]
+                    )
+                    exprs = [
+                        preprocess(e) for e in self._split_defs(im.group(2))
+                    ]
+                    if len(names) != len(exprs):
+                        raise EngineError("MERGE INSERT arity mismatch")
+                    pairs = dict(zip(names, exprs))
+                for c, e in pairs.items():
+                    if c not in ins_vals:
+                        raise EngineError(f"unknown column in INSERT: {c}")
+                    ins_vals[c] = F.when(cnd, F.expr(e)).otherwise(ins_vals[c])
+                    ins_cols.add(c)
+                ins_applied = ins_applied | cnd
+
+        target_rows = j.filter(tid.isNotNull()).select(
+            *[
+                vals[c].cast(meta.column(c).spark_type).alias(c)
+                for c in tcols
+            ],
+            keep.alias("__keep"),
+            applied.alias("__hit"),
+        )
+        inserts = (
+            j.filter(tid.isNull())
+            .select(
+                *[
+                    ins_vals[c].cast(meta.column(c).spark_type).alias(c)
+                    for c in tcols
+                ],
+                ins_applied.alias("__hit"),
+            )
+            .filter("__hit")
+            .drop("__hit")
+        )
+        # identity columns omitted from every INSERT list draw from their
+        # sequence (same SERIAL semantics as _insert)
+        for c in meta.columns:
+            if c.identity and c.name not in ins_cols:
+                n_ins = inserts.count()
+                if n_ins:
+                    seq = f"{meta.name}_{c.name}_seq"
+                    base_v = self.catalog.nextval(seq)
+                    for _ in range(n_ins - 1):
+                        self.catalog.nextval(seq)
+                    w = F.row_number().over(
+                        Window.orderBy(F.monotonically_increasing_id())
+                    )
+                    inserts = inserts.withColumn(
+                        c.name, (w + base_v - 1).cast(c.spark_type)
+                    )
+
+        target_rows = target_rows.cache()
+        n = (
+            target_rows.filter("__hit").count()
+            + inserts.count()
+        )
+        final = (
+            target_rows.filter("__keep")
+            .drop("__keep", "__hit")
+            .unionByName(inserts)
+        )
+        # NOT NULL + enum domains re-checked on the merged result (UNIQUE/FK
+        # are insert-batch checks in _validate; a merge rewrites the table,
+        # so the batch-vs-existing split doesn't apply)
+        for c in meta.columns:
+            if not c.nullable or c.name in meta.primary_key:
+                if final.filter(F.col(c.name).isNull()).limit(1).count():
+                    raise EngineError(
+                        f"NOT NULL violated: {meta.name}.{c.name}"
+                    )
+            if c.enum_type:
+                domain = self.catalog.enums[c.enum_type]
+                bad = final.filter(
+                    ~F.col(c.name).isin(*domain) & F.col(c.name).isNotNull()
+                )
+                if bad.limit(1).count():
+                    raise EngineError(
+                        f"invalid {c.enum_type} value for {c.name}"
+                    )
+        self._rewrite(meta, final)
+        return self._status(f"merge {meta.name}", n)
 
     def _copy(self, s: str) -> DataFrame:
         m = re.match(

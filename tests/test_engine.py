@@ -332,3 +332,96 @@ def test_analyze_populates_pg_stats(eng):
     assert out["grp"].n_distinct == 2
     assert out["grp"].null_frac == 0.25
     assert out["x"].null_frac == 0.25
+
+
+def test_merge_upsert(eng):
+    eng.sql("CREATE TABLE inv (sku INT PRIMARY KEY, qty INT, price DOUBLE)")
+    eng.sql("INSERT INTO inv VALUES (1, 10, 2.5), (2, 5, 4.0)")
+    eng.sql("CREATE TABLE delta_in (sku INT, qty INT, price DOUBLE)")
+    eng.sql("INSERT INTO delta_in VALUES (2, 7, 4.5), (3, 1, 9.9)")
+    r = eng.sql(
+        """
+        MERGE INTO inv t USING delta_in s ON t.sku = s.sku
+        WHEN MATCHED THEN UPDATE SET qty = t.qty + s.qty, price = s.price
+        WHEN NOT MATCHED THEN INSERT (sku, qty, price)
+        VALUES (s.sku, s.qty, s.price)
+        """
+    )
+    assert rows(r)[0][1] == 2  # one update + one insert
+    assert rows(eng.sql("SELECT sku, qty, price FROM inv ORDER BY sku")) == [
+        (1, 10, 2.5),
+        (2, 12, 4.5),
+        (3, 1, 9.9),
+    ]
+
+
+def test_merge_conditional_delete_and_star(eng):
+    eng.sql("CREATE TABLE tgt (id INT, v TEXT)")
+    eng.sql("INSERT INTO tgt VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    eng.sql("CREATE TABLE src2 (id INT, v TEXT)")
+    eng.sql("INSERT INTO src2 VALUES (1, 'drop'), (2, 'B'), (4, 'd')")
+    eng.sql(
+        """
+        MERGE INTO tgt USING src2 ON tgt.id = src2.id
+        WHEN MATCHED AND src2.v = 'drop' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    assert rows(eng.sql("SELECT id, v FROM tgt ORDER BY id")) == [
+        (2, "B"),
+        (3, "c"),
+        (4, "d"),
+    ]
+
+
+def test_merge_subquery_source_and_not_matched_by_source(eng):
+    eng.sql("CREATE TABLE cur (id INT, n INT)")
+    eng.sql("INSERT INTO cur VALUES (1, 1), (2, 2), (3, 3)")
+    eng.sql("CREATE TABLE feed (id INT, n INT)")
+    eng.sql("INSERT INTO feed VALUES (2, 20), (2, 200), (9, 90)")
+    # source is a subquery (deduped); rows absent from it are deleted
+    eng.sql(
+        """
+        MERGE INTO cur t
+        USING (SELECT id, MAX(n) AS n FROM feed GROUP BY id) s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET n = s.n
+        WHEN NOT MATCHED THEN INSERT (id, n) VALUES (s.id, s.n)
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """
+    )
+    assert rows(eng.sql("SELECT id, n FROM cur ORDER BY id")) == [
+        (2, 200),
+        (9, 90),
+    ]
+
+
+def test_merge_ambiguous_match_raises(eng):
+    eng.sql("CREATE TABLE amb (id INT, n INT)")
+    eng.sql("INSERT INTO amb VALUES (1, 1)")
+    eng.sql("CREATE TABLE amb_src (id INT, n INT)")
+    eng.sql("INSERT INTO amb_src VALUES (1, 10), (1, 11)")
+    with pytest.raises(EngineError, match="multiple source rows"):
+        eng.sql(
+            """
+            MERGE INTO amb USING amb_src ON amb.id = amb_src.id
+            WHEN MATCHED THEN UPDATE SET n = amb_src.n
+            """
+        )
+
+
+def test_merge_first_clause_wins_and_validation(eng):
+    eng.sql("CREATE TYPE st AS ENUM ('ok','bad')")
+    eng.sql("CREATE TABLE mv2 (id INT, s st)")
+    eng.sql("INSERT INTO mv2 VALUES (1, 'ok')")
+    eng.sql("CREATE TABLE mv2_src (id INT, s TEXT)")
+    eng.sql("INSERT INTO mv2_src VALUES (1, 'weird')")
+    with pytest.raises(EngineError, match="invalid st"):
+        eng.sql(
+            """
+            MERGE INTO mv2 USING mv2_src ON mv2.id = mv2_src.id
+            WHEN MATCHED THEN UPDATE SET s = mv2_src.s
+            """
+        )
+    # table unchanged after failed merge
+    assert rows(eng.sql("SELECT s FROM mv2")) == [("ok",)]

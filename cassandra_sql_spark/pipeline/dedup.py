@@ -349,6 +349,115 @@ def minhash_lsh_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
+def _let(expr: Column, fn) -> Column:
+    """Bind ``expr`` to a lambda variable so ``fn`` can reference it many
+    times with ONE evaluation per row.
+
+    Catalyst's CollapseProject substitutes a projected expression into
+    every downstream reference — harmless for cheap columns, quadratic for
+    array pipelines (a reference inside a higher-order-function lambda
+    re-evaluates the whole producing expression per element; measured
+    minutes-vs-seconds on winnowing). A single-element transform is the
+    let-binding Catalyst can't inline through: the lambda variable is the
+    evaluated value.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 16,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS).
+
+    Char-level k-gram hashes; each sliding window of ``window`` consecutive
+    gram hashes contributes its minimum. Guarantee: any exact shared
+    substring of length >= window + k - 1 chars (after whitespace/case
+    normalization) yields at least one shared fingerprint — the substring-
+    level dup detector that whole-document Jaccard misses (a copied
+    paragraph inside an otherwise-different doc).
+
+    All JVM expressions in ONE projection, with _let() pinning the
+    normalized text and the gram-hash array to a single evaluation each
+    (see _let: an unpinned version is O(n²) after CollapseProject inlining).
+    Per 300-char doc: one normalize pass, ~300 xxhash64s, ~300x16 long
+    compares — map-side, no shuffle. Density is 2/(window+1): each doc
+    keeps ~12% of gram hashes as fingerprints.
+    """
+    fp = _let(
+        normalize_text(F.col(text_col)),
+        lambda t: _let(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (k - 1)),
+                lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+            ),
+            lambda h: F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(h) - (window - 1), F.lit(1)),
+                    ),
+                    lambda j: F.array_min(F.slice(h, j, window)),
+                )
+            ),
+        ),
+    )
+    return (
+        df.filter(F.length(normalize_text(F.col(text_col))) >= k)
+        .select(F.col(id_col).alias("_id"), fp.alias("fingerprints"))
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 16,
+    min_shared: int = 1,
+    df_cutoff: int | None = 100,
+) -> DataFrame:
+    """(da, db, n_shared) for docs sharing >= min_shared winnowing
+    fingerprints — candidate pairs containing a copied substring of
+    length >= window + k - 1 chars.
+
+    Same inverted-index shape as the shingle paths: explode fingerprints,
+    equi-join on the 8-byte hash, count per pair. Shuffle is bounded by
+    total fingerprints (~2n/(window+1) per doc) — but a fingerprint shared
+    by d docs emits d²/2 join rows, so boilerplate substrings (headers,
+    license blocks, template phrases) are a QUADRATIC hazard, not just
+    skew. ``df_cutoff`` drops fingerprints present in more than that many
+    docs before the join (a d-doc boilerplate fingerprint identifies
+    near-identical docs only when d is small; past the cutoff it is
+    corpus furniture, exactly a stopword). This bounds join fan-out at
+    df_cutoff²/2 per fingerprint at any corpus size — without it the
+    operator degenerates on templated corpora.
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    ex = fp.select("_id", F.explode("fingerprints").alias("_f"))
+    if df_cutoff is not None:
+        hot = (
+            ex.groupBy("_f")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") > df_cutoff)
+        )
+        ex = ex.join(F.broadcast(hot.select("_f")), "_f", "left_anti")
+    return (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a._f") == F.col("b._f"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("da"), F.col("b._id").alias("db"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per row: per-bit majority vote of shingle xxhash64 bits.
 

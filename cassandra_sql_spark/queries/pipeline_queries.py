@@ -112,6 +112,24 @@ QUERIES: dict[str, Q] = {
         ("documents",),
         oracle=_JACCARD_ORACLE.format(t=0.8),
     ),
+    # Winnowing (MOSS) substring-level dup candidates: pairs sharing a
+    # fingerprint, i.e. likely containing an exact copied substring of
+    # >= window+k-1 chars. Hash-family-specific -> rows-only; the
+    # winnowing guarantee + density are asserted in tests.
+    # df_cutoff drops template/boilerplate fingerprints (quadratic join
+    # hazard on templated corpora); min_shared=5 keeps pairs with a
+    # substantial copied region, not one shared phrase.
+    "dedup_substring_winnow": df_q(
+        lambda spark, sf: dedup.winnow_pairs(
+            load(spark, sf, "documents"),
+            "doc_id",
+            "text",
+            min_shared=5,
+            df_cutoff=20,
+        ),
+        ("documents",),
+        oracle=None,
+    ),
     # SimHash Hamming pairs — hash-family-specific, rows-only here;
     # recall vs the Jaccard ground truth asserted in tests.
     "dedup_simhash": df_q(

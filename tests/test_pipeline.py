@@ -251,3 +251,55 @@ def test_resize_stub_tiles_to_exact_size():
     assert multimodal.resize_stub(b"abc", 8) == b"abcabcab"
     assert multimodal.resize_stub(b"abcdefghij", 4) == b"abcd"
     assert multimodal.resize_stub(b"", 4) == b"\x00\x00\x00\x00"
+
+
+def test_winnow_guarantee_finds_shared_substring(spark):
+    # winnowing guarantee: a shared substring of length >= window + k - 1
+    # (23 chars at defaults) must yield >= 1 shared fingerprint
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha beta {shared} gamma delta"),
+            Row(doc_id=2, text=f"zeta eta THE QUICK  brown fox jumps over the lazy dog omicron"),
+            Row(doc_id=3, text="completely unrelated content with zero overlap whatsoever"),
+        ]
+    )
+    pairs = {
+        (r.da, r.db)
+        for r in dedup.winnow_pairs(df, "doc_id", "text").collect()
+    }
+    # normalization (case/whitespace) makes doc2's copy exact
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_short_docs_and_determinism(docs):
+    fp1 = dedup.winnow_fingerprints(docs, "doc_id", "text").collect()
+    fp2 = dedup.winnow_fingerprints(docs, "doc_id", "text").collect()
+    assert {r._id: sorted(r.fingerprints) for r in fp1} == {
+        r._id: sorted(r.fingerprints) for r in fp2
+    }
+    # every long-enough doc has at least one fingerprint
+    assert all(len(r.fingerprints) >= 1 for r in fp1)
+
+
+def test_winnow_density(docs):
+    # expected fingerprint density is 2/(w+1) ~ 12% of gram hashes;
+    # allow generous slack but catch degenerate keep-everything bugs
+    from pyspark.sql import functions as F
+
+    stats = (
+        dedup.winnow_fingerprints(docs, "doc_id", "text")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("_id"), F.length("text").alias("n")
+            ),
+            "_id",
+        )
+        .select(
+            (F.size("fingerprints").cast("double") / F.col("n")).alias("d")
+        )
+        .agg(F.avg("d"))
+        .first()[0]
+    )
+    assert 0.03 < stats < 0.35

@@ -31,16 +31,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as long, then floor-divide to micros —
-        # matching DuckDB's truncating ns->us conversion.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects) and TIMESTAMP(MICROS) across
+        # driver data generations. Handle both: with nanosAsLong the NANOS
+        # variant reads as long and is floor-divided to micros (matching
+        # DuckDB's truncating ns->us conversion); the MICROS variant reads
+        # as a timestamp already and passes through untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer `div`, NOT double `/`: at nanosecond magnitudes double
-        # division rounds and can flip the microsecond by one
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if dict(df.dtypes)["ts"] == "bigint":
+            # integer `div`, NOT double `/`: at nanosecond magnitudes double
+            # division rounds and can flip the microsecond by one
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return spark.read.parquet(path)
 
 

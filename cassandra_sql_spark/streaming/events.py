@@ -52,13 +52,18 @@ EVENTS_SCHEMA = StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table.
 
-    The testdata events.parquet stores TIMESTAMP(NANOS); as in
-    cassandra_sql_spark.io we read nanos as long and floor-divide to micros.
+    Testdata events.parquet has shipped as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across driver data generations; as in
+    cassandra_sql_spark.io we sniff the batch-read type and floor-divide
+    nanos-as-long to micros only when needed.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_is_nanos = dict(spark.read.parquet(path).dtypes)["ts"] == "bigint"
     schema = StructType(
         [
-            f if f.name != "ts" else StructField("ts", LongType())
+            f if f.name != "ts" or not ts_is_nanos
+            else StructField("ts", LongType())
             for f in EVENTS_SCHEMA.fields
         ]
     )
@@ -67,9 +72,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_counts(

@@ -78,6 +78,83 @@ def threshold_pairs(
     return pairs.filter(F.col("score") >= threshold)
 
 
+def band_buckets(vec: Column, bands: int, rows: int) -> Column:
+    """Array of (band, bucket) structs for banded sign-LSH.
+
+    Band b's bucket is the `rows`-bit signature from hyperplanes
+    [b*rows, (b+1)*rows) — same deterministic xxhash-derived planes as
+    ``lsh_bucket``. Two vectors are candidates iff they share ANY band's
+    bucket (OR-of-ANDs amplification, the MinHash-LSH shape)."""
+    out = []
+    for b in range(bands):
+        bucket = F.lit(0).cast("long")
+        for r in range(rows):
+            bucket = bucket + F.when(
+                _projection(vec, b * rows + r) > 0, F.lit(2**r)
+            ).otherwise(F.lit(0))
+        out.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    return F.array(*out)
+
+
+def threshold_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    bands: int = 16,
+    rows: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via banded LSH candidates + exact verify.
+
+    The 100 TB path for ``threshold_pairs``: instead of an O(n^2) cross
+    join, explode each vector into `bands` (band, bucket) keys, self-join
+    on bucket equality (shuffle bounded by bands*n + candidate pairs, never
+    all pairs), dedupe the candidate (da, db) set, then fetch vectors and
+    verify exact cosine >= threshold — so every emitted pair is exact.
+
+    Recall: a pair at angle theta collides per plane with p = 1 - theta/pi,
+    per band with p^rows, and is missed only with (1 - p^rows)^bands. At
+    production near-dup thresholds (cos >= 0.8, p >= 0.8) the defaults give
+    miss < 1e-6 with strong pruning. The synthetic fixture corpus has no
+    planted dups — its >= 0.45 pairs are the random tail (~3.6 sigma in
+    64-dim), where p ~= 0.65; bands=16 x rows=2 still drives per-pair miss
+    to (1 - 0.42)^16 ~= 1.6e-4, and the deterministic planes make the
+    result reproducible — tests pin recall == 1 vs the exact baseline on
+    the fixtures. Pruning is necessarily weak at that near-random
+    threshold; on real near-dup corpora the same banding prunes hard.
+    """
+    ex = emb.select(
+        F.col(id_col).alias("_id"),
+        F.explode(band_buckets(F.col(vec_col), bands, rows)).alias("_bb"),
+    )
+    cands = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a._bb") == F.col("b._bb"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("da"), F.col("b._id").alias("db"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("da"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("db"), F.col(vec_col).alias("_vb"))
+    verified = (
+        cands.join(va, "da")
+        .join(vb, "db")
+        .select(
+            "da",
+            "db",
+            cosine(F.col("_va"), F.col("_vb"))
+            .cast("decimal(18,6)")
+            .alias("score"),
+        )
+    )
+    return verified.filter(F.col("score") >= threshold)
+
+
 def projection_signs(
     in_dim: int, out_dim: int, seed: int = 0
 ) -> list[list[float]]:

@@ -41,9 +41,87 @@ _MODULES = (
     temporal_queries,
 )
 
-REGISTRY: dict[str, Q] = {}
+# The correctness driver grades only the FIRST 50 registry entries, so the
+# insertion order below is deliberate: one representative per SURVEY §2 family
+# (§2.1 scans … §2.8 expressions) plus one per LLM-pipeline family, ahead of
+# the long tail of TPC-H variants and near-duplicate coverage queries.
+# ``tests/test_registry.py`` pins this window's composition.
+PRIORITY: tuple[str, ...] = (
+    # TPC-H flagships (also the bench headliners)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    # §2.1 scans / §2.2 predicates
+    "scan_filter_project",
+    "pred_like",
+    "pred_regex",
+    # §2.3 joins (inner/multiway re-covered by the TPC-H rows above)
+    "join_full_outer",
+    "join_salted_skew",
+    # §2.4 aggregation
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_approx_distinct_bound",
+    # §2.5 window functions
+    "win_ranking",
+    "win_running_agg",
+    "win_sliding_frame",
+    "win_distribution",
+    # §2.6 set operations
+    "setop_union_all",
+    "setop_intersect_all",
+    "setop_except_all",
+    "select_distinct",
+    # §2.7 subqueries / CTEs
+    "subq_correlated",
+    "subq_scalar_select",
+    "subq_cte",
+    "recursive_cte",
+    # §2.8 expressions / JSON / arrays
+    "expr_case",
+    "expr_arithmetic",
+    "expr_math_transcendental",
+    "expr_datetime",
+    "expr_cast",
+    "json_filter_agg",
+    "array_ops",
+    # timeseries rollup
+    "hypertable_rollup",
+    # LLM-pipeline families
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "dedup_clusters",
+    "decontam_ngram_overlap",
+    "sim_topk_bruteforce",
+    "text_stats",
+    "text_repetition_filter",
+    "sample_stratified",
+    "multimodal_resize",
+    # temporal + streaming
+    "asof_join_purchases",
+    "stream_window_agg",
+)
+
+_ALL: dict[str, Q] = {}
 for _m in _MODULES:
     for _name, _q in _m.QUERIES.items():
-        if _name in REGISTRY:
+        if _name in _ALL:
             raise ValueError(f"duplicate query name: {_name}")
+        _ALL[_name] = _q
+
+_missing = [n for n in PRIORITY if n not in _ALL]
+if _missing:
+    raise ValueError(f"PRIORITY names not registered: {_missing}")
+
+REGISTRY: dict[str, Q] = {n: _ALL[n] for n in PRIORITY}
+for _name, _q in _ALL.items():
+    if _name not in REGISTRY:
         REGISTRY[_name] = _q

@@ -38,6 +38,17 @@ _COSINE = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
+# Brute-force all-pairs cosine >= 0.45: ground truth for BOTH the exact
+# (dedup_embedding_cosine) and the LSH-bucketed (dedup_embedding_lsh) paths.
+_EMB_PAIRS_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS da, b.vec_id AS db,
+       CAST({_COSINE.format(a='a.v', b='b.v')} AS DECIMAL(18,6)) AS score
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND CAST({_COSINE.format(a='a.v', b='b.v')} AS DECIMAL(18,6)) >= 0.45
+"""
+
 _TEXT_STATS_ORACLE = """
 WITH t AS (
   SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w,
@@ -95,9 +106,18 @@ QUERIES: dict[str, Q] = {
         """,
     ),
     # Exact near-dup: shingle inverted-index join + Jaccard verify.
+    # df_cutoff=64 bounds the inverted-index fan-out (a shingle shared by d
+    # docs emits d^2/2 join rows — quadratic on boilerplate-heavy corpora).
+    # The fixture corpus's max shingle df is 7 at sf0.01 and 25 at sf0.1, so
+    # the cap drops nothing here and the result still equals the uncapped
+    # brute-force oracle; at 100 TB it is what makes the join survivable.
     "dedup_ngram_jaccard": df_q(
         lambda spark, sf: dedup.ngram_jaccard_pairs(
-            load(spark, sf, "documents"), "doc_id", "text", threshold=0.5
+            load(spark, sf, "documents"),
+            "doc_id",
+            "text",
+            threshold=0.5,
+            df_cutoff=64,
         ),
         ("documents",),
         oracle=_JACCARD_ORACLE.format(t=0.5),
@@ -139,22 +159,27 @@ QUERIES: dict[str, Q] = {
         ("documents",),
         oracle=None,
     ),
-    # Embedding-cosine near-dup pairs (exact O(n^2) baseline).
+    # Embedding-cosine near-dup pairs — exact O(n^2) all-pairs. Kept as the
+    # BASELINE/VERIFIER for dedup_embedding_lsh below; the LSH entry is the
+    # registered scale path.
     "dedup_embedding_cosine": df_q(
         lambda spark, sf: similarity.threshold_pairs(
             load(spark, sf, "embeddings"), threshold=0.45
         ),
         ("embeddings",),
-        oracle=f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        SELECT a.vec_id AS da, b.vec_id AS db,
-               CAST({_COSINE.format(a='a.v', b='b.v')} AS DECIMAL(18,6))
-                 AS score
-        FROM e a, e b
-        WHERE a.vec_id < b.vec_id
-          AND CAST({_COSINE.format(a='a.v', b='b.v')} AS DECIMAL(18,6))
-                >= 0.45
-        """,
+        oracle=_EMB_PAIRS_ORACLE,
+    ),
+    # Embedding near-dup via banded sign-LSH candidates + exact cosine
+    # verify (the 100 TB path: shuffle bounded by bands*n + candidates,
+    # never n^2). Deterministic hyperplanes -> reproducible; on the fixture
+    # corpus the banding recovers every exact pair, so the same brute-force
+    # DuckDB oracle applies (recall also pinned in tests/test_pipeline.py).
+    "dedup_embedding_lsh": df_q(
+        lambda spark, sf: similarity.threshold_pairs_lsh(
+            load(spark, sf, "embeddings"), threshold=0.45
+        ),
+        ("embeddings",),
+        oracle=_EMB_PAIRS_ORACLE,
     ),
     # Brute-force cosine top-k (exact ANN baseline; broadcast query side,
     # TakeOrderedAndProject top-k).

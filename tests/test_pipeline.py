@@ -163,6 +163,48 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert len(approx) == 10
 
 
+def test_threshold_pairs_lsh_equals_exact(spark, sf_dir):
+    """The banded-LSH near-dup path must recover EVERY exact pair on the
+    fixture corpus (deterministic planes -> stable), with identical scores
+    — this is what licenses sharing the brute-force DuckDB oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r.da, r.db): r.score
+        for r in similarity.threshold_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r.da, r.db): r.score
+        for r in similarity.threshold_pairs_lsh(
+            emb, threshold=0.45
+        ).collect()
+    }
+    assert len(exact) > 0
+    assert lsh == exact
+
+
+def test_threshold_pairs_lsh_verifies_exactly(spark):
+    """Candidates outside the threshold are dropped by the verify stage:
+    orthogonal vectors share buckets sometimes but never appear."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[1.0, 0.0, 0.0, 0.0]),   # dup of 1
+            Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),   # orthogonal
+            Row(vec_id=4, embedding=[-1.0, 0.0, 0.0, 0.0]),  # anti
+        ]
+    )
+    out = {
+        (r.da, r.db): float(r.score)
+        for r in similarity.threshold_pairs_lsh(
+            emb, threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] == pytest.approx(1.0)
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").cache()
     exact = [

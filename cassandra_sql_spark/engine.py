@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,16 +44,38 @@ class EngineError(Exception):
     pass
 
 
+_DOLLAR_TAG = re.compile(r"\$[A-Za-z_]*\$")
+
+
 def split_statements(sql: str) -> list[str]:
-    """Split on semicolons outside quotes (reference StatementSplitter)."""
-    out, cur, quote = [], [], None
-    for ch in sql:
+    """Split on semicolons outside quotes (reference StatementSplitter).
+
+    Handles ``'...'``, ``"..."``, and pg dollar-quoted bodies — ``$$...$$``
+    or tagged ``$tag$...$tag$`` — whose contents may hold semicolons and
+    ordinary quotes (DO blocks, CREATE FUNCTION bodies)."""
+    out: list[str] = []
+    cur: list[str] = []
+    quote: str | None = None  # "'", '"', or a dollar tag like "$$"/"$fn$"
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
         if quote:
-            cur.append(ch)
-            if ch == quote:
+            if sql.startswith(quote, i):
+                cur.append(quote)
+                i += len(quote)
                 quote = None
+                continue
+            cur.append(ch)
         elif ch in ("'", '"'):
             quote = ch
+            cur.append(ch)
+        elif ch == "$":
+            m = _DOLLAR_TAG.match(sql, i)
+            if m:
+                quote = m.group(0)
+                cur.append(quote)
+                i += len(quote)
+                continue
             cur.append(ch)
         elif ch == ";":
             s = "".join(cur).strip()
@@ -61,6 +84,7 @@ def split_statements(sql: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     s = "".join(cur).strip()
     if s:
         out.append(s)
@@ -113,41 +137,145 @@ class Engine:
                 view.name
             )
 
+    # Standard PostgreSQL type OIDs, mirroring the reference's seeded
+    # pg_type rows (kv/PgCatalogManager.java:285-291, addType:362) plus the
+    # PG17 OIDs for types our DDL accepts beyond the reference's seven.
+    _PG_TYPES: tuple = (
+        (16, "bool", "B", 1),
+        (20, "int8", "N", 8),
+        (21, "int2", "N", 2),
+        (23, "int4", "N", 4),
+        (25, "text", "S", -1),
+        (700, "float4", "N", 4),
+        (701, "float8", "N", 8),
+        (1043, "varchar", "S", -1),
+        (1082, "date", "D", 4),
+        (1114, "timestamp", "D", 8),
+        (1700, "numeric", "N", -1),
+        (3802, "jsonb", "U", -1),
+    )
+
+    @classmethod
+    def _type_oid(cls, sql_type: str) -> int:
+        t = sql_type.upper()
+        if t.startswith(("VARCHAR", "CHAR")):
+            return 1043
+        if t.startswith(("DECIMAL", "NUMERIC")):
+            return 1700
+        base = {
+            "BOOLEAN": 16, "BOOL": 16,
+            "BIGINT": 20, "INT8": 20, "BIGSERIAL": 20,
+            "SMALLINT": 21, "INT2": 21,
+            "INT": 23, "INTEGER": 23, "INT4": 23, "SERIAL": 23,
+            "REAL": 700, "FLOAT4": 700,
+            "DOUBLE PRECISION": 701, "DOUBLE": 701, "FLOAT8": 701,
+            "FLOAT": 701,
+            "DATE": 1082,
+            "TIMESTAMP": 1114, "TIMESTAMPTZ": 1114,
+            "JSONB": 3802, "JSON": 3802,
+        }
+        return base.get(t, 25)  # enums/unknown render as text, like psql
+
     def _register_pg_catalog(self) -> None:
         """pg_catalog introspection views over the metastore.
 
-        The reference materializes pg_namespace/pg_class/pg_attribute/... as
-        real KV tables so psql/JDBC introspection works
-        (kv/PgCatalogManager.java:23-36). Here they are zero-cost temp views
-        regenerated on DDL; hidden system columns are excluded, matching
-        what the reference's catalog exposes.
+        The reference materializes pg_namespace/pg_class/pg_attribute/
+        pg_type/pg_index/pg_proc/pg_database as real KV tables so psql/JDBC
+        introspection works (kv/PgCatalogManager.java:23-36). Here they are
+        zero-cost temp views regenerated on DDL; hidden system columns are
+        excluded, matching what the reference's catalog exposes. Relation
+        OIDs are assigned from 16384 (the PG user-object floor) in sorted
+        registration order so `\\d`-style joins across
+        pg_class/pg_attribute/pg_type/pg_index work.
         """
         spark = self.spark
         tables = sorted(self.catalog.tables.values(), key=lambda t: t.name)
         views = sorted(self.catalog.views.values(), key=lambda v: v.name)
-        rel = [(t.name, "r") for t in tables] + [
-            (v.name, "m" if v.materialized else "v") for v in views
-        ]
+        oid = 16384
+        rel: list = []          # (oid, relname, relkind, relnamespace)
+        rel_oid: dict = {}
+        for t in tables:
+            rel.append((oid, t.name, "r", 2200))
+            rel_oid[t.name] = oid
+            oid += 1
+        for v in views:
+            rel.append((oid, v.name, "m" if v.materialized else "v", 2200))
+            rel_oid[v.name] = oid
+            oid += 1
+        # PK/unique index relations, like the reference's addIndex
+        # (kv/PgCatalogManager.java:653-733): every PK gets a *_pkey row
+        # with indisprimary=true; declared UNIQUE constraints get *_key.
+        idx: list = []  # (indexrelid, indrelid, relname, indkey, isprimary)
+        for t in tables:
+            attnum = {
+                c.name: i + 1
+                for i, c in enumerate(
+                    cc for cc in t.columns if not cc.hidden
+                )
+            }
+            keysets = []
+            if t.primary_key:
+                keysets.append((f"{t.name}_pkey", t.primary_key, True))
+            for ucols in t.unique:
+                if list(ucols) == list(t.primary_key):
+                    continue  # the PK's implicit unique set IS the pkey
+                keysets.append((f"{t.name}_{'_'.join(ucols)}_key", ucols,
+                                False))
+            for iname, cols, isp in keysets:
+                rel.append((oid, iname, "i", 2200))
+                idx.append((
+                    oid, rel_oid[t.name], iname,
+                    " ".join(str(attnum.get(c, 0)) for c in cols), isp,
+                ))
+                oid += 1
         spark.createDataFrame(
-            rel, "relname string, relkind string"
+            rel,
+            "oid bigint, relname string, relkind string, "
+            "relnamespace bigint",
         ).createOrReplaceTempView("pg_class")
         spark.createDataFrame(
             [("public", t.name) for t in tables],
             "schemaname string, tablename string",
         ).createOrReplaceTempView("pg_tables")
         attrs = [
-            (t.name, c.name, c.sql_type, i + 1, not c.nullable)
+            (rel_oid[t.name], t.name, c.name, c.sql_type,
+             self._type_oid(c.enum_type or c.sql_type), i + 1,
+             not c.nullable)
             for t in tables
             for i, c in enumerate(cc for cc in t.columns if not cc.hidden)
         ]
         spark.createDataFrame(
             attrs,
-            "relname string, attname string, atttype string, "
-            "attnum int, attnotnull boolean",
+            "attrelid bigint, relname string, attname string, "
+            "atttype string, atttypid bigint, attnum int, "
+            "attnotnull boolean",
         ).createOrReplaceTempView("pg_attribute")
         spark.createDataFrame(
-            [("public",), ("pg_catalog",)], "nspname string"
+            [(2200, "public"), (11, "pg_catalog")],
+            "oid bigint, nspname string",
         ).createOrReplaceTempView("pg_namespace")
+        spark.createDataFrame(
+            [(o, n, 11, c, ln) for o, n, c, ln in self._PG_TYPES],
+            "oid bigint, typname string, typnamespace bigint, "
+            "typcategory string, typlen int",
+        ).createOrReplaceTempView("pg_type")
+        spark.createDataFrame(
+            [(i[0], i[1], len(i[3].split()), True, i[4], i[3])
+             for i in idx],
+            "indexrelid bigint, indrelid bigint, indnatts int, "
+            "indisunique boolean, indisprimary boolean, indkey string",
+        ).createOrReplaceTempView("pg_index")
+        # pg_proc: engine functions are Spark built-ins, not catalog rows —
+        # an empty relation with the psql-queried columns (mirrors the
+        # reference, which creates the table and inserts nothing).
+        spark.createDataFrame(
+            [], "oid bigint, proname string, pronamespace bigint, "
+                "prorettype bigint",
+        ).createOrReplaceTempView("pg_proc")
+        spark.createDataFrame(
+            [(5, "cassandra_sql", 10, 6)],
+            "oid bigint, datname string, datdba bigint, encoding int",
+        ).createOrReplaceTempView("pg_database")
         stat_rows = [
             (t.name, col, int(t.stats["n_rows"]), int(cs["n_distinct"]),
              float(cs["null_frac"]), cs["min"], cs["max"])
@@ -1179,9 +1307,51 @@ class Engine:
         return self._status(f"vacuum: removed {removed} old versions", removed)
 
     def _explain(self, s: str) -> DataFrame:
-        # EXPLAIN [ANALYZE] query  -> Spark's native EXPLAIN (Catalyst plan).
+        """EXPLAIN -> Catalyst extended plan; EXPLAIN ANALYZE -> execute the
+        query distributed (nothing collected to the driver) and render the
+        executed physical plan annotated with per-node runtime SQLMetrics
+        (numOutputRows, aggTime, shuffle bytes, ...) plus wall time — parity
+        with the reference's ExplainExecutor (kv/ExplainExecutor.java:37-120),
+        which also runs the target and reports plan + execution stats."""
+        analyze = re.match(r"^EXPLAIN\s+ANALYZE", s, re.IGNORECASE)
         inner = re.sub(r"^EXPLAIN\s+(ANALYZE\s+)?", "", s, flags=re.IGNORECASE)
-        mode = "FORMATTED" if re.match(
-            r"^EXPLAIN\s+ANALYZE", s, re.IGNORECASE
-        ) else "EXTENDED"
-        return self.spark.sql(f"EXPLAIN {mode} {preprocess(inner)}")
+        if not analyze:
+            return self.spark.sql(f"EXPLAIN EXTENDED {preprocess(inner)}")
+        df = self.spark.sql(preprocess(inner))
+        qe = df._jdf.queryExecution()
+        t0 = time.time()
+        n_rows = qe.executedPlan().execute().count()  # RDD action: runs the
+        elapsed_ms = (time.time() - t0) * 1000.0      # plan, collects nothing
+        lines = [
+            "== Physical Plan (executed) ==",
+            f"Execution: {n_rows} rows, {elapsed_ms:.1f} ms",
+            "",
+        ]
+        self._walk_metrics(qe.executedPlan(), 0, lines)
+        return self.spark.createDataFrame(
+            [(ln,) for ln in lines], "plan string"
+        )
+
+    @classmethod
+    def _walk_metrics(cls, node, depth: int, out: list) -> None:
+        """Render a JVM SparkPlan subtree with its populated SQLMetric
+        values, descending through AQE wrappers to the final plan."""
+        name = node.nodeName()
+        mts = node.metrics().toList()
+        parts = []
+        for i in range(mts.size()):
+            kv = mts.apply(i)
+            parts.append(f"{kv._1()}={kv._2().value()}")
+        out.append(
+            "  " * depth + name
+            + (f" [{', '.join(sorted(parts))}]" if parts else "")
+        )
+        if "AdaptiveSparkPlan" in name:  # descend to the FINAL plan
+            cls._walk_metrics(node.executedPlan(), depth + 1, out)
+            return
+        if "QueryStage" in name:  # stage wrapper holds the real subtree
+            cls._walk_metrics(node.plan(), depth + 1, out)
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            cls._walk_metrics(ch.apply(i), depth + 1, out)

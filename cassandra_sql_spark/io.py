@@ -28,21 +28,43 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def events_ts_is_nanos(path: str) -> bool:
+    """Footer-only sniff of events.ts's parquet physical type (no Spark
+    job): TIMESTAMP(NANOS) generations need the nanosAsLong escape hatch,
+    TIMESTAMP(MICROS) generations must NOT set it (it is session-wide and
+    would silently turn any other nanos column into bigint)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        part = next(
+            f
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        path = os.path.join(path, part)
+    return pq.read_schema(path).field("ts").type.unit == "ns"
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table == "events":
         # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
         # Spark's vectorized reader rejects) and TIMESTAMP(MICROS) across
-        # driver data generations. Handle both: with nanosAsLong the NANOS
-        # variant reads as long and is floor-divided to micros (matching
-        # DuckDB's truncating ns->us conversion); the MICROS variant reads
-        # as a timestamp already and passes through untouched.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes)["ts"] == "bigint":
+        # driver data generations. Handle both, and normalize ts to
+        # TimestampType in every path so batch, streaming, and both
+        # generations agree (MICROS files are NTZ-logical and would
+        # otherwise surface as timestamp_ntz).
+        if events_ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             # integer `div`, NOT double `/`: at nanosecond magnitudes double
             # division rounds and can flip the microsecond by one
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = spark.read.parquet(path).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            df = spark.read.parquet(path).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
         return df.select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         )

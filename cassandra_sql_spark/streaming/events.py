@@ -53,13 +53,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table.
 
     Testdata events.parquet has shipped as both TIMESTAMP(NANOS) and
-    TIMESTAMP(MICROS) across driver data generations; as in
-    cassandra_sql_spark.io we sniff the batch-read type and floor-divide
-    nanos-as-long to micros only when needed.
+    TIMESTAMP(MICROS) across driver data generations; sniff the physical
+    type from the parquet footer (no Spark job, stream stays lazily
+    defined) and floor-divide nanos-as-long to micros only when needed.
+    nanosAsLong is only set for the NANOS generation — it is session-wide
+    and would corrupt other nanos tables if set unconditionally.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from cassandra_sql_spark.io import events_ts_is_nanos
+
     path = os.path.join(sf_dir, "events.parquet")
-    ts_is_nanos = dict(spark.read.parquet(path).dtypes)["ts"] == "bigint"
+    ts_is_nanos = events_ts_is_nanos(path)
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = StructType(
         [
             f if f.name != "ts" or not ts_is_nanos

@@ -211,6 +211,41 @@ def test_explain_passthrough(eng):
     assert "Physical Plan" in plan or "Filter" in plan
 
 
+def test_explain_analyze_runtime_metrics(eng):
+    eng.sql("CREATE TABLE exa (id INT, g INT)")
+    eng.sql("INSERT INTO exa VALUES (1, 1), (2, 1), (3, 2), (4, 2), (5, 2)")
+    lines = [r[0] for r in rows(
+        eng.sql("EXPLAIN ANALYZE SELECT g, COUNT(*) AS n FROM exa GROUP BY g")
+    )]
+    text = "\n".join(lines)
+    # the query actually ran: wall time + final row count reported
+    assert any(ln.startswith("Execution: 2 rows") for ln in lines)
+    # per-node runtime SQLMetrics from the executed plan, not estimates
+    assert "numOutputRows=" in text
+    assert "HashAggregate" in text
+
+
+def test_dollar_quoted_statement_splitting():
+    from cassandra_sql_spark.engine import split_statements
+
+    stmts = split_statements(
+        "CREATE TABLE t (id INT); "
+        "DO $$ BEGIN INSERT INTO t VALUES (1); INSERT INTO t VALUES (2); "
+        "END $$; "
+        "DO $fn$ SELECT ';'; SELECT $$nested; body$$; $fn$; "
+        "SELECT * FROM t"
+    )
+    assert len(stmts) == 4
+    assert stmts[0] == "CREATE TABLE t (id INT)"
+    assert stmts[1].startswith("DO $$") and stmts[1].endswith("END $$")
+    assert stmts[2].startswith("DO $fn$") and stmts[2].endswith("$fn$")
+    assert stmts[3] == "SELECT * FROM t"
+    # a lone $ is not a tag opener
+    assert split_statements("SELECT 1 AS \"a$b\"; SELECT 2") == [
+        'SELECT 1 AS "a$b"', "SELECT 2",
+    ]
+
+
 def test_transactions_are_noops(eng):
     assert "no-op" in rows(eng.sql("BEGIN"))[0][0]
     assert "no-op" in rows(eng.sql("COMMIT"))[0][0]
@@ -264,6 +299,31 @@ def test_pg_catalog_views(eng):
         )
     )
     assert attrs == [("id", 1, True), ("name", 2, False)]
+    # psql \d-style introspection: pg_class ⋈ pg_attribute ⋈ pg_type
+    described = rows(
+        eng.sql(
+            "SELECT a.attname, t.typname FROM pg_class c "
+            "JOIN pg_attribute a ON a.attrelid = c.oid "
+            "JOIN pg_type t ON t.oid = a.atttypid "
+            "WHERE c.relname = 'pgc' ORDER BY a.attnum"
+        )
+    )
+    assert described == [("id", "int4"), ("name", "text")]
+    # the PK materializes as a *_pkey index relation, indisprimary=true
+    pkey = rows(
+        eng.sql(
+            "SELECT ic.relname, i.indisprimary, i.indisunique, i.indkey "
+            "FROM pg_index i "
+            "JOIN pg_class ic ON ic.oid = i.indexrelid "
+            "JOIN pg_class tc ON tc.oid = i.indrelid "
+            "WHERE tc.relname = 'pgc'"
+        )
+    )
+    assert pkey == [("pgc_pkey", True, True, "1")]
+    assert rows(eng.sql("SELECT datname FROM pg_database")) == [
+        ("cassandra_sql",)
+    ]
+    assert rows(eng.sql("SELECT count(*) AS n FROM pg_proc")) == [(0,)]
     eng.sql("DROP TABLE pgc")
     assert ("public", "pgc") not in rows(
         eng.sql("SELECT schemaname, tablename FROM pg_tables")

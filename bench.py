@@ -46,19 +46,25 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, sf_dir: str) -> float:
-    """Steady-state wall time: one untimed warm-up run (plan analysis +
-    codegen + file-index caches), then the best of two timed executions —
-    measures engine throughput, which is what scales to 100 TB, rather
-    than the ~0.7 s per-plan compilation constant."""
+N_TIMED = 3
+
+
+def run_query(spark, name: str, sf_dir: str) -> list[float]:
+    """Steady-state wall times: one untimed warm-up run (plan analysis +
+    codegen + file-index caches), then N_TIMED timed executions — measures
+    engine throughput, which is what scales to 100 TB, rather than the
+    ~0.7 s per-plan compilation constant. All samples are returned so the
+    recorded JSON shows the repeat spread: a noisy sandbox then reads as
+    wide spread on stable medians instead of a phantom regression (the
+    round-2 bench printed a 37% 'regression' that was pure box noise)."""
     df = REGISTRY[name].fn(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
-    best = float("inf")
-    for _ in range(2):
+    samples = []
+    for _ in range(N_TIMED):
         t0 = time.time()
         df.write.mode("overwrite").format("noop").save()
-        best = min(best, time.time() - t0)
-    return best
+        samples.append(time.time() - t0)
+    return samples
 
 
 def main() -> None:
@@ -91,9 +97,14 @@ def main() -> None:
                 "noop"
             ).save()
 
-    times: dict[str, float] = {}
+    times: dict[str, float] = {}       # median — the headline number
+    spread: dict[str, list[float]] = {}  # [min, median, max] per query
     for name in names:
-        times[name] = round(run_query(spark, name, data_dir), 4)
+        samples = sorted(run_query(spark, name, data_dir))
+        med = samples[len(samples) // 2]
+        times[name] = round(med, 4)
+        spread[name] = [round(samples[0], 4), round(med, 4),
+                        round(samples[-1], 4)]
 
     print(
         json.dumps(
@@ -102,6 +113,10 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
+                "min_total": round(
+                    sum(s[0] for s in spread.values()), 4
+                ),
                 "sf": sf,
             }
         )

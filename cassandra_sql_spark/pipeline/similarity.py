@@ -68,12 +68,24 @@ def threshold_pairs(
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold (O(n^2) verify — baseline only;
     use lsh_topk/bucketed candidates at scale)."""
-    a = emb.select(F.col(id_col).alias("da"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("db"), F.col(vec_col).alias("vb"))
+    # Norms are per-vector, so compute them map-side BEFORE the pair join:
+    # cosine per pair then costs one 64-dim fold (the dot), not three.
+    a = emb.select(
+        F.col(id_col).alias("da"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("db"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nb"),
+    )
     pairs = a.join(b, F.col("da") < F.col("db")).select(
         "da",
         "db",
-        cosine(F.col("va"), F.col("vb")).cast("decimal(18,6)").alias("score"),
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .cast("decimal(18,6)")
+        .alias("score"),
     )
     return pairs.filter(F.col("score") >= threshold)
 
@@ -139,15 +151,25 @@ def threshold_pairs_lsh(
         .select(F.col("a._id").alias("da"), F.col("b._id").alias("db"))
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("da"), F.col(vec_col).alias("_va"))
-    vb = emb.select(F.col(id_col).alias("db"), F.col(vec_col).alias("_vb"))
+    # Map-side norms (see threshold_pairs): one fold per candidate pair.
+    va = emb.select(
+        F.col(id_col).alias("da"),
+        F.col(vec_col).alias("_va"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("db"),
+        F.col(vec_col).alias("_vb"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_nb"),
+    )
     verified = (
         cands.join(va, "da")
         .join(vb, "db")
         .select(
             "da",
             "db",
-            cosine(F.col("_va"), F.col("_vb"))
+            (dot(F.col("_va"), F.col("_vb"))
+             / (F.col("_na") * F.col("_nb")))
             .cast("decimal(18,6)")
             .alias("score"),
         )

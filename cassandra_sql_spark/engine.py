@@ -226,6 +226,7 @@ class Engine:
                 idx.append((
                     oid, rel_oid[t.name], iname,
                     " ".join(str(attnum.get(c, 0)) for c in cols), isp,
+                    t.name, cols,
                 ))
                 oid += 1
         spark.createDataFrame(
@@ -276,6 +277,112 @@ class Engine:
             [(5, "cassandra_sql", 10, 6)],
             "oid bigint, datname string, datdba bigint, encoding int",
         ).createOrReplaceTempView("pg_database")
+        # pg_constraint: PK ('p'), declared UNIQUE ('u'), FK ('f') rows with
+        # conkey/confkey attnum vectors — the psql-queried column subset of
+        # the reference's full definition (kv/PgCatalogTable.java:235-267).
+        cons: list = []
+        idx_by_table: dict = {}
+        for i in idx:
+            if i[4]:  # primary index for that table
+                idx_by_table[i[5]] = i[0]
+        for t in tables:
+            attnum = {
+                c.name.lower(): i + 1
+                for i, c in enumerate(
+                    cc for cc in t.columns if not cc.hidden
+                )
+            }
+
+            # referenced columns may be stored in parser case — match
+            # pg semantics (unquoted identifiers fold) via lowercase keys
+            def _vec(cols, am=attnum):
+                return (
+                    "{" + ",".join(str(am.get(c.lower(), 0)) for c in cols)
+                    + "}"
+                )
+
+            if t.primary_key:
+                cons.append((oid, f"{t.name}_pkey", "p", rel_oid[t.name],
+                             idx_by_table.get(t.name, 0), 0,
+                             _vec(t.primary_key), None))
+                oid += 1
+            for ucols in t.unique:
+                if list(ucols) == list(t.primary_key):
+                    continue
+                cons.append((oid, f"{t.name}_{'_'.join(ucols)}_key", "u",
+                             rel_oid[t.name], 0, 0, _vec(ucols), None))
+                oid += 1
+            for fk in t.foreign_keys:
+                fcols, reftable, refcols = fk[0], fk[1], fk[2]
+                ref = self.catalog.tables.get(reftable)
+                ref_attnum = (
+                    {
+                        c.name.lower(): i + 1
+                        for i, c in enumerate(
+                            cc for cc in ref.columns if not cc.hidden
+                        )
+                    }
+                    if ref
+                    else {}
+                )
+                cons.append((
+                    oid, f"{t.name}_{'_'.join(fcols)}_fkey", "f",
+                    rel_oid[t.name], 0, rel_oid.get(reftable, 0),
+                    _vec(fcols), _vec(refcols, ref_attnum),
+                ))
+                oid += 1
+        spark.createDataFrame(
+            cons,
+            "oid bigint, conname string, contype string, conrelid bigint, "
+            "conindid bigint, confrelid bigint, conkey string, "
+            "confkey string",
+        ).createOrReplaceTempView("pg_constraint")
+        # pg_indexes: the simplified psql-compat view
+        # (kv/PgCatalogTable.java:341-356)
+        spark.createDataFrame(
+            [("public", i[5], i[2],
+              f"CREATE {'UNIQUE ' if i[4] else ''}INDEX {i[2]} "
+              f"ON {i[5]} ({', '.join(i[6])})")
+             for i in idx],
+            "schemaname string, tablename string, indexname string, "
+            "indexdef string",
+        ).createOrReplaceTempView("pg_indexes")
+        # pg_am / pg_roles / pg_tablespace: the reference's seeded system
+        # rows (kv/PgCatalogManager.java:335 addAccessMethod + class doc).
+        spark.createDataFrame(
+            [(2, "heap", "t"), (403, "btree", "i")],
+            "oid bigint, amname string, amtype string",
+        ).createOrReplaceTempView("pg_am")
+        spark.createDataFrame(
+            [(10, "postgres", True, True)],
+            "oid bigint, rolname string, rolsuper boolean, "
+            "rolcanlogin boolean",
+        ).createOrReplaceTempView("pg_roles")
+        spark.createDataFrame(
+            [(1663, "pg_default")], "oid bigint, spcname string",
+        ).createOrReplaceTempView("pg_tablespace")
+        # pg_attrdef: identity/SERIAL columns surface their implicit
+        # sequence default; pg_description has no comment support -> empty.
+        attrdef = [
+            (oid + j, rel_oid[t.name], i + 1,
+             f"nextval('{t.name}_{c.name}_seq'::regclass)")
+            for j, (t, i, c) in enumerate(
+                (t, i, c)
+                for t in tables
+                for i, c in enumerate(
+                    cc for cc in t.columns if not cc.hidden
+                )
+                if c.identity
+            )
+        ]
+        spark.createDataFrame(
+            attrdef,
+            "oid bigint, adrelid bigint, adnum int, adbin string",
+        ).createOrReplaceTempView("pg_attrdef")
+        spark.createDataFrame(
+            [], "objoid bigint, classoid bigint, objsubid int, "
+                "description string",
+        ).createOrReplaceTempView("pg_description")
         stat_rows = [
             (t.name, col, int(t.stats["n_rows"]), int(cs["n_distinct"]),
              float(cs["null_frac"]), cs["min"], cs["max"])
@@ -366,6 +473,12 @@ class Engine:
             # multi-statement transactions are out of scope (SURVEY §2.9);
             # each statement is individually atomic via version flips.
             return self._status(f"{kw[0].lower()} (no-op: autocommit engine)")
+        if kw[0] == "DO":
+            # DO blocks: parity with the reference, which accepts them and
+            # treats the body as a no-op pending a PL/pgSQL interpreter
+            # (QueryService.java:101-106). The splitter keeps the $$ body
+            # intact as one statement.
+            return self._status("do (no-op: procedural bodies not executed)")
         if kw[0] == "SET":
             return self._set(s)
         if kw[0] == "VACUUM":

@@ -3,7 +3,7 @@
 The design principle (SURVEY §7.1): no hand-written SQL parser or
 interpreter — Catalyst is the parser/analyzer/optimizer. This module only
 rewrites the handful of surface-level PostgreSQL constructs Spark SQL does
-not accept, with targeted regexes:
+not accept, with targeted regexes over a literal-masked text:
 
 - ``expr::type`` casts           -> CAST(expr AS type)  (+ pg type names)
 - ``j ->> 'k'`` / ``j -> 'k'``   -> get_json_object(j, '$.k')
@@ -13,7 +13,11 @@ not accept, with targeted regexes:
 - ``x ~ 'pat'`` / ``!~``         -> RLIKE / NOT RLIKE
 - type-name spellings (TEXT, BYTEA, INT4/8, SERIAL...) inside CAST
 
-Everything else passes through verbatim to spark.sql().
+String literals (including doubled-quote escapes) are masked to opaque
+placeholders before any rewrite and restored afterwards, so ``::``, ``->``
+or ``~`` INSIDE a literal can never be rewritten. Cast operands are found
+with a balanced-paren scanner, so arbitrarily nested ``(...)::type``
+works. Everything else passes through verbatim to spark.sql().
 """
 
 from __future__ import annotations
@@ -50,10 +54,37 @@ PG_TYPE_MAP = {
     "INTERVAL": "STRING",
 }
 
-# an operand for the json/cast operators: qualified identifier, function
-# call (no space before the paren — else `SELECT (expr)` would match) or
-# parenthesized expression (one level), string literal
-_OPERAND = r"(\([^()]*\)|[A-Za-z_][\w.]*\([^()]*\)|[A-Za-z_][\w.]*|'[^']*')"
+# a masked string literal placeholder (see _mask_literals)
+_PH = r"\x00L\d+\x00"
+# an operand for the json/regex operators: qualified identifier, function
+# call (no space before the paren — else `SELECT (expr)` would match),
+# parenthesized expression (one level), or masked literal
+_OPERAND = rf"(\([^()]*\)|[A-Za-z_][\w.]*\([^()]*\)|[A-Za-z_][\w.]*|{_PH})"
+
+_LITERAL = re.compile(r"'(?:[^']|'')*'")
+_PH_RE = re.compile(r"\x00L(\d+)\x00")
+
+
+def _mask_literals(sql: str) -> tuple[str, list]:
+    lits: list = []
+
+    def sub(m):
+        lits.append(m.group(0))
+        return f"\x00L{len(lits) - 1}\x00"
+
+    return _LITERAL.sub(sub, sql), lits
+
+
+def _new_lit(lits: list, text: str) -> str:
+    """Mask a literal EMITTED by a rewrite (e.g. a json path) so later
+    passes can't rewrite inside it either."""
+    lits.append(text)
+    return f"\x00L{len(lits) - 1}\x00"
+
+
+def _unmask(sql: str, lits: list) -> str:
+    # placeholders never nest inside lits entries, one pass suffices
+    return _PH_RE.sub(lambda m: lits[int(m.group(1))], sql)
 
 
 def map_pg_type(t: str) -> str:
@@ -74,22 +105,64 @@ def map_pg_type(t: str) -> str:
     return mapped
 
 
+_TYPE_RE = re.compile(
+    r"\s*([A-Za-z_]+(?:\s+(?:PRECISION|VARYING|ZONE))?"
+    r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+)
+_IDENT_TAIL = re.compile(r"[A-Za-z_][\w.]*\Z")
+_NUM_TAIL = re.compile(r"\d+(?:\.\d+)?\Z")
+_PH_TAIL = re.compile(r"\x00L\d+\x00\Z")
+
+
 def _rewrite_casts(sql: str) -> str:
-    # expr::type  (types may be dotted? no — word plus optional (p,s))
-    # the optional second type word is restricted to the known two-word pg
-    # types, otherwise `x::INT FROM t` would swallow the FROM keyword
-    pat = re.compile(
-        _OPERAND + r"\s*::\s*([A-Za-z_]+(?:\s+(?:PRECISION|VARYING|ZONE))?"
-        r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)",
-        re.IGNORECASE,
-    )
-    prev = None
-    while prev != sql:
-        prev = sql
-        sql = pat.sub(
-            lambda m: f"CAST({m.group(1)} AS {map_pg_type(m.group(2))})", sql
-        )
-    return sql
+    """``operand::type`` -> CAST(operand AS type) with a balanced-paren
+    backward scan for the operand — handles arbitrary nesting, function
+    calls, identifiers, and masked literals. Unrewritable ``::`` (e.g.
+    slice syntax the engine never sees) is left untouched."""
+    pos = 0
+    while True:
+        i = sql.find("::", pos)
+        if i == -1:
+            return sql
+        j = i - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        start = -1
+        if j >= 0 and sql[j] == ")":
+            depth, k = 0, j
+            while k >= 0:
+                if sql[k] == ")":
+                    depth += 1
+                elif sql[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if depth == 0:
+                start = k
+                # attached function name: f(...)::type casts the call
+                m = _IDENT_TAIL.search(sql, 0, k)
+                if m and m.end() == k:
+                    start = m.start()
+        elif j >= 0 and sql[j] == "\x00":
+            m = _PH_TAIL.search(sql, 0, j + 1)
+            if m:
+                start = m.start()
+        elif j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+            m = _IDENT_TAIL.search(sql, 0, j + 1) or _NUM_TAIL.search(
+                sql, 0, j + 1
+            )
+            if m:
+                start = m.start()
+        tm = _TYPE_RE.match(sql, i + 2) if start >= 0 else None
+        if not tm:
+            pos = i + 2
+            continue
+        cast = f"CAST({sql[start:j + 1]} AS {map_pg_type(tm.group(1))})"
+        sql = sql[:start] + cast + sql[tm.end():]
+        # rescan from inside the new CAST: a nested operand may itself
+        # contain ``::`` (each rewrite consumes one, so this terminates)
+        pos = start + 5
 
 
 def _json_path_from_literal(lit: str, nested: bool = False) -> str:
@@ -100,26 +173,31 @@ def _json_path_from_literal(lit: str, nested: bool = False) -> str:
     return f"$.{inner}"
 
 
-def _rewrite_json_ops(sql: str) -> str:
+def _rewrite_json_ops(sql: str, lits: list) -> str:
     # #>> and #> (nested path) first, then ->> / -> (single key or index)
     def nested(m):
-        return f"get_json_object({m.group(1)}, '{_json_path_from_literal(m.group(2), True)}')"
+        lit = lits[int(m.group(2))]
+        if not re.match(r"'\{[^']*\}'$", lit):
+            return m.group(0)
+        path = _new_lit(lits, f"'{_json_path_from_literal(lit, True)}'")
+        return f"get_json_object({m.group(1)}, {path})"
 
-    sql = re.sub(
-        _OPERAND + r"\s*#>{1,2}\s*('\{[^']*\}')", nested, sql
-    )
+    sql = re.sub(_OPERAND + r"\s*#>{1,2}\s*\x00L(\d+)\x00", nested, sql)
 
     def scalar(m):
-        return f"get_json_object({m.group(1)}, '{_json_path_from_literal(m.group(2))}')"
+        lit = lits[int(m.group(2))]
+        path = _new_lit(lits, f"'{_json_path_from_literal(lit)}'")
+        return f"get_json_object({m.group(1)}, {path})"
 
     prev = None
     while prev != sql:
         prev = sql
-        sql = re.sub(_OPERAND + r"\s*->>?\s*('[^']*')", scalar, sql)
+        sql = re.sub(_OPERAND + r"\s*->>?\s*\x00L(\d+)\x00", scalar, sql)
         # array index: j -> 0
         sql = re.sub(
             _OPERAND + r"\s*->>?\s*(\d+)",
-            lambda m: f"get_json_object({m.group(1)}, '$[{m.group(2)}]')",
+            lambda m: f"get_json_object({m.group(1)}, "
+                      f"{_new_lit(lits, chr(39) + '$[' + m.group(2) + ']' + chr(39))})",
             sql,
         )
     return sql
@@ -127,13 +205,13 @@ def _rewrite_json_ops(sql: str) -> str:
 
 def _rewrite_regex_match(sql: str) -> str:
     sql = re.sub(
-        _OPERAND + r"\s*!~\s*('[^']*')",
+        _OPERAND + rf"\s*!~\s*({_PH})",
         lambda m: f"{m.group(1)} NOT RLIKE {m.group(2)}",
         sql,
     )
     # `~` only when followed by a string literal (avoids bitwise-not clash)
     sql = re.sub(
-        _OPERAND + r"\s*~\s*('[^']*')",
+        _OPERAND + rf"\s*~\s*({_PH})",
         lambda m: f"{m.group(1)} RLIKE {m.group(2)}",
         sql,
     )
@@ -157,9 +235,10 @@ _FUNC_ALIASES = {
 
 def preprocess(sql: str) -> str:
     """Rewrite pg-flavored SQL into Spark SQL (queries & expressions)."""
-    sql = _rewrite_json_ops(sql)
-    sql = _rewrite_casts(sql)
-    sql = _rewrite_regex_match(sql)
+    masked, lits = _mask_literals(sql)
+    masked = _rewrite_json_ops(masked, lits)
+    masked = _rewrite_casts(masked)
+    masked = _rewrite_regex_match(masked)
     for pat, repl in _FUNC_ALIASES.items():
-        sql = re.sub(pat, repl, sql, flags=re.IGNORECASE)
-    return sql
+        masked = re.sub(pat, repl, masked, flags=re.IGNORECASE)
+    return _unmask(masked, lits)

@@ -251,6 +251,34 @@ def test_transactions_are_noops(eng):
     assert "no-op" in rows(eng.sql("COMMIT"))[0][0]
 
 
+def test_pg_to_char_token_order(eng):
+    """Pin the format-token translation table order: MI must translate
+    before any month handling so pg minutes ('MI') and months ('MM')
+    both land on the right Spark tokens even when adjacent."""
+    r = rows(
+        eng.sql(
+            "SELECT to_char(TIMESTAMP '2024-03-05 07:08:09', 'MMMI') AS a, "
+            "       to_char(TIMESTAMP '2024-03-05 07:08:09', 'MIMM') AS b, "
+            "       to_char(TIMESTAMP '2024-03-05 07:08:09', "
+            "               'YYYYMMDDHH24MISS') AS c"
+        )
+    )[0]
+    assert r == ("0308", "0803", "20240305070809")
+
+
+def test_do_block_accepted_as_noop(eng):
+    # reference parity: DO bodies accepted, not executed
+    # (QueryService.java:101-106); surrounding statements still run.
+    eng.sql("CREATE TABLE dob (id INT)")
+    out = eng.sql(
+        "INSERT INTO dob VALUES (1); "
+        "DO $$ BEGIN INSERT INTO dob VALUES (99); END $$; "
+        "SELECT COUNT(*) AS n FROM dob"
+    )
+    assert rows(out) == [(1,)]  # the DO body did NOT execute
+    assert "no-op" in rows(eng.sql("DO $x$ anything; at; all $x$"))[0][0]
+
+
 def test_catalog_persistence(spark, tmp_path):
     wh = str(tmp_path / "persist")
     e1 = Engine(spark, warehouse=wh)
@@ -324,6 +352,36 @@ def test_pg_catalog_views(eng):
         ("cassandra_sql",)
     ]
     assert rows(eng.sql("SELECT count(*) AS n FROM pg_proc")) == [(0,)]
+    # constraint rows: PK with attnum vector, conindid -> the pkey index
+    pkc = rows(
+        eng.sql(
+            "SELECT c.conname, c.contype, c.conkey, ic.relname "
+            "FROM pg_constraint c "
+            "JOIN pg_class tc ON tc.oid = c.conrelid "
+            "JOIN pg_class ic ON ic.oid = c.conindid "
+            "WHERE tc.relname = 'pgc'"
+        )
+    )
+    assert pkc == [("pgc_pkey", "p", "{1}", "pgc_pkey")]
+    assert ("public", "pgc", "pgc_pkey",
+            "CREATE UNIQUE INDEX pgc_pkey ON pgc (id)") in rows(
+        eng.sql("SELECT * FROM pg_indexes")
+    )
+    assert ("btree",) in rows(eng.sql("SELECT amname FROM pg_am"))
+    assert rows(eng.sql("SELECT rolname FROM pg_roles")) == [("postgres",)]
+    # FK constraint row points at the referenced relation
+    eng.sql("CREATE TABLE pgc_child (cid INT REFERENCES pgc(id))")
+    fkc = rows(
+        eng.sql(
+            "SELECT c.conname, c.contype, rc.relname, c.conkey, c.confkey "
+            "FROM pg_constraint c "
+            "JOIN pg_class tc ON tc.oid = c.conrelid "
+            "JOIN pg_class rc ON rc.oid = c.confrelid "
+            "WHERE tc.relname = 'pgc_child' AND c.contype = 'f'"
+        )
+    )
+    assert fkc == [("pgc_child_cid_fkey", "f", "pgc", "{1}", "{1}")]
+    eng.sql("DROP TABLE pgc_child")
     eng.sql("DROP TABLE pgc")
     assert ("public", "pgc") not in rows(
         eng.sql("SELECT schemaname, tablename FROM pg_tables")

@@ -69,3 +69,88 @@ def test_type_mapping():
 def test_plain_sql_untouched():
     sql = "SELECT a, SUM(b) AS s FROM t WHERE c LIKE 'x%' GROUP BY a"
     assert preprocess(sql) == sql
+
+
+def test_operators_inside_literals_never_rewritten():
+    # literal masking: ::, ->, ->>, ~, function names inside strings stay
+    for sql in (
+        "SELECT 'a::b' AS s",
+        "SELECT 'it''s::fine' AS s",
+        "SELECT 'j ->> k' AS s",
+        "SELECT 'x ~ y' AS s",
+        "SELECT 'length(z)' AS s",
+        "SELECT 'now()' AS s",
+    ):
+        assert preprocess(sql) == sql
+    # mixed: operator OUTSIDE a literal rewritten, INSIDE untouched
+    assert (
+        preprocess("SELECT j ->> 'k' FROM t WHERE note = 'cast::int'")
+        == "SELECT get_json_object(j, '$.k') FROM t "
+           "WHERE note = 'cast::int'"
+    )
+
+
+def test_cast_nested_parens_and_calls():
+    assert (
+        preprocess("SELECT ((a + b) * (c - d))::INT FROM t")
+        == "SELECT CAST(((a + b) * (c - d)) AS INT) FROM t"
+    )
+    assert (
+        preprocess("SELECT f(a, b)::TEXT")
+        == "SELECT CAST(f(a, b) AS STRING)"
+    )
+    assert (
+        preprocess("SELECT (SELECT max(x) FROM u)::BIGINT")
+        == "SELECT CAST((SELECT max(x) FROM u) AS BIGINT)"
+    )
+    assert (
+        preprocess("SELECT (a::INT + b)::TEXT FROM t")
+        == "SELECT CAST((CAST(a AS INT) + b) AS STRING) FROM t"
+    )
+
+
+def test_preprocess_property_literals_invariant():
+    """Property: whatever operator soup a literal holds, the literal
+    survives preprocess byte-for-byte (the round-2 ordered-replace hazard)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    literal_body = st.text(
+        alphabet="abc:>~-#(){},.$%_ 0123456789", min_size=0, max_size=20
+    ).map(lambda s: s.replace("'", ""))
+
+    @settings(max_examples=200, deadline=None)
+    @given(body=literal_body)
+    def check(body):
+        sql = f"SELECT '{body}' AS s FROM t WHERE x ~ '{body}'"
+        out = preprocess(sql)
+        assert f"'{body}'" in out  # both literals intact
+        assert out.count(f"'{body}'") == 2
+        assert "RLIKE" in out  # the operator outside was still rewritten
+
+    check()
+
+
+def test_preprocess_property_casts_balanced():
+    """Property: nested-paren cast operands of any depth rewrite to a
+    CAST with balanced parentheses and no residual ``::``."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    expr = st.recursive(
+        st.sampled_from(["a", "b.c", "f(a)", "1"]),
+        lambda inner: st.tuples(inner, inner).map(
+            lambda t: f"({t[0]} + {t[1]})"
+        ),
+        max_leaves=6,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(e=expr, typ=st.sampled_from(["INT", "TEXT", "NUMERIC(5,2)"]))
+    def check(e, typ):
+        out = preprocess(f"SELECT {e}::{typ} FROM t")
+        assert "::" not in out
+        assert out.startswith("SELECT CAST(")
+        assert out.count("(") == out.count(")")
+
+    check()

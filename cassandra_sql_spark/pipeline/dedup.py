@@ -266,6 +266,103 @@ def dup_clusters(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node's strictly-larger neighbors connect to
+    the minimum of its closed neighborhood (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond', SoCC'14)."""
+    bidir = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("u", "_mn").alias("_m"))
+    )
+    return (
+        bidir.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small; every node's smaller
+    neighbors (and itself) connect to its minimum neighbor."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    m = directed.groupBy("u").agg(F.min("v").alias("_m"))
+    return (
+        directed.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .union(m.select(F.col("u"), F.col("_m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def dup_clusters_bigstar(
+    pairs: DataFrame,
+    a_col: str = "da",
+    b_col: str = "db",
+    max_iters: int = 12,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star — the
+    100 TB upgrade over ``dup_clusters``'s min-label propagation.
+
+    Each round is two groupBy-min + join passes over the EDGE set (never
+    materializing neighborhoods), and path lengths square per round, so
+    convergence is O(log d) rounds vs O(d) for label propagation — on a
+    100 TB corpus where boilerplate chains stitch long components, that is
+    the difference between ~6 rounds and hundreds. Same output contract as
+    dup_clusters: (doc_id, cluster_id = component minimum).
+
+    Convergence detection: (count, order-insensitive xxhash64 sum) of the
+    edge set — no full except/anti-join per round.
+    """
+    nodes = (
+        pairs.select(F.col(a_col).cast("long").alias("node"))
+        .union(pairs.select(F.col(b_col).cast("long").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixed point: every non-min node has exactly the edge (node -> min);
+    # min-agg is a no-op there and a safe lower bound if max_iters cut in
+    labels = nodes.join(
+        edges.groupBy(F.col("u").alias("node")).agg(
+            F.min("v").alias("_m")
+        ),
+        "node",
+        "left",
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("_m", F.col("node")).alias("cluster_id"),
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,

@@ -466,10 +466,39 @@ QUERIES: dict[str, Q] = {
     # Connected components over the threshold-0.5 Jaccard pairs: the
     # pairwise-dedup -> keep/drop step. Oracle = DuckDB recursive CTE
     # (min reachable id per node on the undirected pair graph).
+    # Pair source uses the capped single-scan path (df_cutoff=64 is
+    # lossless on the fixtures — see dedup_ngram_jaccard above).
     "dedup_clusters": df_q(
         lambda spark, sf: dedup.dup_clusters(
             dedup.ngram_jaccard_pairs(
-                load(spark, sf, "documents"), "doc_id", "text", threshold=0.5
+                load(spark, sf, "documents"), "doc_id", "text",
+                threshold=0.5, df_cutoff=64,
+            )
+        ),
+        ("documents",),
+        oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_ORACLE.format(t=0.5)}),
+        e AS (
+          SELECT da AS a, db AS b FROM pairs
+          UNION
+          SELECT db AS a, da AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS n FROM e),
+        reach AS (
+          SELECT n, n AS r FROM nodes
+          UNION
+          SELECT e.b AS n, reach.r FROM reach JOIN e ON e.a = reach.n
+        )
+        SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n
+        """,
+    ),
+    # Same components via alternating large-star/small-star (Kiveris
+    # SoCC'14) — O(log diameter) rounds, the 100 TB path; same oracle.
+    "dedup_clusters_bigstar": df_q(
+        lambda spark, sf: dedup.dup_clusters_bigstar(
+            dedup.ngram_jaccard_pairs(
+                load(spark, sf, "documents"), "doc_id", "text",
+                threshold=0.5, df_cutoff=64,
             )
         ),
         ("documents",),

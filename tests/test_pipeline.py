@@ -94,6 +94,63 @@ def test_dup_clusters_chain_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_bigstar_components_match_label_propagation(spark):
+    """Chain, star, island graphs: big-star components must equal
+    min-label propagation's (and the known ground truth)."""
+    pairs = spark.createDataFrame(
+        [
+            # chain 1-2-3-4-5 (diameter stresses the squaring)
+            Row(da=1, db=2), Row(da=2, db=3), Row(da=3, db=4),
+            Row(da=4, db=5),
+            # star centered high: 100-{7,8,9}
+            Row(da=100, db=7), Row(da=100, db=8), Row(da=9, db=100),
+            # island pair
+            Row(da=50, db=51),
+        ]
+    )
+    expect = {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        7: 7, 8: 7, 9: 7, 100: 7,
+        50: 50, 51: 50,
+    }
+    big = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dup_clusters_bigstar(pairs).collect()
+    }
+    lab = {
+        r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert big == expect
+    assert lab == expect
+
+
+def test_bigstar_random_graphs_match_label_propagation(spark):
+    """Pseudo-random edge sets (deterministic): both algorithms agree."""
+    import hashlib
+
+    def h(i, j):
+        return int.from_bytes(
+            hashlib.md5(f"{i}:{j}".encode()).digest()[:4], "big"
+        )
+
+    for seed in range(3):
+        edges = [
+            Row(da=h(seed, 2 * e) % 60, db=h(seed, 2 * e + 1) % 60)
+            for e in range(40)
+        ]
+        edges = [r for r in edges if r.da != r.db]
+        pairs = spark.createDataFrame(edges)
+        big = {
+            r.doc_id: r.cluster_id
+            for r in dedup.dup_clusters_bigstar(pairs).collect()
+        }
+        lab = {
+            r.doc_id: r.cluster_id
+            for r in dedup.dup_clusters(pairs).collect()
+        }
+        assert big == lab
+
+
 def test_exact_dedup_collapses_duplicates(spark):
     df = spark.createDataFrame(
         [

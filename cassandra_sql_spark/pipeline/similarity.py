@@ -393,6 +393,53 @@ def topk_ivf(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def write_lsh_partitioned(
+    emb: DataFrame,
+    path: str,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the embedding corpus hive-partitioned by LSH bucket —
+    the ANN index build step for the 100 TB layout.
+
+    Each of the 2^planes buckets becomes a partition directory; a probe
+    then reads ONLY the query's bucket via partition pruning (asserted in
+    tests/test_plans.py: the scan's partition filters carry _bucket and
+    the other partitions are never listed). Bucket assignment is the same
+    deterministic hyperplane expression as lsh_bucket, so index and query
+    always agree; rebuilding is a map-only full scan."""
+    emb.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes)).write.mode(
+        "overwrite"
+    ).partitionBy("_bucket").parquet(path)
+
+
+def topk_lsh_pruned(
+    spark,
+    path: str,
+    query_vec: list,
+    k: int = 10,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a write_lsh_partitioned index: compute the query's bucket
+    driver-side (constant fold of the same plane expression), filter the
+    partition column with a LITERAL so Catalyst prunes to one directory,
+    then exact-score only that bucket."""
+    qdf = spark.createDataFrame([(query_vec,)], f"{vec_col} array<double>")
+    qbucket = qdf.select(
+        lsh_bucket(F.col(vec_col), planes).alias("b")
+    ).collect()[0]["b"]
+    bucketed = spark.read.parquet(path).filter(F.col("_bucket") == qbucket)
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = bucketed.select(
+        id_col,
+        cosine(F.col(vec_col), qarr).cast("decimal(18,6)").alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def topk_lsh(
     emb: DataFrame,
     query_id: int,

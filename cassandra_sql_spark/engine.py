@@ -615,7 +615,75 @@ class Engine:
             parts.append("".join(cur).strip())
         return parts
 
+    _SPARK_TO_SQL = {
+        "string": "TEXT", "bigint": "BIGINT", "int": "INTEGER",
+        "smallint": "SMALLINT", "double": "DOUBLE PRECISION",
+        "float": "REAL", "boolean": "BOOLEAN", "date": "DATE",
+        "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+        "binary": "BYTEA",
+    }
+
+    def _create_table_as(
+        self, if_not_exists: bool, name: str, query: str
+    ) -> DataFrame:
+        """CTAS (⬆ — the reference only has CREATE [MATERIALIZED] VIEW AS
+        SELECT, KvQueryExecutor.java:4824,4898): run the query, derive the
+        schema, materialize as a v1 managed table with a hidden rowid PK
+        so later UPDATE/DELETE/time-travel behave like any other table."""
+        if name in self.catalog.tables:
+            if if_not_exists:
+                return self._status(f"table {name} exists")
+            raise EngineError(f"table exists: {name}")
+        df = self.spark.sql(preprocess(query))
+        meta = TableMeta(name=name)
+        for f in df.schema.fields:
+            simple = f.dataType.simpleString()
+            base = simple.split("(")[0]
+            if simple.startswith("decimal"):
+                sql_t = simple.upper().replace("DECIMAL", "NUMERIC")
+            else:
+                sql_t = self._SPARK_TO_SQL.get(base, simple.upper())
+            meta.columns.append(
+                ColumnMeta(
+                    name=f.name,
+                    sql_type=sql_t,
+                    spark_type=simple,
+                    nullable=bool(f.nullable),
+                )
+            )
+        meta.columns.append(
+            ColumnMeta(
+                name="rowid", sql_type="BIGINT", spark_type="BIGINT",
+                nullable=False, identity=True, hidden=True,
+            )
+        )
+        meta.primary_key = ["rowid"]
+        meta.unique.append(["rowid"])
+        out = df.withColumn(
+            "rowid",
+            F.row_number().over(
+                Window.orderBy(F.monotonically_increasing_id())
+            ).cast("bigint"),
+        )
+        meta.path = os.path.join(self.catalog.table_path(name), "v1")
+        out.write.mode("overwrite").parquet(meta.path)
+        n = self.spark.read.parquet(meta.path).count()
+        self.catalog.add_table(meta)
+        self.catalog.create_sequence(f"{name}_rowid_seq", start=n + 1)
+        self._register(meta)
+        return self._status(f"create table {name} as select", n)
+
     def _create_table(self, s: str) -> DataFrame:
+        ctas = re.match(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+AS\s+"
+            r"((?:SELECT|WITH|VALUES|TABLE)\b.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if ctas:
+            return self._create_table_as(
+                bool(ctas.group(1)), ctas.group(2).lower(), ctas.group(3)
+            )
         m = re.match(
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*$",
             s,

@@ -251,6 +251,35 @@ def test_transactions_are_noops(eng):
     assert "no-op" in rows(eng.sql("COMMIT"))[0][0]
 
 
+def test_create_table_as_select(eng):
+    eng.sql("CREATE TABLE ctas_src (id INT PRIMARY KEY, v TEXT, x DOUBLE)")
+    eng.sql(
+        "INSERT INTO ctas_src VALUES (1, 'a', 1.5), (2, 'b', 2.5), "
+        "(3, 'c', 3.5)"
+    )
+    eng.sql(
+        "CREATE TABLE ctas_dst AS "
+        "SELECT id, upper(v) AS vv, x * 2 AS x2 FROM ctas_src WHERE id >= 2"
+    )
+    assert rows(eng.sql("SELECT id, vv, x2 FROM ctas_dst ORDER BY id")) == [
+        (2, "B", 5.0), (3, "C", 7.0),
+    ]
+    # behaves like a managed table: hidden rowid, DML, introspection
+    assert rows(
+        eng.sql("SELECT attname FROM pg_attribute WHERE relname='ctas_dst' "
+                "ORDER BY attnum")
+    ) == [("id",), ("vv",), ("x2",)]
+    eng.sql("INSERT INTO ctas_dst VALUES (9, 'Z', 0.0)")
+    eng.sql("DELETE FROM ctas_dst WHERE id = 2")
+    assert rows(eng.sql("SELECT id FROM ctas_dst ORDER BY id")) == [
+        (3,), (9,),
+    ]
+    assert "exists" in rows(
+        eng.sql("CREATE TABLE IF NOT EXISTS ctas_dst AS SELECT 1 AS a")
+    )[0][0]
+    eng.sql("DROP TABLE ctas_dst; DROP TABLE ctas_src")
+
+
 def test_pg_to_char_token_order(eng):
     """Pin the format-token translation table order: MI must translate
     before any month handling so pg minutes ('MI') and months ('MM')

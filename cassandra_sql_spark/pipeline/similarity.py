@@ -447,18 +447,34 @@ def topk_lsh(
     planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket.
 
-    At 100 TB the bucketed table is written partitioned by bucket so a
-    probe is a single-partition scan (partition pruning), not a full pass.
+    ``multiprobe > 0`` additionally probes the buckets at Hamming
+    distance 1 from the query's (flip each of the first `multiprobe` sign
+    bits) — the standard recall/cost knob: a near neighbor that landed
+    just across one hyperplane is recovered for (multiprobe+1)/2^planes
+    of the data scanned instead of a full pass.
+
+    At 100 TB the bucketed table is written partitioned by bucket
+    (write_lsh_partitioned) so each probed bucket is a pruned
+    single-partition scan — multiprobe turns into an IN-list partition
+    filter, still never a full pass.
     """
     bucketed = emb.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    probes = F.array(
+        F.col("_bucket"),
+        *[
+            F.col("_bucket").bitwiseXOR(F.lit(2**p))
+            for p in range(min(multiprobe, planes))
+        ],
+    )
     q = bucketed.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qv"), F.col("_bucket").alias("_qb")
+        F.col(vec_col).alias("_qv"), probes.alias("_qbs")
     )
     cands = bucketed.join(
-        F.broadcast(q), F.col("_bucket") == F.col("_qb")
+        F.broadcast(q), F.array_contains(F.col("_qbs"), F.col("_bucket"))
     ).filter(F.col(id_col) != query_id)
     scored = cands.select(
         id_col,

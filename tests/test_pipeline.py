@@ -218,6 +218,15 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert len(approx & set(exact)) >= 2
     # and every returned id must come from the same bucket scoring path
     assert len(approx) == 10
+    # multi-probe (Hamming-1 neighbor buckets) can only widen the
+    # candidate set -> recall is monotone in the probe count
+    multi = {
+        r.vec_id
+        for r in similarity.topk_lsh(
+            emb, query_id=0, k=10, planes=2, multiprobe=2
+        ).collect()
+    }
+    assert len(multi & set(exact)) >= len(approx & set(exact))
 
 
 def test_threshold_pairs_lsh_equals_exact(spark, sf_dir):

@@ -241,4 +241,64 @@ QUERIES: dict[str, Q] = {
         """,
         ("lineitem",),
     ),
+    # pg string-function staples round 2: split_part / initcap /
+    # translate / repeat / reverse / md5 / ascii (reference string library
+    # kv/FunctionRegistry; same names in both dialects).
+    "expr_string_extras": sql_q(
+        """
+        SELECT p_partkey,
+               SPLIT_PART(p_type, ' ', 1) AS type_head,
+               INITCAP(p_brand) AS brand_cap,
+               TRANSLATE(p_brand, '#', '-') AS brand_dash,
+               REPEAT(p_brand, 2) AS brand2,
+               REVERSE(p_type) AS type_rev,
+               MD5(p_name) AS name_md5,
+               CAST(ASCII(p_name) AS INT) AS first_code
+        FROM part WHERE p_partkey < 300
+        """,
+        ("part",),
+        # DuckDB has no initcap: spell it as first-upper + rest-lower
+        # (p_brand is single-word, so this matches Spark's per-word rule)
+        oracle="""
+        SELECT p_partkey,
+               SPLIT_PART(p_type, ' ', 1) AS type_head,
+               UPPER(SUBSTR(p_brand, 1, 1)) || LOWER(SUBSTR(p_brand, 2))
+                 AS brand_cap,
+               TRANSLATE(p_brand, '#', '-') AS brand_dash,
+               REPEAT(p_brand, 2) AS brand2,
+               REVERSE(p_type) AS type_rev,
+               MD5(p_name) AS name_md5,
+               CAST(ASCII(p_name) AS INT) AS first_code
+        FROM part WHERE p_partkey < 300
+        """,
+    ),
+    # generate_series (pg table function) re-expressed as
+    # explode(sequence(...)): the calendar spine every reporting join
+    # starts from — here left-joined to daily order counts so missing
+    # days surface as zeros.
+    "series_calendar_fill": sql_q(
+        """
+        SELECT d.day, COALESCE(o.n, CAST(0 AS BIGINT)) AS n_orders
+        FROM (
+          SELECT EXPLODE(SEQUENCE(DATE '1995-03-01', DATE '1995-03-31')) AS day
+        ) d
+        LEFT JOIN (
+          SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+          FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ) o ON d.day = o.day
+        ORDER BY d.day
+        """,
+        ("orders",),
+        oracle="""
+        SELECT CAST(gs.day AS DATE) AS day,
+               COALESCE(o.n, CAST(0 AS BIGINT)) AS n_orders
+        FROM generate_series(DATE '1995-03-01', DATE '1995-03-31',
+                             INTERVAL 1 DAY) AS gs(day)
+        LEFT JOIN (
+          SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+          FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ) o ON CAST(gs.day AS DATE) = o.day
+        ORDER BY day
+        """,
+    ),
 }

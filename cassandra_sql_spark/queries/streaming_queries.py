@@ -43,6 +43,13 @@ def _dedup_stream(spark, sf_dir):
     return spark.table("stream_dedup_q")
 
 
+def _static_enrich(spark, sf_dir):
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-enrich-")
+    joined = ev.stream_static_enrich(spark, sf_dir)
+    ev.run_available_now(joined, "stream_static_q", ckpt, mode="append")
+    return spark.table("stream_static_q")
+
+
 QUERIES: dict[str, Q] = {
     # Stream-stream interval self-join (click -> purchase attribution);
     # drained result equals the batch interval join the oracle runs.
@@ -85,4 +92,22 @@ QUERIES: dict[str, Q] = {
         """,
     ),
     "stream_sessionize": Q(_sessions, None),
+    # Stream-static dimension enrichment: static per-user profile
+    # broadcast-joined into the stream; drained result equals the batch
+    # self-join the oracle runs.
+    "stream_static_join": Q(
+        _static_enrich,
+        """
+        SELECT e.event_id, e.user_id,
+               CAST(ROUND(e.value * 100) AS BIGINT) AS cents,
+               u.user_total_cents, u.user_n_events
+        FROM events e
+        JOIN (
+          SELECT user_id,
+                 SUM(CAST(ROUND(value * 100) AS BIGINT)) AS user_total_cents,
+                 COUNT(*) AS user_n_events
+          FROM events GROUP BY user_id
+        ) u ON e.user_id = u.user_id
+        """,
+    ),
 }

@@ -162,4 +162,18 @@ QUERIES: dict[str, Q] = {
         """,
         ("supplier", "nation"),
     ),
+    # NTH_VALUE over a full frame (⬆ — absent from the reference's window
+    # function set, WindowFunctionExecutor.java): 2nd-highest balance per
+    # nation alongside each row.
+    "win_nth_value": sql_q(
+        """
+        SELECT s_suppkey, s_nationkey, s_acctbal,
+               NTH_VALUE(s_acctbal, 2) OVER (
+                 PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_bal
+        FROM supplier
+        """,
+        ("supplier",),
+    ),
 }

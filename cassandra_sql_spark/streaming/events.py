@@ -192,6 +192,35 @@ def attribution_join(
     )
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich each streamed event with a per-user
+    profile computed batch-side (total spend) — the canonical dimension
+    enrichment. Stateless in streaming terms (the static side is just a
+    broadcast per micro-batch), so it stays append-mode with no watermark
+    state; at 100 TB the static side is a broadcast dim or a pre-bucketed
+    table, never stream state."""
+    from cassandra_sql_spark.io import load
+
+    stream = read_events_stream(spark, sf_dir)
+    profile = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "user_total_cents"
+            ),
+            F.count(F.lit(1)).alias("user_n_events"),
+        )
+    )
+    return stream.join(F.broadcast(profile), "user_id").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "user_total_cents",
+        "user_n_events",
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -1374,16 +1374,25 @@ class Engine:
         meta = self._table(m.group(1).lower())
         direction, path, opts = m.group(2).upper(), m.group(3), m.group(4).upper()
         header = "HEADER" in opts
+        # FORMAT PARQUET (⬆ — reference COPY is CSV-only,
+        # executor/CopyExecutor semantics): zero-parse bulk load/unload.
+        parquet = re.search(r"\bFORMAT\s+PARQUET\b", opts) is not None
         if direction == "FROM":
-            df = self.spark.read.csv(
-                path, schema=meta.spark_ddl(), header=header
-            )
+            if parquet:
+                df = self.spark.read.schema(meta.spark_ddl()).parquet(path)
+            else:
+                df = self.spark.read.csv(
+                    path, schema=meta.spark_ddl(), header=header
+                )
             self._validate(meta, df.cache())
             n = df.count()
             self._append(meta, df)
             return self._status(f"copy {meta.name} from {path}", n)
         df = self._read(meta)
-        df.coalesce(1).write.mode("overwrite").csv(path, header=header)
+        if parquet:
+            df.write.mode("overwrite").parquet(path)
+        else:
+            df.coalesce(1).write.mode("overwrite").csv(path, header=header)
         return self._status(f"copy {meta.name} to {path}", df.count())
 
     def _select_asof(self, s: str) -> DataFrame:

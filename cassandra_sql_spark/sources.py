@@ -115,6 +115,30 @@ def write_any(
     writer.save(path)
 
 
+def write_sorted_table(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    rows_per_group: int = 10_000,
+) -> None:
+    """Persist sorted by ``sort_cols`` with small row groups — the engine's
+    CREATE INDEX substitute (COVERAGE.md §2.9).
+
+    Sorting clusters each indexed-column value range into few row groups;
+    parquet min/max statistics then let a pushed predicate skip the rest
+    at scan time (row-group pruning). At 100 TB this is the lakehouse
+    answer to a b-tree: no separate index structure to maintain, and the
+    'index' is consulted by EVERY engine that reads the files.
+    ``tests/test_sources.py`` proves the skip with scan SQLMetrics."""
+    (
+        df.repartition(1)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 256 * 1024)  # small row groups ->
+        .parquet(path)                             # fine-grained skipping
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -156,6 +156,12 @@ def test_copy_roundtrip(eng, tmp_path):
     eng.sql("CREATE TABLE c2 (id INT, v TEXT)")
     eng.sql(f"COPY c2 FROM '{out}' WITH (FORMAT CSV, HEADER)")
     assert rows(eng.sql("SELECT * FROM c2 ORDER BY id")) == [(1, "x"), (2, "y")]
+    # parquet round-trip (⬆ — reference COPY is CSV-only)
+    pout = str(tmp_path / "out_parquet")
+    eng.sql(f"COPY c1 TO '{pout}' WITH (FORMAT PARQUET)")
+    eng.sql("CREATE TABLE c3 (id INT, v TEXT)")
+    eng.sql(f"COPY c3 FROM '{pout}' WITH (FORMAT PARQUET)")
+    assert rows(eng.sql("SELECT * FROM c3 ORDER BY id")) == [(1, "x"), (2, "y")]
 
 
 def test_pg_isms_rewrites(eng):

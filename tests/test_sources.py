@@ -100,3 +100,52 @@ def test_optimize_layout_preserves_data_and_caches(spark, sf_dir, tmp_path):
     se = pq.read_table(f"{sf_dir}/events.parquet")
     de = pq.read_table(f"{cache}/events.parquet")
     assert se.schema == de.schema
+
+
+def test_sorted_layout_skips_row_groups(spark, sf_dir, tmp_path):
+    """The CREATE INDEX substitute, proven: a tight predicate over the
+    sort column reads strictly fewer rows out of the scan on the sorted
+    layout than the table holds (parquet min/max row-group pruning)."""
+    li = spark.range(200_000).select(
+        F.col("id").alias("l_orderkey"),
+        F.date_add(F.lit("1994-01-01"), (F.col("id") % 365).cast("int"))
+        .cast("string")
+        .alias("l_shipdate"),
+        (F.col("id") % 50).cast("double").alias("l_quantity"),
+    )
+    total = li.count()
+    path = str(tmp_path / "li_sorted")
+    sources.write_sorted_table(li, path, ["l_shipdate"])
+
+    probe = spark.read.parquet(path).filter(
+        F.col("l_shipdate") == "1994-03-15"
+    )
+    qe = probe._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+
+    def scan_rows(node):
+        if "Scan" in node.nodeName():
+            mts = node.metrics().toList()
+            for i in range(mts.size()):
+                kv = mts.apply(i)
+                if kv._1() == "numOutputRows":
+                    return int(kv._2().value())
+        if "AdaptiveSparkPlan" in node.nodeName():
+            return scan_rows(node.executedPlan())
+        if "QueryStage" in node.nodeName():
+            return scan_rows(node.plan())
+        ch = node.children()
+        for i in range(ch.size()):
+            got = scan_rows(ch.apply(i))
+            if got is not None:
+                return got
+        return None
+
+    n_scan = scan_rows(qe.executedPlan())
+    # pushdown + row-group stats: the scan surfaces far fewer rows than
+    # the table holds (without skipping it would decode all of them; the
+    # filter also row-level-prunes, so assert a strong reduction)
+    assert n_scan is not None and n_scan < total / 10
+    # and the result is correct vs the source frame
+    expect = li.filter(F.col("l_shipdate") == "1994-03-15").count()
+    assert probe.count() == expect and expect > 0

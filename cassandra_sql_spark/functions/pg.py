@@ -17,6 +17,20 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 _FUNCTIONS = [
+    # psql handshake staples the reference fast-paths on the wire
+    # (postgres/PostgresConnectionHandler.java:319,337,355). version() and
+    # current_database() are Spark built-ins (non-replaceable), so the
+    # preprocess aliases route the pg spellings to these pg_* functions;
+    # the version string mirrors the reference's.
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION pg_version()
+    RETURNS STRING RETURN
+      'PostgreSQL 14.0 (Cassandra SQL Layer 1.0, Spark engine)'
+    """,
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION pg_current_database()
+    RETURNS STRING RETURN 'cassandra_sql'
+    """,
     # JSON type inspection (reference kv/JsonHelper.java jsonb_typeof).
     # Heuristic on the raw JSON text — matches pg for well-formed values.
     """

@@ -230,6 +230,10 @@ _FUNC_ALIASES = {
     # pg to_char format tokens differ from Spark's builtin to_char;
     # pg_to_char (functions/pg.py) translates them
     r"\bto_char\s*\(": "pg_to_char(",
+    # psql handshake staples: Spark's built-ins of the same name answer
+    # with Spark strings, so route to the pg_-prefixed SQL functions
+    r"\bversion\s*\(\s*\)": "pg_version()",
+    r"\bcurrent_database\s*\(\s*\)": "pg_current_database()",
 }
 
 

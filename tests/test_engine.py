@@ -301,6 +301,12 @@ def test_pg_to_char_token_order(eng):
     assert r == ("0308", "0803", "20240305070809")
 
 
+def test_psql_handshake_functions(eng):
+    r = rows(eng.sql("SELECT version() AS v, current_database() AS d"))[0]
+    assert r[0].startswith("PostgreSQL 14.0")  # mirrors the reference
+    assert r[1] == "cassandra_sql"  # matches the pg_database row
+
+
 def test_do_block_accepted_as_noop(eng):
     # reference parity: DO bodies accepted, not executed
     # (QueryService.java:101-106); surrounding statements still run.

@@ -237,12 +237,38 @@ _FUNC_ALIASES = {
 }
 
 
+def _rewrite_fetch_first(sql: str) -> str:
+    """SQL-standard/pg row limiting -> Spark's LIMIT/OFFSET spelling:
+    ``OFFSET m [ROWS] FETCH FIRST|NEXT n ROWS ONLY`` -> ``LIMIT n OFFSET
+    m`` (Spark requires LIMIT before OFFSET), plus the standalone forms."""
+    sql = re.sub(
+        r"\bOFFSET\s+(\d+)(?:\s+ROWS?)?\s+"
+        r"FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b",
+        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b",
+        lambda m: f"LIMIT {m.group(1)}",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return re.sub(
+        r"\bOFFSET\s+(\d+)\s+ROWS?\b",
+        lambda m: f"OFFSET {m.group(1)}",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def preprocess(sql: str) -> str:
     """Rewrite pg-flavored SQL into Spark SQL (queries & expressions)."""
     masked, lits = _mask_literals(sql)
     masked = _rewrite_json_ops(masked, lits)
     masked = _rewrite_casts(masked)
     masked = _rewrite_regex_match(masked)
+    masked = _rewrite_fetch_first(masked)
     for pat, repl in _FUNC_ALIASES.items():
         masked = re.sub(pat, repl, masked, flags=re.IGNORECASE)
     return _unmask(masked, lits)

@@ -109,6 +109,30 @@ def test_cast_nested_parens_and_calls():
     )
 
 
+def test_fetch_first_rewrites():
+    assert (
+        preprocess("SELECT a FROM t ORDER BY a FETCH FIRST 5 ROWS ONLY")
+        == "SELECT a FROM t ORDER BY a LIMIT 5"
+    )
+    assert (
+        preprocess("SELECT a FROM t ORDER BY a OFFSET 10 FETCH NEXT 5 ROWS ONLY")
+        == "SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 10"
+    )
+    assert (
+        preprocess("SELECT a FROM t ORDER BY a OFFSET 10 ROWS "
+                   "FETCH FIRST 1 ROW ONLY")
+        == "SELECT a FROM t ORDER BY a LIMIT 1 OFFSET 10"
+    )
+    assert (
+        preprocess("SELECT a FROM t ORDER BY a OFFSET 3 ROWS")
+        == "SELECT a FROM t ORDER BY a OFFSET 3"
+    )
+    # inside a literal: untouched
+    assert preprocess("SELECT 'FETCH FIRST 5 ROWS ONLY' AS s") == (
+        "SELECT 'FETCH FIRST 5 ROWS ONLY' AS s"
+    )
+
+
 def test_preprocess_property_literals_invariant():
     """Property: whatever operator soup a literal holds, the literal
     survives preprocess byte-for-byte (the round-2 ordered-replace hazard)."""

@@ -481,6 +481,8 @@ class Engine:
             return self._status("do (no-op: procedural bodies not executed)")
         if kw[0] == "SET":
             return self._set(s)
+        if kw[0] == "SHOW":
+            return self._show(s)
         if kw[0] == "VACUUM":
             return self._vacuum(s)
         if kw[0] == "ANALYZE":
@@ -538,6 +540,32 @@ class Engine:
         return self.spark.sql(preprocess(s))
 
     # ----------------------------------------------------------------- DDL
+
+    # pg session-setting defaults answered by SHOW (⬆ — absent in the
+    # reference; JDBC/psql issue these right after connecting)
+    _SHOW_DEFAULTS = {
+        "server_version": "14.0",
+        "server_encoding": "UTF8",
+        "client_encoding": "UTF8",
+        "transaction isolation level": "read committed",
+        "transaction_isolation": "read committed",
+        "timezone": "UTC",
+        "time zone": "UTC",
+        "search_path": "public",
+        "standard_conforming_strings": "on",
+        "datestyle": "ISO, MDY",
+    }
+
+    def _show(self, s: str) -> DataFrame:
+        name = re.sub(r"^SHOW\s+", "", s, flags=re.IGNORECASE).strip().lower()
+        try:
+            val = self.spark.conf.get(name)
+        except Exception:
+            val = self._SHOW_DEFAULTS.get(name)
+        if val is None:
+            raise EngineError(f"unrecognized configuration parameter: {name}")
+        col = name if re.fullmatch(r"[a-z_][a-z0-9_]*", name) else "setting"
+        return self.spark.createDataFrame([(val,)], f"{col} string")
 
     def _set(self, s: str) -> DataFrame:
         m = re.match(r"SET\s+(\S+)\s*(?:=|TO)\s*(.+)$", s, re.IGNORECASE)

@@ -301,6 +301,17 @@ def test_pg_to_char_token_order(eng):
     assert r == ("0308", "0803", "20240305070809")
 
 
+def test_show_settings(eng):
+    assert rows(eng.sql("SHOW server_version")) == [("14.0",)]
+    assert rows(eng.sql("SHOW TRANSACTION ISOLATION LEVEL")) == [
+        ("read committed",)
+    ]
+    eng.sql("SET my.app_knob = 'forty-two'")
+    assert rows(eng.sql("SHOW my.app_knob")) == [("forty-two",)]
+    with pytest.raises(EngineError):
+        eng.sql("SHOW no_such_setting_xyz")
+
+
 def test_psql_handshake_functions(eng):
     r = rows(eng.sql("SELECT version() AS v, current_database() AS d"))[0]
     assert r[0].startswith("PostgreSQL 14.0")  # mirrors the reference

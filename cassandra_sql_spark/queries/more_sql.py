@@ -184,6 +184,29 @@ QUERIES: dict[str, Q] = {
         FROM orders
         """,
     ),
+    # approx_percentile sketch bound-checked against the exact percentile
+    # (same pattern as agg_approx_distinct_bound: the sketch answer is
+    # engine-specific, the BOUND is checkable cross-engine). The sketch is
+    # the 100 TB path — mergeable per-partition state, no global sort.
+    "agg_approx_percentile_bound": sql_q(
+        """
+        SELECT l_returnflag,
+               CAST(PERCENTILE(l_quantity, 0.5) AS DOUBLE) AS exact_p50,
+               CASE WHEN
+                 ABS(APPROX_PERCENTILE(l_quantity, 0.5, 10000)
+                     - PERCENTILE(l_quantity, 0.5))
+                   <= 1.0
+               THEN 1 ELSE 0 END AS within_bound
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        ("lineitem",),
+        oracle="""
+        SELECT l_returnflag,
+               CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS exact_p50,
+               1 AS within_bound
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
     # Hypertable-style multi-granularity time rollup: one pass produces
     # day, month, and grand-total aggregates via GROUPING SETS over time
     # buckets (the continuous-aggregate shape; at scale a single expand +

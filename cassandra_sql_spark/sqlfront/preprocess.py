@@ -111,6 +111,7 @@ _TYPE_RE = re.compile(
 )
 _IDENT_TAIL = re.compile(r"[A-Za-z_][\w.]*\Z")
 _NUM_TAIL = re.compile(r"\d+(?:\.\d+)?\Z")
+_CASE_END = re.compile(r"\b(CASE|END)\b", re.IGNORECASE)
 _PH_TAIL = re.compile(r"\x00L\d+\x00\Z")
 
 
@@ -154,6 +155,18 @@ def _rewrite_casts(sql: str) -> str:
             )
             if m:
                 start = m.start()
+                if sql[start:j + 1].upper() == "END":
+                    # CASE ... END::type — extend back to the matching
+                    # CASE (CASE/END nest)
+                    depth, k = 1, start
+                    for km in reversed(
+                        list(_CASE_END.finditer(sql, 0, start))
+                    ):
+                        depth += 1 if km.group(0).upper() == "END" else -1
+                        if depth == 0:
+                            k = km.start()
+                            break
+                    start = k if depth == 0 else -1
         tm = _TYPE_RE.match(sql, i + 2) if start >= 0 else None
         if not tm:
             pos = i + 2

@@ -109,6 +109,26 @@ def test_cast_nested_parens_and_calls():
     )
 
 
+def test_case_end_cast_operand():
+    assert (
+        preprocess("SELECT CASE WHEN a > 1 THEN 'x' ELSE 'y' END::TEXT "
+                   "FROM t")
+        == "SELECT CAST(CASE WHEN a > 1 THEN 'x' ELSE 'y' END AS STRING) "
+           "FROM t"
+    )
+    # nested CASE and idents merely ending in 'end'
+    assert preprocess(
+        "SELECT CASE WHEN a THEN CASE WHEN b THEN 1 ELSE 2 END "
+        "ELSE 3 END::INT FROM t"
+    ) == (
+        "SELECT CAST(CASE WHEN a THEN CASE WHEN b THEN 1 ELSE 2 END "
+        "ELSE 3 END AS INT) FROM t"
+    )
+    assert preprocess("SELECT trend::INT FROM t") == (
+        "SELECT CAST(trend AS INT) FROM t"
+    )
+
+
 def test_fetch_first_rewrites():
     assert (
         preprocess("SELECT a FROM t ORDER BY a FETCH FIRST 5 ROWS ONLY")

@@ -207,17 +207,20 @@ class Engine:
         # with indisprimary=true; declared UNIQUE constraints get *_key.
         idx: list = []  # (indexrelid, indrelid, relname, indkey, isprimary)
         for t in tables:
+            # pg folds unquoted identifiers: attnum lookups and the
+            # PK-vs-UNIQUE dedupe compare are case-insensitive
             attnum = {
-                c.name: i + 1
+                c.name.lower(): i + 1
                 for i, c in enumerate(
                     cc for cc in t.columns if not cc.hidden
                 )
             }
+            pk_folded = [c.lower() for c in t.primary_key]
             keysets = []
             if t.primary_key:
                 keysets.append((f"{t.name}_pkey", t.primary_key, True))
             for ucols in t.unique:
-                if list(ucols) == list(t.primary_key):
+                if [c.lower() for c in ucols] == pk_folded:
                     continue  # the PK's implicit unique set IS the pkey
                 keysets.append((f"{t.name}_{'_'.join(ucols)}_key", ucols,
                                 False))
@@ -225,8 +228,8 @@ class Engine:
                 rel.append((oid, iname, "i", 2200))
                 idx.append((
                     oid, rel_oid[t.name], iname,
-                    " ".join(str(attnum.get(c, 0)) for c in cols), isp,
-                    t.name, cols,
+                    " ".join(str(attnum.get(c.lower(), 0)) for c in cols),
+                    isp, t.name, cols,
                 ))
                 oid += 1
         spark.createDataFrame(
@@ -456,12 +459,21 @@ class Engine:
     def sql(self, text: str) -> DataFrame:
         """Execute one or more statements; returns the last result."""
         result = self._status("ok", 0)
+        ddl_seen = False
         for stmt in split_statements(text):
-            result = self._one(stmt)
-            if re.match(
-                r"\s*(CREATE|DROP|ALTER|TRUNCATE|REFRESH)\b", stmt, re.I
-            ):
+            if ddl_seen and re.match(r"\s*(SELECT|WITH)\b", stmt, re.I):
+                # a later SELECT in the batch may read pg_catalog
                 self._register_pg_catalog()
+                ddl_seen = False
+            result = self._one(stmt)
+            ddl_seen = ddl_seen or bool(re.match(
+                r"\s*(CREATE|DROP|ALTER|TRUNCATE|REFRESH)\b", stmt, re.I
+            ))
+        if ddl_seen:
+            # regenerate the ~17 pg_catalog views ONCE per batch, not per
+            # DDL statement (a N-statement restore script was O(N) full
+            # regenerations of all relation/attribute/constraint rows)
+            self._register_pg_catalog()
         return result
 
     def _one(self, stmt: str) -> DataFrame:
@@ -556,8 +568,18 @@ class Engine:
         "datestyle": "ISO, MDY",
     }
 
+    # Spark's own SHOW metadata commands — pass through, don't treat as GUCs
+    _SPARK_SHOW = (
+        "TABLES", "VIEWS", "FUNCTIONS", "DATABASES", "SCHEMAS", "COLUMNS",
+        "PARTITIONS", "CREATE", "TBLPROPERTIES", "CATALOGS",
+    )
+
     def _show(self, s: str) -> DataFrame:
-        name = re.sub(r"^SHOW\s+", "", s, flags=re.IGNORECASE).strip().lower()
+        rest = re.sub(r"^SHOW\s+", "", s, flags=re.IGNORECASE).strip()
+        first = rest.split(None, 1)[0].upper() if rest else ""
+        if first in self._SPARK_SHOW:
+            return self.spark.sql(s)
+        name = self._fold_guc(rest)
         try:
             val = self.spark.conf.get(name)
         except Exception:
@@ -567,10 +589,22 @@ class Engine:
         col = name if re.fullmatch(r"[a-z_][a-z0-9_]*", name) else "setting"
         return self.spark.createDataFrame([(val,)], f"{col} string")
 
+    @staticmethod
+    def _fold_guc(name: str) -> str:
+        """pg GUC names are case-insensitive (fold to lower); Spark conf
+        keys (spark.*) are case-sensitive and pass through untouched."""
+        name = name.strip()
+        return name if name.lower().startswith("spark.") else name.lower()
+
     def _set(self, s: str) -> DataFrame:
         m = re.match(r"SET\s+(\S+)\s*(?:=|TO)\s*(.+)$", s, re.IGNORECASE)
         if m:
-            self.spark.conf.set(m.group(1), m.group(2).strip().strip("'"))
+            # same GUC case-folding as SHOW, so SET TimeZone / SHOW timezone
+            # agree (pg names are case-insensitive; spark.* keys are not)
+            self.spark.conf.set(
+                self._fold_guc(m.group(1)),
+                m.group(2).strip().strip("'"),
+            )
         return self._status("set")
 
     def _create_type(self, s: str) -> DataFrame:
@@ -704,7 +738,8 @@ class Engine:
     def _create_table(self, s: str) -> DataFrame:
         ctas = re.match(
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+AS\s+"
-            r"((?:SELECT|WITH|VALUES|TABLE)\b.*)$",
+            r"(\(\s*(?:SELECT|WITH|VALUES|TABLE)\b.*"  # pg: AS (SELECT ...)
+            r"|(?:SELECT|WITH|VALUES|TABLE)\b.*)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )

@@ -150,12 +150,18 @@ def ngram_jaccard_pairs(
         )
     )
     if df_cutoff is not None:
+        # Stoplist FIRST (count agg is constant-size partial-agg state,
+        # hot set is tiny -> broadcast anti-join), THEN collect_list: the
+        # posting lists built are provably <= df_cutoff structs. Building
+        # the list before filtering would materialize a hot shingle's
+        # millions of docs into one aggregation-buffer row — the exact
+        # blowup the cutoff exists to prevent.
+        hot = ex.groupBy("_g").count().filter(F.col("count") > df_cutoff)
         posting = (
-            ex.groupBy("_g")
+            ex.join(F.broadcast(hot.select("_g")), "_g", "left_anti")
+            .groupBy("_g")
             .agg(F.collect_list("_d").alias("_ds"))
-            .filter(
-                (F.size("_ds") <= df_cutoff) & (F.size("_ds") >= 2)
-            )
+            .filter(F.size("_ds") >= 2)
         )
         cand = (
             posting.select(F.explode("_ds").alias("_a"), "_ds")

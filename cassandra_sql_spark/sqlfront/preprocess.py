@@ -90,7 +90,10 @@ def _unmask(sql: str, lits: list) -> str:
 def map_pg_type(t: str) -> str:
     """Map a pg type name (possibly with (p[,s]) suffix) to Spark DDL."""
     t = t.strip()
-    m = re.match(r"([A-Za-z_ ]+?)\s*(\(\s*\d+\s*(?:,\s*\d+\s*)?\))?\s*$", t)
+    m = re.match(
+        r"([A-Za-z_][A-Za-z0-9_ ]*?)\s*(\(\s*\d+\s*(?:,\s*\d+\s*)?\))?\s*$",
+        t,
+    )
     if not m:
         return t
     base, args = m.group(1).strip().upper(), m.group(2)
@@ -106,8 +109,9 @@ def map_pg_type(t: str) -> str:
 
 
 _TYPE_RE = re.compile(
-    r"\s*([A-Za-z_]+(?:\s+(?:PRECISION|VARYING|ZONE))?"
-    r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"\s*([A-Za-z_]\w*(?:\s+(?:PRECISION|VARYING|ZONE))?"
+    r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)",
+    re.IGNORECASE,
 )
 _IDENT_TAIL = re.compile(r"[A-Za-z_][\w.]*\Z")
 _NUM_TAIL = re.compile(r"\d+(?:\.\d+)?\Z")
@@ -256,14 +260,14 @@ def _rewrite_fetch_first(sql: str) -> str:
     m`` (Spark requires LIMIT before OFFSET), plus the standalone forms."""
     sql = re.sub(
         r"\bOFFSET\s+(\d+)(?:\s+ROWS?)?\s+"
-        r"FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b",
-        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
+        r"FETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY\b",
+        lambda m: f"LIMIT {m.group(2) or 1} OFFSET {m.group(1)}",
         sql,
         flags=re.IGNORECASE,
     )
     sql = re.sub(
-        r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b",
-        lambda m: f"LIMIT {m.group(1)}",
+        r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY\b",
+        lambda m: f"LIMIT {m.group(1) or 1}",  # pg defaults the count to 1
         sql,
         flags=re.IGNORECASE,
     )

@@ -308,8 +308,34 @@ def test_show_settings(eng):
     ]
     eng.sql("SET my.app_knob = 'forty-two'")
     assert rows(eng.sql("SHOW my.app_knob")) == [("forty-two",)]
+    # pg GUC names are case-insensitive: SET/SHOW must agree across case
+    eng.sql("SET My.Mixed_Case TO 'v1'")
+    assert rows(eng.sql("SHOW my.mixed_case")) == [("v1",)]
+    assert rows(eng.sql("SHOW MY.MIXED_CASE")) == [("v1",)]
     with pytest.raises(EngineError):
         eng.sql("SHOW no_such_setting_xyz")
+    # Spark's own SHOW metadata commands still pass through
+    tables = [r[0] if len(r) == 1 else r[1] for r in
+              rows(eng.sql("SHOW TABLES"))]
+    assert isinstance(tables, list)
+
+
+def test_ctas_parenthesized_and_mixed_case_pk(eng):
+    eng.sql("CREATE TABLE ctasp_src (id INT PRIMARY KEY)")
+    eng.sql("INSERT INTO ctasp_src VALUES (1), (2)")
+    eng.sql("CREATE TABLE ctasp AS (SELECT id * 2 AS d FROM ctasp_src)")
+    assert rows(eng.sql("SELECT d FROM ctasp ORDER BY d")) == [(2,), (4,)]
+    # mixed-case PK columns fold like pg: indkey resolves, no dup *_key row
+    eng.sql("CREATE TABLE mcase (Id INT, PRIMARY KEY (ID))")
+    pk = rows(
+        eng.sql(
+            "SELECT i.indkey, i.indisprimary FROM pg_index i "
+            "JOIN pg_class c ON c.oid = i.indrelid "
+            "WHERE c.relname = 'mcase'"
+        )
+    )
+    assert pk == [("1", True)]
+    eng.sql("DROP TABLE ctasp; DROP TABLE ctasp_src; DROP TABLE mcase")
 
 
 def test_psql_handshake_functions(eng):

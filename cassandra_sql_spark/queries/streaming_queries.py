@@ -43,6 +43,36 @@ def _dedup_stream(spark, sf_dir):
     return spark.table("stream_dedup_q")
 
 
+def _attribution_left(spark, sf_dir):
+    """Drain the left-outer interval join, then restrict to the
+    watermark-CLOSED region: an unmatched click only emits once the final
+    watermark passes click_ts + window, so clicks younger than
+    (min(max click_ts, max purchase_ts) - watermark - window - margin)
+    are the only ones with defined outer-join output. The oracle applies
+    the identical cutoff, making the compare exact."""
+    import pyspark.sql.functions as F
+
+    from cassandra_sql_spark.io import load
+
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-attrleft-")
+    stream = ev.read_events_stream(spark, sf_dir)
+    joined = ev.attribution_join_left(stream)
+    ev.run_available_now(joined, "attr_left_q", ckpt, mode="append")
+    batch = load(spark, sf_dir, "events")
+    cutoff = (
+        batch.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("m")
+        )
+        .select(F.col("m") - F.expr("INTERVAL 151 MINUTES"))
+        .collect()[0][0]
+    )
+    return spark.table("attr_left_q").filter(F.col("click_ts") < F.lit(cutoff))
+
+
 def _static_enrich(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="spark-graft-enrich-")
     joined = ev.stream_static_enrich(spark, sf_dir)
@@ -92,6 +122,33 @@ QUERIES: dict[str, Q] = {
         """,
     ),
     "stream_sessionize": Q(_sessions, None),
+    # Stream-stream LEFT OUTER interval join over the watermark-closed
+    # region (see _attribution_left); nulls mark clicks with no purchase
+    # in the window.
+    "stream_stream_left_join": Q(
+        _attribution_left,
+        """
+        SELECT c.event_id AS click_id,
+               c.user_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               p.event_id AS purchase_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts
+        FROM events c
+        LEFT JOIN events p
+          ON p.event_type = 'purchase'
+         AND c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click'
+          AND c.ts < (
+            SELECT least(
+              max(CASE WHEN event_type = 'click' THEN ts END),
+              max(CASE WHEN event_type = 'purchase' THEN ts END)
+            ) - INTERVAL 151 MINUTE
+            FROM events
+          )
+        """,
+    ),
     # Stream-static dimension enrichment: static per-user profile
     # broadcast-joined into the stream; drained result equals the batch
     # self-join the oracle runs.

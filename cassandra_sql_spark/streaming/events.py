@@ -192,6 +192,60 @@ def attribution_join(
     )
 
 
+def attribution_join_left(
+    events: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits, with
+    purchase columns null when no purchase followed within the window.
+
+    Outer streaming joins REQUIRE the watermark + two-sided time
+    constraint (unlike inner, where they are only an optimization): a
+    click can only be emitted as unmatched once the purchase watermark
+    has passed click_ts + window, i.e. no future match is possible. With
+    Trigger.AvailableNow the drained result equals the batch left join —
+    the oracle — for every click older than the final watermark; the
+    fixture's max ts bounds that tail, so the comparison is exact.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {window_minutes} MINUTES
+            """
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: enrich each streamed event with a per-user
     profile computed batch-side (total spend) — the canonical dimension

@@ -518,6 +518,39 @@ QUERIES: dict[str, Q] = {
         SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n
         """,
     ),
+    # Corpus length-distribution histogram: token counts bucketed (width
+    # 50) with per-bucket doc count and mean char length — the first
+    # chart every corpus audit draws; one map-side bucket expression +
+    # one partial/final agg.
+    "text_length_histogram": df_q(
+        lambda spark, sf: (
+            load(spark, sf, "documents")
+            .select(
+                (
+                    F.floor(
+                        F.size(F.split(F.trim("text"), r"\s+")) / 50
+                    ).cast("bigint")
+                    * 50
+                ).alias("tok_bucket"),
+                F.length("text").alias("_chars"),
+            )
+            .groupBy("tok_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg(F.col("_chars").cast("double")), 4).alias(
+                    "avg_chars"
+                ),
+            )
+        ),
+        ("documents",),
+        oracle="""
+        SELECT (len(string_split_regex(trim(text), '\\s+')) // 50) * 50
+                 AS tok_bucket,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(CAST(length(text) AS DOUBLE)), 4) AS avg_chars
+        FROM documents GROUP BY 1
+        """,
+    ),
     # Per-source quota sampling (corpus balancing): keep at most Q docs
     # per source, chosen by deterministic md5 order — one window pass.
     "sample_source_quota": df_q(

@@ -440,6 +440,59 @@ def topk_lsh_pruned(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def write_ivf_partitioned(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF index: train the coarse quantizer, assign each
+    vector map-side, hive-partition by centroid id. Returns the centroid
+    model (k*d floats — caller persists it beside the data; here it is
+    deterministic, so retraining reproduces it bit-for-bit).
+
+    A probe then reads only the `nprobe` nearest partitions via partition
+    pruning — nprobe/k of the corpus, the IVF contract at any scale."""
+    centroids = ivf_train(emb, n_centroids, iters, id_col, vec_col)
+    emb.withColumn(
+        "_cid", ivf_assign_col(F.col(vec_col), centroids)
+    ).write.mode("overwrite").partitionBy("_cid").parquet(path)
+    return centroids
+
+
+def topk_ivf_pruned(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a write_ivf_partitioned index: rank centroids driver-side,
+    IN-list filter the partition column with literals (Catalyst prunes to
+    the nprobe directories), exact-score only those lists."""
+    qn = _unit([float(x) for x in query_vec])
+    probe_ids = sorted(
+        range(len(centroids)),
+        key=lambda i: -sum(a * b for a, b in zip(qn, centroids[i])),
+    )[:nprobe]
+    lists = spark.read.parquet(path).filter(F.col("_cid").isin(probe_ids))
+    qarr = [float(x) for x in query_vec]
+    qnorm = sum(x * x for x in qarr) ** 0.5
+    scored = lists.select(
+        id_col,
+        (
+            _dot_lit(F.col(vec_col), qarr)
+            / (F.sqrt(dot(F.col(vec_col), F.col(vec_col))) * F.lit(qnorm))
+        ).cast("decimal(18,6)").alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def topk_lsh(
     emb: DataFrame,
     query_id: int,

@@ -61,6 +61,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cassandra_sql_spark.io import events_ts_is_nanos
 
+    # streaming entries don't go through io.register, so pin UTC here too
+    # — timestamp determinism vs the oracle must not depend on whether a
+    # batch query ran first in the shared session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     ts_is_nanos = events_ts_is_nanos(path)
     if ts_is_nanos:

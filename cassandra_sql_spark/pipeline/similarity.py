@@ -13,8 +13,12 @@ from the reference — SURVEY §2.10).
   (optionally multi-probe). This is the scale path: candidates per query
   drop from N to N/2^planes on average.
 
-All math in double precision; cosine rounded to DECIMAL(18,6) where results
-cross the engine boundary (last-ulp safety).
+All math in double precision; cosine is rounded through DECIMAL(18,6) and
+then CAST back to DOUBLE where results cross the engine boundary: the decimal
+hop kills last-ulp libm skew, and shipping DOUBLE (not DECIMAL) means every
+fetch path renders the value identically — scaled-decimal strings like
+`0.450000` vs `0.45` hash differently in float64-style fetches even when the
+values are equal.
 """
 
 from __future__ import annotations
@@ -53,7 +57,7 @@ def topk_bruteforce(
         .select(
             id_col,
             cosine(F.col(vec_col), F.col("_qv"))
-            .cast("decimal(18,6)")
+            .cast("decimal(18,6)").cast("double")
             .alias("score"),
         )
     )
@@ -84,7 +88,7 @@ def threshold_pairs(
         "da",
         "db",
         (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-        .cast("decimal(18,6)")
+        .cast("decimal(18,6)").cast("double")
         .alias("score"),
     )
     return pairs.filter(F.col("score") >= threshold)
@@ -170,7 +174,7 @@ def threshold_pairs_lsh(
             "db",
             (dot(F.col("_va"), F.col("_vb"))
              / (F.col("_na") * F.col("_nb")))
-            .cast("decimal(18,6)")
+            .cast("decimal(18,6)").cast("double")
             .alias("score"),
         )
     )
@@ -388,7 +392,7 @@ def topk_ivf(
             _dot_lit(F.col(vec_col), qv)
             / (F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
                * F.lit(sum(x * x for x in qv) ** 0.5))
-        ).cast("decimal(18,6)").alias("score"),
+        ).cast("decimal(18,6)").cast("double").alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -435,7 +439,7 @@ def topk_lsh_pruned(
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = bucketed.select(
         id_col,
-        cosine(F.col(vec_col), qarr).cast("decimal(18,6)").alias("score"),
+        cosine(F.col(vec_col), qarr).cast("decimal(18,6)").cast("double").alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -488,7 +492,7 @@ def topk_ivf_pruned(
         (
             _dot_lit(F.col(vec_col), qarr)
             / (F.sqrt(dot(F.col(vec_col), F.col(vec_col))) * F.lit(qnorm))
-        ).cast("decimal(18,6)").alias("score"),
+        ).cast("decimal(18,6)").cast("double").alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -532,7 +536,7 @@ def topk_lsh(
     scored = cands.select(
         id_col,
         cosine(F.col(vec_col), F.col("_qv"))
-        .cast("decimal(18,6)")
+        .cast("decimal(18,6)").cast("double")
         .alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -41,73 +41,96 @@ _MODULES = (
     temporal_queries,
 )
 
-# The correctness driver grades only the FIRST 50 registry entries, so the
-# insertion order below is deliberate: one representative per SURVEY §2 family
-# (§2.1 scans … §2.8 expressions) plus one per LLM-pipeline family, ahead of
-# the long tail of TPC-H variants and near-duplicate coverage queries.
-# ``tests/test_registry.py`` pins this window's composition.
+# The correctness driver grades only the FIRST 50 registry entries. The
+# window ROTATES per round so every oracle-checked entry eventually gets a
+# hard-signal driver row (rounds 1-3 graded 89 distinct entries; see
+# CORRECTNESS_r0*.json). Round-4 window = the four queries whose output
+# representation changed this round (regression canaries: the three r3
+# hash-red rows, now de-decimalized, plus sim_topk_bruteforce whose score
+# column also moved DECIMAL->DOUBLE) + 46 entries never graded in any prior
+# round. The ~15 still-ungraded entries (9 oracle-checked + 6 rows-only)
+# are queued for the round-5 window. ``tests/test_registry.py`` pins this
+# composition.
 PRIORITY: tuple[str, ...] = (
-    # TPC-H flagships (also the bench headliners)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q18_large_volume_customer",
-    # §2.1 scans / §2.2 predicates
-    "scan_filter_project",
-    "pred_like",
-    "pred_regex",
-    # §2.3 joins (inner/multiway re-covered by the TPC-H rows above)
-    "join_full_outer",
-    "join_salted_skew",
-    # §2.4 aggregation
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_approx_distinct_bound",
-    # §2.5 window functions
-    "win_ranking",
-    "win_running_agg",
-    "win_sliding_frame",
-    "win_distribution",
-    # §2.6 set operations
-    "setop_union_all",
-    "setop_intersect_all",
-    "setop_except_all",
-    "select_distinct",
-    # §2.7 subqueries / CTEs
-    "subq_correlated",
-    "subq_scalar_select",
-    "subq_cte",
-    "recursive_cte",
-    # §2.8 expressions / JSON / arrays
-    "expr_case",
-    "expr_arithmetic",
+    # Canaries: representation changed this round (DECIMAL -> DOUBLE at the
+    # hash boundary); must re-grade green.
     "expr_math_transcendental",
-    "expr_datetime",
     "expr_cast",
-    "json_filter_agg",
-    "array_ops",
-    # timeseries rollup
-    "hypertable_rollup",
-    # LLM-pipeline families
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_embedding_lsh",
-    "dedup_clusters",
-    "decontam_ngram_overlap",
     "sim_topk_bruteforce",
-    "text_stats",
-    "text_repetition_filter",
-    "sample_stratified",
-    "multimodal_resize",
-    # temporal + streaming
-    "asof_join_purchases",
-    "stream_window_agg",
+    # §2.4 aggregation variants
+    "agg_over_join",
+    "agg_manual_pivot",
+    "agg_approx_percentile_bound",
+    # §2.2 predicates
+    "pred_null_safe_eq",
+    # §2.5 window functions
+    "win_lag_lead",
+    "win_first_last",
+    "win_range_frame",
+    "win_topk_per_group",
+    "win_nth_value",
+    # §2.6 set operations
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    # §2.7 subqueries
+    "subq_in",
+    "subq_not_in",
+    "subq_scalar_where",
+    "subq_derived",
+    "subq_exists_or",
+    # §2.8 expressions / JSON / arrays
+    "expr_concat",
+    "expr_math",
+    "expr_coalesce_nullif",
+    "expr_string_funcs",
+    "expr_datediff_format",
+    "expr_time_bucket_agg",
+    "json_extract_scalar",
+    "explode_tokens",
+    "array_agg_per_group",
+    "series_calendar_fill",
+    # pipeline: dedup / similarity / embeddings
+    "dedup_embedding_cosine",
+    "emb_random_projection",
+    "emb_quantize_int8",
+    "emb_label_centroids",
+    # pipeline: text analysis
+    "text_bpe_tokens",
+    "text_vocab_topk",
+    "text_bm25",
+    "text_chunk_sliding",
+    "text_pii_redact",
+    # pipeline: sampling / packing
+    "sample_md5_split",
+    "pack_token_budget",
+    # pipeline: multimodal
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    # streaming (batch-equivalent oracles)
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "stream_static_join",
+    "stream_dedup",
+    "event_sessionize_batch",
+    # temporal
+    "range_join_events",
+)
+
+# Oracle-checked entries deliberately deferred to the ROUND-5 window (plus
+# the 6 rows-only entries) — graded union reaches all 144 oracle-checked
+# entries by end of round 5.
+NEXT_WINDOW: tuple[str, ...] = (
+    "values_table",
+    "agg_over_derived",
+    "agg_where_then_group",
+    "setop_union_orderby",
+    "expr_string_extras",
+    "expr_datetime_extras",
+    "text_length_histogram",
+    "sample_source_quota",
+    "dedup_clusters_bigstar",
 )
 
 _ALL: dict[str, Q] = {}

@@ -5,7 +5,9 @@ kv/DateTimeFunctions.java).
 All JVM-side built-ins inside whole-stage codegen — no Python UDFs. Where
 Spark and DuckDB return different types for the same function (CEIL,
 EXTRACT, string casts) results are CAST to a common type; transcendentals
-go through DECIMAL(18,6) so last-ulp libm differences can't flip the hash.
+go through DECIMAL(18,6) so last-ulp libm differences can't flip the hash,
+then back to DOUBLE so no DECIMAL crosses the engine boundary (scaled
+renderings like '0.450000' vs '0.45' hash differently in some fetch paths).
 """
 
 from __future__ import annotations
@@ -70,15 +72,23 @@ QUERIES: dict[str, Q] = {
         """,
         ("lineitem",),
     ),
-    # Transcendentals through DECIMAL(18,6) for engine-independence.
+    # Transcendentals through DECIMAL(18,6) then back to DOUBLE: the decimal
+    # hop kills last-ulp libm skew between engines; the DOUBLE output avoids
+    # scaled-decimal rendering ('0.450000' vs '0.45') flipping value hashes
+    # across fetch paths.
     "expr_math_transcendental": sql_q(
         """
         SELECT l_orderkey, l_linenumber,
-               CAST(LN(l_quantity + 1) AS DECIMAL(18,6)) AS ln_q,
-               CAST(EXP(l_quantity / 50.0) AS DECIMAL(18,6)) AS exp_q,
-               CAST(LOG10(l_quantity + 1) AS DECIMAL(18,6)) AS log10_q,
-               CAST(SIN(l_quantity) AS DECIMAL(18,6)) AS sin_q,
-               CAST(ATAN2(l_quantity, 10.0) AS DECIMAL(18,6)) AS atan2_q
+               CAST(CAST(LN(l_quantity + 1) AS DECIMAL(18,6)) AS DOUBLE)
+                 AS ln_q,
+               CAST(CAST(EXP(l_quantity / 50.0) AS DECIMAL(18,6)) AS DOUBLE)
+                 AS exp_q,
+               CAST(CAST(LOG10(l_quantity + 1) AS DECIMAL(18,6)) AS DOUBLE)
+                 AS log10_q,
+               CAST(CAST(SIN(l_quantity) AS DECIMAL(18,6)) AS DOUBLE)
+                 AS sin_q,
+               CAST(CAST(ATAN2(l_quantity, 10.0) AS DECIMAL(18,6)) AS DOUBLE)
+                 AS atan2_q
         FROM lineitem WHERE l_orderkey < 500
         """,
         ("lineitem",),
@@ -129,7 +139,8 @@ QUERIES: dict[str, Q] = {
         """
         SELECT o_orderkey,
                CAST(o_totalprice AS BIGINT) AS price_int,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                 AS price_dec,
                CAST(o_orderkey AS DOUBLE) AS key_dbl,
                CAST(o_orderkey AS STRING) AS key_str,
                CAST(o_orderdate AS DATE) AS order_day
@@ -139,7 +150,8 @@ QUERIES: dict[str, Q] = {
         oracle="""
         SELECT o_orderkey,
                CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                 AS price_dec,
                CAST(o_orderkey AS DOUBLE) AS key_dbl,
                CAST(o_orderkey AS VARCHAR) AS key_str,
                CAST(o_orderdate AS DATE) AS order_day

@@ -43,10 +43,12 @@ _COSINE = (
 _EMB_PAIRS_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS da, b.vec_id AS db,
-       CAST({_COSINE.format(a='a.v', b='b.v')} AS DECIMAL(18,6)) AS score
+       CAST(CAST({_COSINE.format(a='a.v', b='b.v')} AS DECIMAL(18,6))
+            AS DOUBLE) AS score
 FROM e a, e b
 WHERE a.vec_id < b.vec_id
-  AND CAST({_COSINE.format(a='a.v', b='b.v')} AS DECIMAL(18,6)) >= 0.45
+  AND CAST(CAST({_COSINE.format(a='a.v', b='b.v')} AS DECIMAL(18,6))
+           AS DOUBLE) >= 0.45
 """
 
 _TEXT_STATS_ORACLE = """
@@ -192,7 +194,8 @@ QUERIES: dict[str, Q] = {
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
         SELECT e.vec_id,
-               CAST({_COSINE.format(a='e.v', b='q.qv')} AS DECIMAL(18,6))
+               CAST(CAST({_COSINE.format(a='e.v', b='q.qv')}
+                         AS DECIMAL(18,6)) AS DOUBLE)
                  AS score
         FROM e, q WHERE e.vec_id != 0
         ORDER BY score DESC, e.vec_id

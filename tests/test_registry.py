@@ -1,55 +1,111 @@
 """The correctness driver grades only the FIRST 50 registry entries.
 
-These tests pin that window's composition so a refactor can't silently
-push a whole operator family (windows, set ops, subqueries, pipeline)
-past the graded horizon again — the round-2 failure mode.
+The window ROTATES per round so every oracle-checked entry eventually gets
+a hard-signal driver row (the round-3 verdict's task #2: rounds 1-3 graded
+89 distinct entries; round 4 grades the never-sampled tail). These tests
+pin the rotation's invariants:
+
+- the window is exactly the first 50 registry entries,
+- every windowed entry carries a DuckDB oracle (no slot wasted on a
+  rows-only check),
+- every entry whose output representation changed this round is in the
+  window (regression canaries),
+- every non-canary slot goes to an entry never graded in rounds 1-3,
+- family coverage holds over the UNION of past driver rows and the current
+  window — rotating the window must not leave a family with no hard signal
+  anywhere.
 """
 
 from __future__ import annotations
 
-from cassandra_sql_spark.queries import PRIORITY, REGISTRY
+import json
+from pathlib import Path
+
+from cassandra_sql_spark.queries import NEXT_WINDOW, PRIORITY, REGISTRY
+
+_REPO = Path(__file__).resolve().parent.parent
+
+# Output representation changed in round 4 (DECIMAL -> DOUBLE at the hash
+# boundary) — these must re-grade green.
+_CANARIES = {
+    "expr_math_transcendental",
+    "expr_cast",
+    "dedup_embedding_lsh",
+    "sim_topk_bruteforce",
+}
 
 # One-or-more graded representatives required per SURVEY §2 / pipeline
-# family. A family is covered if ANY of its members is in the window.
+# family, checked against union(past driver rows, current window).
 _FAMILIES: dict[str, set[str]] = {
     "tpch": {"q1_pricing_summary", "q5_local_supplier_volume"},
     "2.1/2.2 scan+predicates": {
         "scan_filter_project", "pred_like", "pred_regex",
+        "pred_null_safe_eq",
     },
     "2.3 joins": {"join_full_outer", "join_salted_skew"},
     "2.4 aggregation": {
         "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_percentiles",
-        "agg_approx_distinct_bound",
+        "agg_approx_distinct_bound", "agg_over_join", "agg_manual_pivot",
     },
     "2.5 windows": {
         "win_ranking", "win_running_agg", "win_sliding_frame",
-        "win_distribution",
+        "win_distribution", "win_lag_lead", "win_first_last",
+        "win_range_frame", "win_topk_per_group", "win_nth_value",
     },
     "2.6 set ops": {
         "setop_union_all", "setop_intersect_all", "setop_except_all",
-        "select_distinct",
+        "select_distinct", "setop_union_distinct", "setop_intersect",
+        "setop_except",
     },
     "2.7 subqueries": {
-        "subq_correlated", "subq_scalar_select", "subq_cte", "recursive_cte",
+        "subq_correlated", "subq_scalar_select", "subq_cte",
+        "recursive_cte", "subq_in", "subq_not_in", "subq_scalar_where",
+        "subq_derived", "subq_exists_or",
     },
     "2.8 expressions": {
         "expr_case", "expr_arithmetic", "expr_math_transcendental",
-        "expr_datetime", "expr_cast",
+        "expr_datetime", "expr_cast", "expr_concat", "expr_math",
     },
-    "2.8 json/arrays": {"json_filter_agg", "array_ops"},
+    "2.8 json/arrays": {
+        "json_filter_agg", "array_ops", "json_extract_scalar",
+        "explode_tokens", "array_agg_per_group",
+    },
     "timeseries rollup": {"hypertable_rollup"},
     "pipeline dedup": {
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_embedding_lsh", "dedup_clusters",
+        "dedup_embedding_lsh", "dedup_clusters", "dedup_embedding_cosine",
     },
     "pipeline decontam": {"decontam_ngram_overlap"},
     "pipeline similarity": {"sim_topk_bruteforce"},
-    "pipeline text": {"text_stats", "text_repetition_filter"},
-    "pipeline sampling": {"sample_stratified"},
-    "pipeline multimodal": {"multimodal_resize"},
-    "temporal": {"asof_join_purchases"},
-    "streaming": {"stream_window_agg"},
+    "pipeline embeddings": {
+        "emb_random_projection", "emb_quantize_int8", "emb_label_centroids",
+    },
+    "pipeline text": {
+        "text_stats", "text_repetition_filter", "text_bpe_tokens",
+        "text_vocab_topk", "text_bm25", "text_chunk_sliding",
+        "text_pii_redact",
+    },
+    "pipeline sampling": {
+        "sample_stratified", "sample_md5_split", "pack_token_budget",
+    },
+    "pipeline multimodal": {
+        "multimodal_resize", "multimodal_binary_meta",
+        "multimodal_frame_sample",
+    },
+    "temporal": {"asof_join_purchases", "range_join_events"},
+    "streaming": {
+        "stream_window_agg", "stream_stream_join", "stream_static_join",
+        "stream_dedup", "event_sessionize_batch",
+    },
 }
+
+
+def _graded_union(through: int = 99) -> set[str]:
+    names: set[str] = set()
+    for f in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        if int(f.stem.split("_r")[1]) <= through:
+            names |= set(json.loads(f.read_text()))
+    return names
 
 
 def test_priority_window_is_first_50():
@@ -63,12 +119,27 @@ def test_priority_names_unique_and_registered():
         assert name in REGISTRY, name
 
 
-def test_priority_covers_every_family():
-    window = set(PRIORITY)
-    uncovered = [
-        fam for fam, reps in _FAMILIES.items() if not (window & reps)
+def test_canaries_in_window():
+    missing = _CANARIES - set(PRIORITY)
+    assert not missing, f"representation-changed canaries not graded: {missing}"
+
+
+def test_noncanary_slots_go_to_never_graded():
+    # Pinned to rounds 1-3: this window was composed against their union
+    # (the driver's own r4 rows grading this window shouldn't flip it).
+    graded = _graded_union(through=3)
+    wasted = [
+        n for n in PRIORITY if n in graded and n not in _CANARIES
     ]
-    assert not uncovered, f"families with no graded representative: {uncovered}"
+    assert not wasted, f"window slots wasted on already-graded entries: {wasted}"
+
+
+def test_union_covers_every_family():
+    signal = _graded_union() | set(PRIORITY)
+    uncovered = [
+        fam for fam, reps in _FAMILIES.items() if not (signal & reps)
+    ]
+    assert not uncovered, f"families with no hard signal anywhere: {uncovered}"
 
 
 def test_priority_entries_all_have_oracles():
@@ -76,3 +147,16 @@ def test_priority_entries_all_have_oracles():
     the first 50 must carry a DuckDB oracle for the full hash compare."""
     missing = [n for n in PRIORITY if REGISTRY[n].oracle is None]
     assert not missing, f"priority entries without oracles: {missing}"
+
+
+def test_next_window_closes_oracle_checked_tail():
+    """window + NEXT_WINDOW + past rounds == every oracle-checked entry:
+    by end of round 5 the graded union is complete."""
+    graded = _graded_union()
+    oracle_checked = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
+    ungraded_after_r5 = (
+        oracle_checked - graded - set(PRIORITY) - set(NEXT_WINDOW)
+    )
+    assert not ungraded_after_r5, sorted(ungraded_after_r5)
+    for n in NEXT_WINDOW:
+        assert n in REGISTRY and REGISTRY[n].oracle is not None, n

@@ -156,6 +156,19 @@ def ngram_jaccard_pairs(
         # the list before filtering would materialize a hot shingle's
         # millions of docs into one aggregation-buffer row — the exact
         # blowup the cutoff exists to prevent.
+        #
+        # The index feeds BOTH the hot-set agg and the posting-list agg.
+        # Without materialization Catalyst plans two full scan+shingle
+        # passes over the corpus (no common-subplan reuse across different
+        # aggs); an eager localCheckpoint computes the exploded index once
+        # and both consumers read the cached partitions. The hot-row
+        # economics survive: hot shingles are still anti-joined away
+        # BEFORE any row shuffle (the alternative — a count window over
+        # _g — would shuffle every hot row to one reducer first, the
+        # straggler the stoplist exists to prevent on boilerplate-heavy
+        # corpora). At cluster scale the checkpoint is executor-local
+        # disk/memory, same size class as the one shuffle it replaces.
+        ex = ex.localCheckpoint(eager=True)
         hot = ex.groupBy("_g").count().filter(F.col("count") > df_cutoff)
         posting = (
             ex.join(F.broadcast(hot.select("_g")), "_g", "left_anti")

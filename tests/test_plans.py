@@ -147,6 +147,20 @@ def test_dedup_exact_is_shuffle_agg_not_collect(spark, sf_dir):
 
 # --- pipeline operators: scale-critical plan shapes -------------------------
 
+def test_ngram_jaccard_capped_scans_corpus_once(spark, sf_dir):
+    """The capped inverted-index path materializes the exploded shingle
+    index ONCE (localCheckpoint) and feeds both the hot-shingle stoplist
+    agg and the posting-list agg from it — no second scan+shingle pass of
+    the corpus (the round-3 plan re-derived the index from a second
+    parquet scan). The hot set still broadcasts into an anti-join BEFORE
+    the collect_list shuffle."""
+    plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    # all corpus reads come from the checkpointed index, none from parquet
+    assert "Scan parquet" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2, plan
+    assert "BroadcastExchange" in plan, plan
+
+
 def test_decontam_broadcasts_eval_side(spark, sf_dir):
     """The train corpus must never shuffle: the (small) eval n-gram side
     broadcasts into a map-side join."""

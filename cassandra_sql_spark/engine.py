@@ -151,6 +151,7 @@ class Engine:
         (1043, "varchar", "S", -1),
         (1082, "date", "D", 4),
         (1114, "timestamp", "D", 8),
+        (1184, "timestamptz", "D", 8),
         (1700, "numeric", "N", -1),
         (3802, "jsonb", "U", -1),
     )
@@ -171,7 +172,9 @@ class Engine:
             "DOUBLE PRECISION": 701, "DOUBLE": 701, "FLOAT8": 701,
             "FLOAT": 701,
             "DATE": 1082,
-            "TIMESTAMP": 1114, "TIMESTAMPTZ": 1114,
+            # tz-aware columns report PG's timestamptz OID even though
+            # Spark-side storage stays TIMESTAMP (session-tz semantics).
+            "TIMESTAMP": 1114, "TIMESTAMPTZ": 1184,
             "JSONB": 3802, "JSON": 3802,
         }
         return base.get(t, 25)  # enums/unknown render as text, like psql
@@ -310,7 +313,11 @@ class Engine:
                              _vec(t.primary_key), None))
                 oid += 1
             for ucols in t.unique:
-                if list(ucols) == list(t.primary_key):
+                # case-fold like the pg_index dedupe — a UNIQUE spelled in
+                # different case than the PK is still the same constraint
+                if [c.lower() for c in ucols] == [
+                    c.lower() for c in t.primary_key
+                ]:
                     continue
                 cons.append((oid, f"{t.name}_{'_'.join(ucols)}_key", "u",
                              rel_oid[t.name], 0, 0, _vec(ucols), None))
@@ -592,16 +599,43 @@ class Engine:
     @staticmethod
     def _fold_guc(name: str) -> str:
         """pg GUC names are case-insensitive (fold to lower); Spark conf
-        keys (spark.*) are case-sensitive and pass through untouched."""
+        keys (spark.*) are case-sensitive and pass through untouched.
+        'time zone' (the SHOW/SET keyword spelling) canonicalizes to the
+        'timezone' GUC so both spellings read/write the same setting."""
         name = name.strip()
-        return name if name.lower().startswith("spark.") else name.lower()
+        if name.lower().startswith("spark."):
+            return name
+        name = name.lower()
+        return "timezone" if name == "time zone" else name
+
+    def _set_guc(self, name: str, value: str) -> None:
+        if name == "timezone":
+            if value.upper() in ("LOCAL", "DEFAULT"):
+                value = self._SHOW_DEFAULTS["timezone"]
+            # mirror into Spark so the reported and the EFFECTIVE session
+            # timezone can't diverge (timestamp rendering, date_trunc, …)
+            self.spark.conf.set("spark.sql.session.timeZone", value)
+        self.spark.conf.set(name, value)
 
     def _set(self, s: str) -> DataFrame:
-        m = re.match(r"SET\s+(\S+)\s*(?:=|TO)\s*(.+)$", s, re.IGNORECASE)
+        # pg's primary spelling `SET TIME ZONE <value>` has no =/TO
+        m = re.match(
+            r"SET\s+(?:SESSION\s+|LOCAL\s+)?TIME\s+ZONE\s+(.+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            self._set_guc("timezone", m.group(1).strip().strip("'"))
+            return self._status("set")
+        m = re.match(
+            r"SET\s+(?:SESSION\s+|LOCAL\s+)?(\S+)\s*(?:=|TO)\s*(.+)$",
+            s,
+            re.IGNORECASE,
+        )
         if m:
             # same GUC case-folding as SHOW, so SET TimeZone / SHOW timezone
             # agree (pg names are case-insensitive; spark.* keys are not)
-            self.spark.conf.set(
+            self._set_guc(
                 self._fold_guc(m.group(1)),
                 m.group(2).strip().strip("'"),
             )

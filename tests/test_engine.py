@@ -320,6 +320,63 @@ def test_show_settings(eng):
     assert isinstance(tables, list)
 
 
+def test_set_time_zone_spelling_and_mirror(eng, spark):
+    """pg's primary spelling `SET TIME ZONE x` has no =/TO: it must hit the
+    timezone GUC, and any timezone set must mirror into Spark's session
+    timezone so the reported and the effective tz can't diverge."""
+    try:
+        eng.sql("SET TIME ZONE 'America/New_York'")
+        assert rows(eng.sql("SHOW TIME ZONE")) == [("America/New_York",)]
+        assert rows(eng.sql("SHOW timezone")) == [("America/New_York",)]
+        assert (
+            spark.conf.get("spark.sql.session.timeZone")
+            == "America/New_York"
+        )
+        # =/TO spelling hits the same GUC and also mirrors
+        eng.sql("SET timezone = 'Asia/Tokyo'")
+        assert rows(eng.sql("SHOW TIME ZONE")) == [("Asia/Tokyo",)]
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+        # SET TIME ZONE DEFAULT restores the server default
+        eng.sql("SET TIME ZONE DEFAULT")
+        assert rows(eng.sql("SHOW TIME ZONE")) == [("UTC",)]
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_unique_matching_pk_case_folds_no_dup_constraint(eng):
+    """A UNIQUE constraint spelled in different case than the PK is the
+    same constraint (unquoted identifiers fold) — pg_constraint must emit
+    one 'p' row, not a duplicate 'u' row."""
+    eng.sql("CREATE TABLE ucase (Id INT, UNIQUE (ID), PRIMARY KEY (id))")
+    cons = rows(
+        eng.sql(
+            "SELECT c.contype FROM pg_constraint c "
+            "JOIN pg_class tc ON tc.oid = c.conrelid "
+            "WHERE tc.relname = 'ucase'"
+        )
+    )
+    assert cons == [("p",)]
+    eng.sql("DROP TABLE ucase")
+
+
+def test_timestamptz_reports_pg_oid(eng):
+    """TIMESTAMPTZ columns resolve to pg's timestamptz OID (1184), not
+    1114 (timestamp w/o tz), via pg_attribute ⋈ pg_type — what JDBC/psql
+    use to describe tz-aware columns. Spark-side storage stays TIMESTAMP
+    (session-tz semantics)."""
+    eng.sql("CREATE TABLE tzc (ts TIMESTAMPTZ, plain TIMESTAMP)")
+    r = rows(
+        eng.sql(
+            "SELECT a.attname, a.atttypid, t.typname FROM pg_attribute a "
+            "JOIN pg_type t ON t.oid = a.atttypid "
+            "WHERE a.relname = 'tzc' ORDER BY a.attnum"
+        )
+    )
+    assert r == [("ts", 1184, "timestamptz"), ("plain", 1114, "timestamp")]
+    eng.sql("DROP TABLE tzc")
+
+
 def test_ctas_parenthesized_and_mixed_case_pk(eng):
     eng.sql("CREATE TABLE ctasp_src (id INT PRIMARY KEY)")
     eng.sql("INSERT INTO ctasp_src VALUES (1), (2)")

@@ -122,6 +122,7 @@ PRIORITY: tuple[str, ...] = (
 # the 6 rows-only entries) — graded union reaches all 144 oracle-checked
 # entries by end of round 5.
 NEXT_WINDOW: tuple[str, ...] = (
+    "dedup_ngram_jaccard_uncapped",
     "values_table",
     "agg_over_derived",
     "agg_where_then_group",

@@ -124,6 +124,22 @@ QUERIES: dict[str, Q] = {
         ("documents",),
         oracle=_JACCARD_ORACLE.format(t=0.5),
     ),
+    # The UNCAPPED inverted-index form (df_cutoff=None): the exact verifier
+    # for the capped scale path above. Kept registered (outside the graded
+    # window — the capped entry is the graded one) so the classic
+    # index-self-join shape stays exercised against the brute-force oracle
+    # every round; NOT a scale path (unbounded posting-list fan-out).
+    "dedup_ngram_jaccard_uncapped": df_q(
+        lambda spark, sf: dedup.ngram_jaccard_pairs(
+            load(spark, sf, "documents"),
+            "doc_id",
+            "text",
+            threshold=0.5,
+            df_cutoff=None,
+        ),
+        ("documents",),
+        oracle=_JACCARD_ORACLE.format(t=0.5),
+    ),
     # MinHash + banded LSH, Jaccard-verified: output provably equals the
     # exact answer at threshold 0.8 (collision-miss p < 1e-7 at J >= 0.9,
     # and the corpus has no pairs in (0.07, 0.9)).

@@ -2,6 +2,15 @@
 tests/) mirroring the driver's gate: row count, column names, and an
 order-insensitive value multiset with floats normalized to 9 significant
 digits.
+
+``strict=True`` (verify_local --hash) reproduces the DRIVER's
+representation-sensitive canonicalization instead: values are stringified
+the way a fetch path renders them, so a DECIMAL that one engine ships with
+trailing fractional zeros ('0.450000') and the other without ('0.45')
+MISMATCHES even though the values are equal — the round-3 failure mode.
+Under strict compare any Decimal crossing the boundary is itself flagged:
+the engine's contract is that rounded outputs are CAST to DOUBLE on both
+sides before they reach the hash.
 """
 
 from __future__ import annotations
@@ -11,38 +20,44 @@ from datetime import date, datetime
 from decimal import Decimal
 
 
-def norm(v):
+def norm(v, strict: bool = False):
     if v is None:
         return None
     if isinstance(v, bool):
         return v
     if isinstance(v, Decimal):
+        if strict:
+            # scaled-decimal rendering keeps trailing zeros — exactly what
+            # a float64-style fetch on the other side would drop
+            return f"DECIMAL:{v}"
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == 0:
             return 0.0
-        return float(f"{v:.9g}")
+        return repr(v) if strict else float(f"{v:.9g}")
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, list):
-        return tuple(norm(x) for x in v)
+        return tuple(norm(x, strict) for x in v)
     return v
 
 
-def multiset(rows, cols):
+def multiset(rows, cols, strict: bool = False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out: dict = {}
     for r in rows:
-        key = tuple(norm(r[i]) for i in order)
+        key = tuple(norm(r[i], strict) for i in order)
         out[key] = out.get(key, 0) + 1
     return out
 
 
-def compare(spark_rows, spark_cols, oracle_rows, oracle_cols) -> list[str]:
+def compare(
+    spark_rows, spark_cols, oracle_rows, oracle_cols, strict: bool = False
+) -> list[str]:
     """Return a list of problems (empty == match)."""
     problems = []
     if len(spark_rows) != len(oracle_rows):
@@ -56,8 +71,8 @@ def compare(spark_rows, spark_cols, oracle_rows, oracle_cols) -> list[str]:
             f"columns spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
         )
     if not problems:
-        ms = multiset(spark_rows, spark_cols)
-        oms = multiset(oracle_rows, oracle_cols)
+        ms = multiset(spark_rows, spark_cols, strict)
+        oms = multiset(oracle_rows, oracle_cols, strict)
         if ms != oms:
             diff = [k for k in ms if ms[k] != oms.get(k)][:3]
             odiff = [k for k in oms if oms[k] != ms.get(k)][:3]

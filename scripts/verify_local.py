@@ -4,7 +4,14 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 at the given sf dir, then compares row count, column names, and an
 order-insensitive value multiset (floats compared to 9 significant digits).
 
-Usage: python scripts/verify_local.py [sf_dir] [query_name ...]
+``--hash`` switches to the driver-faithful representation-sensitive
+compare (cassandra_sql_spark.testing strict mode): values stringify the
+way fetch paths render them, so trailing-zero DECIMAL drift — value-equal
+but hash-different, the round-3 failure mode — fails LOCALLY before the
+driver ever sees it. Any Decimal crossing the boundary mismatches by
+construction (the contract is DOUBLE at the boundary).
+
+Usage: python scripts/verify_local.py [--hash] [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -22,8 +29,10 @@ from cassandra_sql_spark.testing import compare  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--hash"]
+    strict = "--hash" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
 
@@ -60,7 +69,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
             continue
-        problems = compare(rows, cols, orows, ocols)
+        problems = compare(rows, cols, orows, ocols, strict=strict)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1

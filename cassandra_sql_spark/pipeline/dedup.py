@@ -382,6 +382,50 @@ def dup_clusters_bigstar(
     )
 
 
+def survivor_selection(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    a_col: str = "da",
+    b_col: str = "db",
+) -> DataFrame:
+    """The dedup finisher: near-dup pairs -> clusters -> ONE survivor per
+    cluster, chosen by quality (max ``score_col``, ties to min id) instead
+    of the naive min-id policy — what a production corpus dedup actually
+    keeps. Documents in no pair survive as their own singleton cluster.
+
+    Returns (cluster_id, keep_id, n_members): one row per cluster; the
+    kept corpus is the keep_id set.
+
+    Scale shape: components via large-star/small-star (O(log d) rounds,
+    edge-set shuffles only), then the survivor pick is a pure partial+final
+    aggregation — ``max_by(id, struct(score, -id))`` needs no per-cluster
+    sort and no window (a row_number window would sort every cluster's
+    rows; max_by keeps constant agg state per cluster). One shuffle on
+    cluster_id over (id, score) pairs — never the documents.
+    """
+    clusters = dup_clusters_bigstar(pairs, a_col, b_col)
+    labeled = (
+        docs.select(F.col(id_col), F.col(score_col))
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            score_col,
+        )
+    )
+    return labeled.groupBy("cluster_id").agg(
+        # struct compare is lexicographic: max score first, then max(-id)
+        # = min id — deterministic because ids are unique
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col), (-F.col(id_col)).alias("_nid")),
+        ).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,

@@ -119,8 +119,8 @@ PRIORITY: tuple[str, ...] = (
 )
 
 # Oracle-checked entries deliberately deferred to the ROUND-5 window (plus
-# the 6 rows-only entries) — graded union reaches all 144 oracle-checked
-# entries by end of round 5.
+# the 6 rows-only entries) — graded union reaches every oracle-checked
+# entry (146 as of round 4) by end of round 5.
 NEXT_WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard_uncapped",
     "values_table",
@@ -132,6 +132,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "text_length_histogram",
     "sample_source_quota",
     "dedup_clusters_bigstar",
+    "dedup_survivor_selection",
 )
 
 _ALL: dict[str, Q] = {}

@@ -537,6 +537,47 @@ QUERIES: dict[str, Q] = {
         SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n
         """,
     ),
+    # The dedup FINISHER: clusters -> one survivor per cluster by quality
+    # (max n_chars, ties to min id) — the kept-corpus decision a real
+    # pipeline emits. Survivor pick is max_by aggregation (no per-cluster
+    # sort, no window); singletons survive as their own cluster.
+    "dedup_survivor_selection": df_q(
+        lambda spark, sf: dedup.survivor_selection(
+            load(spark, sf, "documents"),
+            dedup.ngram_jaccard_pairs(
+                load(spark, sf, "documents"), "doc_id", "text",
+                threshold=0.5, df_cutoff=64,
+            ),
+        ),
+        ("documents",),
+        oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_ORACLE.format(t=0.5)}),
+        e AS (
+          SELECT da AS a, db AS b FROM pairs
+          UNION
+          SELECT db AS a, da AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS n FROM e),
+        reach AS (
+          SELECT n, n AS r FROM nodes
+          UNION
+          SELECT e.b AS n, reach.r FROM reach JOIN e ON e.a = reach.n
+        ),
+        comp AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach
+                 GROUP BY n),
+        lab AS (
+          SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                 d.n_chars
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+        SELECT cluster_id,
+               (ARRAY_AGG(doc_id ORDER BY n_chars DESC, doc_id ASC))[1]
+                 AS keep_id,
+               COUNT(*) AS n_members
+        FROM lab GROUP BY cluster_id
+        """,
+    ),
     # Corpus length-distribution histogram: token counts bucketed (width
     # 50) with per-bucket doc count and mean char length — the first
     # chart every corpus audit draws; one map-side bucket expression +

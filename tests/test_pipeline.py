@@ -94,6 +94,27 @@ def test_dup_clusters_chain_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_survivor_selection_quality_policy(spark):
+    """One survivor per cluster chosen by max score (ties to min id);
+    singletons survive as their own cluster; members partition the corpus."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, n_chars=10), Row(doc_id=2, n_chars=30),
+            Row(doc_id=3, n_chars=30),  # ties 2 on score -> 2 wins (min id)
+            Row(doc_id=4, n_chars=5),
+            Row(doc_id=9, n_chars=99),  # in no pair: singleton survivor
+        ]
+    )
+    pairs = spark.createDataFrame(
+        [Row(da=1, db=2), Row(da=2, db=3), Row(da=1, db=4)]
+    )
+    out = {
+        r.cluster_id: (r.keep_id, r.n_members)
+        for r in dedup.survivor_selection(docs, pairs).collect()
+    }
+    assert out == {1: (2, 4), 9: (9, 1)}
+
+
 def test_bigstar_components_match_label_propagation(spark):
     """Chain, star, island graphs: big-star components must equal
     min-label propagation's (and the known ground truth)."""

@@ -59,9 +59,20 @@ def run_query(spark, name: str, sf_dir: str) -> list[float]:
     round-2 bench printed a 37% 'regression' that was pure box noise)."""
     df = REGISTRY[name].fn(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
+    # Queries whose CONSTRUCTION eagerly materializes an intermediate
+    # (localCheckpoint index builds in the dedup family) must rebuild
+    # inside the timed region — repeat actions on a prebuilt df would
+    # reuse the checkpointed index and silently exclude the dominant
+    # map work (shingling) from the measurement. Detected from the plan:
+    # a checkpoint reads back as ExistingRDD. Everything else keeps
+    # action-only timing (re-execution measures engine throughput — the
+    # signal that scales — without the constant per-plan analysis cost).
+    rebuild = "ExistingRDD" in df._jdf.queryExecution().executedPlan().toString()
     samples = []
     for _ in range(N_TIMED):
         t0 = time.time()
+        if rebuild:
+            df = REGISTRY[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         samples.append(time.time() - t0)
     return samples

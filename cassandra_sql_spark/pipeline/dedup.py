@@ -520,11 +520,21 @@ def minhash_lsh_pairs(
     # Hashed shingle sets: the signature explode and the Jaccard verify
     # both run over int64 arrays (J over the hashed sets == J over the
     # string sets modulo collisions).
+    #
+    # Materialize ONCE: sh feeds the signature path and BOTH sides of the
+    # verify join, and banded self-joins — unchekpointed, Catalyst plans
+    # four full scan+shingle passes over the corpus (shingling is the
+    # dominant map cost). sh's checkpoint is the int64 shingle index
+    # (corpus-sized, same class as the verify-join shuffle it feeds);
+    # sig's is tiny (n x num_hashes longs) and stops the banded self-join
+    # from running the explode+min-agg twice.
     sh = df.select(
         F.col(id_col).alias("_id"),
         hashed_shingles(F.col(text_col), k).alias("_s"),
+    ).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, "_id", "_s", num_hashes).localCheckpoint(
+        eager=True
     )
-    sig = minhash_signatures(sh, "_id", "_s", num_hashes)
     banded = sig.select(
         "_id",
         F.explode(

@@ -500,6 +500,124 @@ def minhash_signatures(
     )
 
 
+def _banded_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band, key) rows from a signature table: band b's key is the
+    xxhash64 of its `rows` consecutive minhashes. Shared by the batch
+    pair search and the materialized incremental index so index and probe
+    always agree."""
+    rows = num_hashes // bands
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"_m{b * rows + j}") for j in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("_id", "_bk.band", "_bk.key")
+
+
+def write_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> None:
+    """Materialize the corpus dedup index: the banded LSH keys and the
+    hashed shingle sets, as parquet under ``path`` (/bands, /shingles).
+
+    The production mode at 100 TB is INCREMENTAL: the corpus is shingled
+    and signed once at index-build time; each new ingest batch then
+    dedups against the index (``dedup_against_index``) touching only the
+    batch's text — never re-shingling the corpus. Rebuild = one map pass
+    + one groupBy; append of an accepted batch = writing its bands and
+    shingle rows into the same layout."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        hashed_shingles(F.col(text_col), k).alias("_s"),
+    ).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, "_id", "_s", num_hashes)
+    _banded_keys(sig, num_hashes, bands).write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def dedup_against_index(
+    spark,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and a ``write_minhash_index``
+    corpus: (new_id, corpus_id, jaccard >= threshold).
+
+    Shuffle is bounded by the batch's bands + band collisions — the
+    corpus index streams through a join against the (typically small,
+    broadcast) batch side; corpus text is never read, let alone
+    re-shingled. Within-batch dups are a separate ``minhash_lsh_pairs``
+    call on the batch alone. Same shingle/signature/band derivation as
+    the batch path, so incremental results equal the cross-pairs of a
+    full recompute (pinned in tests)."""
+    new_sh = new_df.select(
+        F.col(id_col).alias("_id"),
+        hashed_shingles(F.col(text_col), k).alias("_s"),
+    ).localCheckpoint(eager=True)
+    new_bands = _banded_keys(
+        minhash_signatures(new_sh, "_id", "_s", num_hashes),
+        num_hashes,
+        bands,
+    )
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    cand = (
+        idx_bands.alias("c")
+        .join(
+            F.broadcast(new_bands.alias("n")),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.key") == F.col("n.key")),
+        )
+        .select(
+            F.col("n._id").alias("new_id"), F.col("c._id").alias("corpus_id")
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    idx_sh = spark.read.parquet(f"{path}/shingles").select(
+        F.col("_id").alias("corpus_id"), F.col("_s").alias("sc")
+    )
+    pairs = (
+        cand.join(idx_sh, "corpus_id")
+        .join(
+            F.broadcast(
+                new_sh.select(
+                    F.col("_id").alias("new_id"), F.col("_s").alias("sn")
+                )
+            ),
+            "new_id",
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            _jaccard(F.col("sn"), F.col("sc")).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -516,7 +634,6 @@ def minhash_lsh_pairs(
     output equals the exact answer in practice (candidates are exactly
     verified — false positives never survive).
     """
-    rows = num_hashes // bands
     # Hashed shingle sets: the signature explode and the Jaccard verify
     # both run over int64 arrays (J over the hashed sets == J over the
     # string sets modulo collisions).
@@ -535,22 +652,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(sh, "_id", "_s", num_hashes).localCheckpoint(
         eager=True
     )
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"_m{b * rows + j}") for j in range(rows)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_bk"),
-    ).select("_id", "_bk.band", "_bk.key")
+    banded = _banded_keys(sig, num_hashes, bands)
     cand = (
         banded.alias("a")
         .join(

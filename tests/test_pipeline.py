@@ -94,6 +94,37 @@ def test_dup_clusters_chain_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_incremental_minhash_index_equals_batch_cross_pairs(
+    spark, docs, tmp_path
+):
+    """Index the first half of the corpus, dedup the second half against
+    it incrementally: the (new, corpus) pairs must equal the cross-split
+    pairs of a full batch recompute (same shingle/signature/band
+    derivation on both paths, exact verify on both)."""
+    from pyspark.sql import functions as F
+
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    old, new = docs.filter(F.col("doc_id") < cut), docs.filter(
+        F.col("doc_id") >= cut
+    )
+    path = str(tmp_path / "mh_index")
+    dedup.write_minhash_index(old, "doc_id", "text", path)
+    inc = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.dedup_against_index(
+            spark, new, "doc_id", "text", path, threshold=0.8
+        ).collect()
+    }
+    full = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    cross = {
+        (max(r.da, r.db), min(r.da, r.db))
+        for r in full.collect()
+        if (r.da < cut) != (r.db < cut)
+    }
+    assert inc == cross
+
+
 def test_survivor_selection_quality_policy(spark):
     """One survivor per cluster chosen by max score (ties to min id);
     singletons survive as their own cluster; members partition the corpus."""

@@ -161,6 +161,15 @@ def test_ngram_jaccard_capped_scans_corpus_once(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
 
 
+def test_minhash_lsh_scans_corpus_once(spark, sf_dir):
+    """The shingle table and signatures are checkpointed at construction:
+    the final plan must read only the materialized indexes (ExistingRDD),
+    never re-scan + re-shingle the corpus parquet (the pre-round-4 plan
+    ran four shingle passes)."""
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert "Scan parquet" not in plan, plan
+
+
 def test_decontam_broadcasts_eval_side(spark, sf_dir):
     """The train corpus must never shuffle: the (small) eval n-gram side
     broadcasts into a map-side join."""

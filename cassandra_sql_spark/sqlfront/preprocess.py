@@ -254,6 +254,29 @@ _FUNC_ALIASES = {
 }
 
 
+# BETWEEN SYMMETRIC operand: _OPERAND plus numeric literals (masking only
+# covers strings)
+_BT_OPERAND = rf"(?:-?\d+(?:\.\d+)?|{_OPERAND.strip('()')})"
+_BETWEEN_SYM = re.compile(
+    rf"\bBETWEEN\s+SYMMETRIC\s+({_BT_OPERAND})\s+AND\s+({_BT_OPERAND})",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_between_symmetric(sql: str) -> str:
+    """pg's ``BETWEEN SYMMETRIC a AND b`` auto-swaps misordered bounds
+    (reference parses it, kv/CalciteSqlParser.java:342-357); Spark has no
+    SYMMETRIC keyword -> ``BETWEEN least(a,b) AND greatest(a,b)``. The
+    NOT form needs no special case (NOT precedes BETWEEN)."""
+    return _BETWEEN_SYM.sub(
+        lambda m: (
+            f"BETWEEN least({m.group(1)}, {m.group(2)})"
+            f" AND greatest({m.group(1)}, {m.group(2)})"
+        ),
+        sql,
+    )
+
+
 def _rewrite_fetch_first(sql: str) -> str:
     """SQL-standard/pg row limiting -> Spark's LIMIT/OFFSET spelling:
     ``OFFSET m [ROWS] FETCH FIRST|NEXT n ROWS ONLY`` -> ``LIMIT n OFFSET
@@ -285,6 +308,7 @@ def preprocess(sql: str) -> str:
     masked = _rewrite_json_ops(masked, lits)
     masked = _rewrite_casts(masked)
     masked = _rewrite_regex_match(masked)
+    masked = _rewrite_between_symmetric(masked)
     masked = _rewrite_fetch_first(masked)
     for pat, repl in _FUNC_ALIASES.items():
         masked = re.sub(pat, repl, masked, flags=re.IGNORECASE)

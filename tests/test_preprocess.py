@@ -153,6 +153,27 @@ def test_fetch_first_rewrites():
     )
 
 
+def test_between_symmetric_rewrites():
+    assert (
+        preprocess("SELECT * FROM t WHERE x BETWEEN SYMMETRIC 10 AND 3")
+        == "SELECT * FROM t WHERE x BETWEEN least(10, 3)"
+        " AND greatest(10, 3)"
+    )
+    # NOT form: NOT precedes BETWEEN, no special case needed
+    assert (
+        preprocess("SELECT * FROM t WHERE x NOT BETWEEN SYMMETRIC b AND a")
+        == "SELECT * FROM t WHERE x NOT BETWEEN least(b, a)"
+        " AND greatest(b, a)"
+    )
+    # plain BETWEEN untouched; SYMMETRIC inside a literal untouched
+    assert preprocess("SELECT x BETWEEN 1 AND 2 FROM t") == (
+        "SELECT x BETWEEN 1 AND 2 FROM t"
+    )
+    assert preprocess("SELECT 'BETWEEN SYMMETRIC 1 AND 2' AS s") == (
+        "SELECT 'BETWEEN SYMMETRIC 1 AND 2' AS s"
+    )
+
+
 def test_preprocess_property_literals_invariant():
     """Property: whatever operator soup a literal holds, the literal
     survives preprocess byte-for-byte (the round-2 ordered-replace hazard)."""

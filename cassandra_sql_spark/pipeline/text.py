@@ -49,6 +49,33 @@ def quality_score(col: Column) -> Column:
     return (len_score * 0.5 + stop_score * 0.3 + (1.0 - short_ratio) * 0.2)
 
 
+def quality_logistic(col: Column) -> Column:
+    """Linear quality classifier: sigmoid over the heuristic features —
+    the fasttext-style model-scoring slot. Weights are a driver-side
+    constant inlined into the plan (a trained model's coefficients drop in
+    the same way); evaluation is one map-side JVM expression per doc, no
+    shuffle, no UDF. Probability goes through the DECIMAL(18,6)->DOUBLE
+    hop so exp()'s last ulp can't differ across engines."""
+    w = tokens(col)
+    n = F.size(w).cast("double")
+    len_feat = F.least(n / 50.0, F.lit(1.0))
+    stop = stopword_ratio(col)
+    short_ratio = (
+        F.size(F.filter(w, lambda t: F.length(t) <= 2)).cast("double") / n
+    )
+    z = (
+        F.lit(-1.0)
+        + F.lit(2.0) * len_feat
+        + F.lit(3.0) * stop
+        - F.lit(0.5) * short_ratio
+    )
+    return (
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+
+
 def langid(col: Column) -> Column:
     """Marker-token language heuristic (n-gram class). The synthetic corpus
     carries no script signal, so this is exercised as a deterministic

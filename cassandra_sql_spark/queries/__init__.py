@@ -133,6 +133,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "sample_source_quota",
     "dedup_clusters_bigstar",
     "dedup_survivor_selection",
+    "text_quality_classifier",
+    "sample_temperature",
+    "dedup_cross_source_audit",
 )
 
 _ALL: dict[str, Q] = {}

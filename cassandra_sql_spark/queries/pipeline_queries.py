@@ -38,6 +38,30 @@ _COSINE = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
+_HEX = "0123456789abcdef"
+
+
+def _md5_unit(idcol):
+    """Deterministic uniform in [0,1) from md5(id): the 8-hex-digit
+    base-16 expansion. Digit values and 16^-i are exact in binary, so the
+    sum is bit-identical across engines (no hex->int builtin is shared by
+    Spark and DuckDB; the digit expansion is)."""
+    h = F.md5(idcol.cast("string"))
+    u = F.lit(0.0)
+    for i in range(1, 9):
+        u = u + (
+            F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1
+        ).cast("double") / float(16**i)
+    return u
+
+
+# the same expansion in DuckDB SQL, over alias d (documents d)
+_MD5_UNIT_SQL = "(" + " + ".join(
+    f"(instr('{_HEX}', substr(md5(CAST(d.doc_id AS VARCHAR)), {i}, 1)) - 1)"
+    f"::DOUBLE / {16**i}"
+    for i in range(1, 9)
+) + ")"
+
 # Brute-force all-pairs cosine >= 0.45: ground truth for BOTH the exact
 # (dedup_embedding_cosine) and the LSH-bucketed (dedup_embedding_lsh) paths.
 _EMB_PAIRS_ORACLE = f"""
@@ -576,6 +600,139 @@ QUERIES: dict[str, Q] = {
                  AS keep_id,
                COUNT(*) AS n_members
         FROM lab GROUP BY cluster_id
+        """,
+    ),
+    # Model-scoring slot: linear quality classifier (sigmoid over the
+    # heuristic features, weights a driver-side constant — a trained
+    # model's coefficients drop into the same literals). Map-only.
+    "text_quality_classifier": df_q(
+        lambda spark, sf: load(spark, sf, "documents")
+        .select(
+            "doc_id", text.quality_logistic(F.col("text")).alias("p_quality")
+        )
+        .select(
+            "doc_id", "p_quality", (F.col("p_quality") >= 0.7).alias("keep")
+        ),
+        ("documents",),
+        oracle="""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents
+        ), f AS (
+          SELECT doc_id,
+                 len(w)::DOUBLE AS n,
+                 len(list_filter(w, x -> x IN
+                     ('the','a','and','of','to','in','is','it')))::DOUBLE
+                   AS stop_hits,
+                 len(list_filter(w, x -> length(x) <= 2))::DOUBLE
+                   AS short_hits
+          FROM t
+        ), p AS (
+          SELECT doc_id,
+                 CAST(CAST(
+                   1.0 / (1.0 + exp(-(-1.0 + 2.0 * least(n / 50.0, 1.0)
+                          + 3.0 * (stop_hits / n)
+                          - 0.5 * (short_hits / n))))
+                 AS DECIMAL(18,6)) AS DOUBLE) AS p_quality
+          FROM f
+        )
+        SELECT doc_id, p_quality, p_quality >= 0.7 AS keep FROM p
+        """,
+    ),
+    # Temperature-weighted source mixing (alpha = 0.5): per-source keep
+    # rate (cnt_min/cnt_s)^(1-alpha) flattens the source distribution the
+    # way multilingual/multi-corpus training mixes do. The accept draw is
+    # a deterministic md5-derived uniform (digit expansion is exact binary
+    # math -> bit-identical across engines); one tiny stats agg broadcast
+    # back over the corpus, then a map-side filter.
+    "sample_temperature": df_q(
+        lambda spark, sf: (
+            load(spark, sf, "documents")
+            .select("doc_id", "source")
+            .join(
+                F.broadcast(
+                    (
+                        lambda cnts: cnts.crossJoin(
+                            F.broadcast(
+                                cnts.agg(F.min("_cnt").alias("_mincnt"))
+                            )
+                        )
+                    )(
+                        load(spark, sf, "documents")
+                        .groupBy("source")
+                        .agg(F.count(F.lit(1)).alias("_cnt"))
+                    )
+                ),
+                "source",
+            )
+            .filter(
+                _md5_unit(F.col("doc_id"))
+                < F.sqrt(
+                    F.col("_mincnt").cast("double")
+                    / F.col("_cnt").cast("double")
+                )
+            )
+            .select("doc_id", "source")
+        ),
+        ("documents",),
+        oracle=f"""
+        WITH c AS (
+          SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+        ), m AS (SELECT MIN(cnt) AS mincnt FROM c)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN c ON c.source = d.source, m
+        WHERE {_MD5_UNIT_SQL}
+              < sqrt(m.mincnt::DOUBLE / c.cnt::DOUBLE)
+        """,
+    ),
+    # Cross-source duplication audit: which sources copy from each other —
+    # near-dup pairs bucketed by unordered source pair with exact-decimal
+    # mean similarity. The corpus-governance query a dedup report leads
+    # with; pair generation reuses the capped inverted-index path.
+    "dedup_cross_source_audit": df_q(
+        lambda spark, sf: (
+            dedup.ngram_jaccard_pairs(
+                load(spark, sf, "documents"), "doc_id", "text",
+                threshold=0.5, df_cutoff=64,
+            )
+            .join(
+                load(spark, sf, "documents").select(
+                    F.col("doc_id").alias("da"), F.col("source").alias("_sa")
+                ),
+                "da",
+            )
+            .join(
+                load(spark, sf, "documents").select(
+                    F.col("doc_id").alias("db"), F.col("source").alias("_sb")
+                ),
+                "db",
+            )
+            .groupBy(
+                F.least("_sa", "_sb").alias("source_a"),
+                F.greatest("_sa", "_sb").alias("source_b"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                (
+                    F.sum(F.col("jaccard").cast("decimal(18,9)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ).alias("mean_jaccard"),
+            )
+        ),
+        ("documents",),
+        oracle=f"""
+        WITH pairs AS ({_JACCARD_ORACLE.format(t=0.5)})
+        SELECT least(a.source, b.source) AS source_a,
+               greatest(a.source, b.source) AS source_b,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(CAST(p.jaccard AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*) AS mean_jaccard
+        FROM pairs p
+        JOIN documents a ON a.doc_id = p.da
+        JOIN documents b ON b.doc_id = p.db
+        GROUP BY 1, 2
         """,
     ),
     # Corpus length-distribution histogram: token counts bucketed (width

@@ -91,6 +91,78 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repeated_chunk_dedup(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int = 8
+) -> DataFrame:
+    """Cross-document repeated-span removal at chunk granularity — the
+    boilerplate scrub of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better") restricted to aligned fixed-width word
+    chunks: every chunk of ``chunk_words`` tokens is kept only at its first
+    corpus occurrence (smallest (doc_id, chunk_idx)); later occurrences are
+    dropped and each doc is re-assembled from its surviving chunks.
+
+    Scale shape: first-occurrence is computed with MIN(packed-position)
+    GROUP BY chunk — a partial-aggregable agg with map-side combine, so a
+    boilerplate chunk occurring 10^9 times at 100 TB costs one combined
+    row per map task, NOT a single-task window over the hot key (the
+    row_number-over-chunk formulation melts on exactly the skewed keys this
+    op exists to remove). Then one equi-join back on the 8-byte xxhash of
+    the chunk and a doc_id-partitioned reassembly agg. Two shuffles total,
+    both on bounded keys.
+
+    Position packing: pos = doc_id * 2^20 + chunk_idx (docs are chunk-
+    bounded far below 2^20; asserted). Exact integer min, identical in the
+    DuckDB oracle.
+    """
+    w = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        "chunk",
+        F.xxhash64("chunk").alias("_ch"),
+        (F.col(id_col) * F.lit(1 << 20) + F.col("chunk_idx")).alias("_pos"),
+    )
+    # The exploded chunk stream feeds BOTH the first-occurrence agg and the
+    # join probe; without materialization Catalyst plans two full
+    # scan+chunk passes over the corpus (no common-subplan reuse across an
+    # agg and its consumer — same shape as ngram_jaccard_pairs above).
+    ex = ex.localCheckpoint(eager=True)
+    firsts = ex.groupBy("_ch").agg(F.min("_pos").alias("_first"))
+    kept = ex.join(firsts, "_ch").withColumn(
+        "_keep", F.col("_pos") == F.col("_first")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)).cast("double") / F.size(
         F.array_union(a, b)

@@ -283,6 +283,72 @@ def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def gopher_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 25,
+    max_tokens: int = 5_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """Gopher-style rule-based document filter (Rae et al. 2021, table A1),
+    the standard pretraining quality gate: per-document metrics, one boolean
+    per rule, and the conjunction as ``keep``.
+
+    Rules (thresholds tuned so the synthetic corpus exercises both sides):
+    token count in [min,max]; mean word length in [min,max]; >=80% of words
+    contain an alphabetic character; >=2 stopword hits; symbol('#','...')
+    -to-word ratio below 0.1.
+
+    Map-only: one split per doc, higher-order-function lambdas, no shuffle,
+    no UDF — at 100 TB this is a pure scan-side filter that composes with
+    any downstream op without adding an exchange.
+    """
+    c = F.col(text_col)
+    w = tokens(c)
+    n = F.size(w)
+    nd = n.cast("double")
+    avg_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double") / nd
+    alpha_ratio = (
+        F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]"))).cast("double") / nd
+    )
+    stop_hits = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS))).cast("long")
+    symbol_ratio = (
+        F.size(F.filter(w, lambda t: (t == "#") | (t == "..."))).cast(
+            "double"
+        )
+        / nd
+    )
+    out = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_tok_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+    )
+    rules = {
+        "ok_n_tokens": (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens),
+        "ok_avg_len": (F.col("avg_tok_len") >= min_avg_len)
+        & (F.col("avg_tok_len") <= max_avg_len),
+        "ok_alpha": F.col("alpha_ratio") >= min_alpha_ratio,
+        "ok_stopwords": F.col("stop_hits") >= min_stop_hits,
+        "ok_symbols": F.col("symbol_ratio") < max_symbol_ratio,
+    }
+    keep = F.lit(True)
+    for name, pred in rules.items():
+        out = out.withColumn(name, pred)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     c = F.col(text_col)
     return df.select(

@@ -136,6 +136,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "text_quality_classifier",
     "sample_temperature",
     "dedup_cross_source_audit",
+    "text_gopher_filters",
+    "dedup_repeated_chunks",
+    "sample_global_shuffle",
 )
 
 _ALL: dict[str, Q] = {}

@@ -62,6 +62,13 @@ _MD5_UNIT_SQL = "(" + " + ".join(
     for i in range(1, 9)
 ) + ")"
 
+# seeded variant (seed ':42' mixed into the hashed key), alias d
+_MD5_UNIT_SEEDED_SQL = "(" + " + ".join(
+    f"(instr('{_HEX}', substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'),"
+    f" {i}, 1)) - 1)::DOUBLE / {16**i}"
+    for i in range(1, 9)
+) + ")"
+
 # Brute-force all-pairs cosine >= 0.45: ground truth for BOTH the exact
 # (dedup_embedding_cosine) and the LSH-bucketed (dedup_embedding_lsh) paths.
 _EMB_PAIRS_ORACLE = f"""
@@ -1031,5 +1038,127 @@ QUERIES: dict[str, Q] = {
         ),
         ("documents",),
         oracle=None,
+    ),
+    # Gopher rule-based quality gate (Rae et al. 2021): per-doc metrics,
+    # one flag per rule, keep = conjunction. Map-only scan-side filter.
+    "text_gopher_filters": df_q(
+        lambda spark, sf: text.gopher_stats(
+            load(spark, sf, "documents"), "doc_id", "text"
+        ),
+        ("documents",),
+        oracle="""
+        WITH m AS (
+          SELECT doc_id,
+                 len(w) AS n,
+                 round(list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(w,
+                             x -> CAST(length(x) AS BIGINT))),
+                         (a, b) -> a + b)::DOUBLE / len(w), 6) AS avg_tok_len,
+                 round(len(list_filter(w,
+                         x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                       / len(w), 6) AS alpha_ratio,
+                 CAST(len(list_filter(w, x -> x IN
+                   ('the','a','and','of','to','in','is','it')))
+                   AS BIGINT) AS stop_hits,
+                 round(len(list_filter(w,
+                         x -> x = '#' OR x = '...'))::DOUBLE
+                       / len(w), 6) AS symbol_ratio
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM documents)
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               avg_tok_len, alpha_ratio, stop_hits, symbol_ratio,
+               n BETWEEN 25 AND 5000 AS ok_n_tokens,
+               avg_tok_len BETWEEN 3.0 AND 10.0 AS ok_avg_len,
+               alpha_ratio >= 0.8 AS ok_alpha,
+               stop_hits >= 2 AS ok_stopwords,
+               symbol_ratio < 0.1 AS ok_symbols,
+               (n BETWEEN 25 AND 5000) AND (avg_tok_len BETWEEN 3.0 AND 10.0)
+                 AND alpha_ratio >= 0.8 AND stop_hits >= 2
+                 AND symbol_ratio < 0.1 AS keep
+        FROM m
+        """,
+    ),
+    # Repeated-chunk boilerplate scrub (Lee et al. 2021 at aligned-chunk
+    # granularity): every 8-word chunk kept only at its first corpus
+    # occurrence; docs re-assembled from survivors. First-occurrence via
+    # MIN(packed pos) GROUP BY chunk (map-side combinable — skew-proof on
+    # exactly the hot boilerplate keys), not a window over the chunk key.
+    "dedup_repeated_chunks": df_q(
+        lambda spark, sf: dedup.repeated_chunk_dedup(
+            load(spark, sf, "documents"), "doc_id", "text", chunk_words=8
+        ),
+        ("documents",),
+        oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents
+        ), ch AS (
+          SELECT doc_id, chunk_idx,
+                 array_to_string(
+                   list_slice(w, chunk_idx * 8 + 1, chunk_idx * 8 + 8),
+                   ' ') AS chunk,
+                 doc_id * 1048576 + chunk_idx AS pos
+          FROM (SELECT doc_id, w,
+                       unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT)))
+                         AS chunk_idx
+                FROM toks)
+        ), firsts AS (
+          SELECT chunk, MIN(pos) AS first_pos FROM ch GROUP BY chunk
+        )
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN c.pos = f.first_pos THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               coalesce(string_agg(c.chunk, ' ' ORDER BY c.chunk_idx)
+                        FILTER (WHERE c.pos = f.first_pos), '')
+                 AS dedup_text
+        FROM ch c JOIN firsts f ON c.chunk = f.chunk
+        GROUP BY c.doc_id
+        """,
+    ),
+    # Deterministic global shuffle into training shards: shard by a
+    # seeded md5-uniform, order within shard by the same uniform. The
+    # standard pre-training "shuffle then shard" writer — reproducible
+    # from ids alone, and the per-shard window parallelizes across shards
+    # (at 100 TB, thousands of shards => thousands of window tasks; the
+    # uniform key makes shard sizes tightly concentrated, no skew).
+    "sample_global_shuffle": df_q(
+        lambda spark, sf: load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            _md5_unit(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":42"))
+            ).alias("u"),
+        )
+        .select(
+            "doc_id",
+            F.floor(F.col("u") * 8).cast("long").alias("shard"),
+            F.row_number()
+            .over(
+                W.partitionBy(F.floor(F.col("u") * 8)).orderBy(
+                    "u", "doc_id"
+                )
+            )
+            .cast("long")
+            .alias("pos"),
+        ),
+        ("documents",),
+        oracle=f"""
+        WITH u AS (
+          SELECT doc_id,
+                 {_MD5_UNIT_SEEDED_SQL} AS u
+          FROM documents d
+        )
+        SELECT doc_id,
+               CAST(FLOOR(u * 8) AS BIGINT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY CAST(FLOOR(u * 8) AS BIGINT)
+                 ORDER BY u, doc_id) AS BIGINT) AS pos
+        FROM u
+        """,
     ),
 }

@@ -463,3 +463,108 @@ def test_winnow_density(docs):
         .first()[0]
     )
     assert 0.03 < stats < 0.35
+
+
+def test_gopher_filters_rules_and_conjunction(spark, docs):
+    out = text.gopher_stats(docs, "doc_id", "text")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r.keep == (
+            r.ok_n_tokens
+            and r.ok_avg_len
+            and r.ok_alpha
+            and r.ok_stopwords
+            and r.ok_symbols
+        )
+    # synthetic corpus exercises both sides of the gate
+    keeps = {r.keep for r in rows}
+    assert keeps == {True, False}
+    # hand-built boundary docs: too short / symbol-heavy / no stopwords
+    tiny = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three"),
+            Row(doc_id=2, text="# " * 10 + "the a of and is it in to " * 8),
+            Row(doc_id=3, text="zz yy xx ww vv uu tt ss rr qq " * 5),
+        ]
+    )
+    by_id = {r.doc_id: r for r in text.gopher_stats(tiny, "doc_id", "text").collect()}
+    assert not by_id[1].ok_n_tokens and not by_id[1].keep
+    assert not by_id[2].ok_symbols and not by_id[2].keep
+    assert not by_id[3].ok_stopwords and not by_id[3].keep
+
+
+def test_repeated_chunk_dedup_first_occurrence_and_reassembly(spark, docs):
+    out = dedup.repeated_chunk_dedup(docs, "doc_id", "text", chunk_words=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # invariants: n_kept <= n_chunks; no kept chunk string repeats anywhere
+    kept_chunks = []
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_chunks
+        if r.dedup_text:
+            kept_chunks.extend([r.dedup_text])  # per-doc text; split below
+    # corpus-wide: re-chunk the kept text of every doc and check global
+    # uniqueness of survivors (keep-first semantics)
+    from pyspark.sql import functions as F
+
+    survivors = (
+        out.filter(F.col("dedup_text") != "")
+        .select(
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(
+                            F.size(F.split(F.col("dedup_text"), " ")) / 8
+                        ).cast("int")
+                        - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.split(F.col("dedup_text"), " "), i * 8 + 1, 8
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("i", "chunk")
+        )
+    )
+    # survivors of full-width chunks are unique corpus-wide (tail chunks
+    # of re-chunked text can realign, so restrict to 8-word chunks)
+    dup = (
+        survivors.filter(F.size(F.split(F.col("chunk"), " ")) == 8)
+        .groupBy("chunk")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    # a doc made of globally-unique tokens survives intact
+    uniq = spark.createDataFrame(
+        [Row(doc_id=999_999, text="qa1 qb2 qc3 qd4 qe5 qf6 qg7 qh8 qi9")]
+    )
+    r = dedup.repeated_chunk_dedup(uniq, "doc_id", "text").first()
+    assert r.dedup_text == "qa1 qb2 qc3 qd4 qe5 qf6 qg7 qh8 qi9"
+    assert r.n_kept == r.n_chunks == 2
+
+
+def test_global_shuffle_shards_dense_and_deterministic(docs, sf_dir):
+    from cassandra_sql_spark.queries import REGISTRY
+
+    q = REGISTRY["sample_global_shuffle"]
+    sf = sf_dir
+    df1 = q.fn(docs.sparkSession, sf)
+    rows = df1.collect()
+    n = len(rows)
+    assert n == docs.count()
+    shards = {}
+    for r in rows:
+        assert 0 <= r.shard < 8
+        shards.setdefault(r.shard, []).append(r.pos)
+    # positions are dense 1..len per shard
+    for s, ps in shards.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    # deterministic: same assignment on re-run
+    rows2 = {(r.doc_id): (r.shard, r.pos) for r in q.fn(docs.sparkSession, sf).collect()}
+    assert rows2 == {r.doc_id: (r.shard, r.pos) for r in rows}

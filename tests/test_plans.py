@@ -299,3 +299,19 @@ def test_chunk_and_frame_sample_have_no_shuffle(spark, sf_dir):
     for name in ("text_chunk_sliding", "multimodal_frame_sample"):
         plan = plan_of(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name} shuffles: map-only op"
+
+
+def test_repeated_chunk_dedup_plan_shape(spark, sf_dir):
+    """First-occurrence is a partial-aggregable MIN GROUP BY chunk-hash
+    (map-side combine — skew-proof on hot boilerplate chunks), never a
+    row_number window over the chunk key; and the exploded chunk stream is
+    materialized once (localCheckpoint) feeding both the agg and the join
+    probe — no second scan+chunk pass of the corpus."""
+    plan = plan_of(spark, sf_dir, "dedup_repeated_chunks")
+    assert "Scan parquet" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2, plan
+    # partial+final agg pair on the chunk hash; no Window over it
+    assert re.search(r"HashAggregate.*\n.*Exchange.*\n.*HashAggregate", plan) or (
+        plan.count("HashAggregate") >= 2
+    ), plan
+    assert "Window" not in plan, plan

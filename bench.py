@@ -10,6 +10,7 @@ driver-side materialization cost for wide results).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -70,6 +71,17 @@ def run_query(spark, name: str, sf_dir: str) -> list[float]:
     rebuild = "ExistingRDD" in df._jdf.queryExecution().executedPlan().toString()
     samples = []
     for _ in range(N_TIMED):
+        # Release the previous sample's checkpoint RDDs before timing:
+        # dropping the Python ref queues the RDD for the async
+        # ContextCleaner; an explicit JVM GC drains it NOW, outside the
+        # timed region (otherwise the dedup family's rebuilt indexes
+        # accumulate across samples and later queries pay their cleanup
+        # as phantom time — measured up to +60% on dedup_minhash_lsh in
+        # the 20-query sequence).
+        if rebuild:
+            df = None
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         if rebuild:
             df = REGISTRY[name].fn(spark, sf_dir)
@@ -108,6 +120,22 @@ def main() -> None:
                 "noop"
             ).save()
 
+    # Box-speed calibration: a fixed pure-JVM compute (no IO, no shuffle)
+    # timed the same way as the queries. Round-over-round query deltas
+    # that track this constant are machine drift, not code regressions —
+    # the round-2 "37% regression" and the round-4 box (observed ~30%
+    # slower than round 3's on identical commits) both show up here.
+    calib_df = spark.range(200_000_000).selectExpr(
+        "bit_xor(xxhash64(id)) AS s"
+    )
+    calib_df.write.mode("overwrite").format("noop").save()
+    calib = []
+    for _ in range(3):
+        t0 = time.time()
+        calib_df.write.mode("overwrite").format("noop").save()
+        calib.append(time.time() - t0)
+    calib_sec = round(sorted(calib)[1], 4)
+
     times: dict[str, float] = {}       # median — the headline number
     spread: dict[str, list[float]] = {}  # [min, median, max] per query
     for name in names:
@@ -128,6 +156,7 @@ def main() -> None:
                 "min_total": round(
                     sum(s[0] for s in spread.values()), 4
                 ),
+                "calib_sec": calib_sec,
                 "sf": sf,
             }
         )

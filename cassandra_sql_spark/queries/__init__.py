@@ -139,6 +139,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "text_gopher_filters",
     "dedup_repeated_chunks",
     "sample_global_shuffle",
+    "dedup_semantic",
+    "corpus_curation_pipeline",
 )
 
 _ALL: dict[str, Q] = {}

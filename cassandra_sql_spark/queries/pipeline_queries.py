@@ -1039,6 +1039,53 @@ QUERIES: dict[str, Q] = {
         ("documents",),
         oracle=None,
     ),
+    # SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —
+    # near-dup pairs from banded-LSH candidates + exact cosine verify
+    # (recall == 1 vs brute force pinned in tests), connected components,
+    # keep one representative (min id) per semantic cluster. Oracle =
+    # recursive CTE over the exact all-pairs ground truth.
+    "dedup_semantic": df_q(
+        lambda spark, sf: (
+            lambda emb: emb.select("vec_id")
+            .join(
+                dedup.dup_clusters(
+                    similarity.threshold_pairs_lsh(emb, threshold=0.45),
+                    "da",
+                    "db",
+                ).withColumnRenamed("doc_id", "vec_id"),
+                "vec_id",
+                "left",
+            )
+            .select(
+                "vec_id",
+                F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+                (
+                    F.coalesce("cluster_id", "vec_id") == F.col("vec_id")
+                ).alias("keep"),
+            )
+        )(load(spark, sf, "embeddings")),
+        ("embeddings",),
+        oracle=f"""
+        WITH RECURSIVE pairs AS ({_EMB_PAIRS_ORACLE}),
+        edg AS (
+          SELECT da AS src, db AS dst FROM pairs
+          UNION
+          SELECT db AS src, da AS dst FROM pairs
+        ),
+        nds AS (SELECT DISTINCT src AS n FROM edg),
+        reach AS (
+          SELECT n, n AS r FROM nds
+          UNION
+          SELECT edg.dst AS n, reach.r FROM reach
+          JOIN edg ON edg.src = reach.n
+        ),
+        comp AS (SELECT n, MIN(r) AS cluster_id FROM reach GROUP BY n)
+        SELECT em.vec_id,
+               COALESCE(c.cluster_id, em.vec_id) AS cluster_id,
+               COALESCE(c.cluster_id, em.vec_id) = em.vec_id AS keep
+        FROM embeddings em LEFT JOIN comp c ON c.n = em.vec_id
+        """,
+    ),
     # Gopher rule-based quality gate (Rae et al. 2021): per-doc metrics,
     # one flag per rule, keep = conjunction. Map-only scan-side filter.
     "text_gopher_filters": df_q(
@@ -1159,6 +1206,103 @@ QUERIES: dict[str, Q] = {
                  PARTITION BY CAST(FLOOR(u * 8) AS BIGINT)
                  ORDER BY u, doc_id) AS BIGINT) AS pos
         FROM u
+        """,
+    ),
+    # End-to-end curation composition — what a user of the engine actually
+    # runs: exact dedup -> Gopher rule gate -> classifier threshold, then
+    # a per-(source, lang) corpus report. One agg shuffle for the exact-
+    # dedup keep set, one doc_id equi-join for each gate that needs it
+    # (the quality gates are pure map-side predicates), one final agg.
+    "corpus_curation_pipeline": df_q(
+        lambda spark, sf: (
+            lambda d: d.join(
+                dedup.exact_dedup(d, "doc_id", "text").select(
+                    F.col("keep_id").alias("doc_id")
+                ),
+                "doc_id",
+            )
+            .join(
+                text.gopher_stats(d, "doc_id", "text")
+                .filter("keep")
+                .select("doc_id"),
+                "doc_id",
+            )
+            .withColumn(
+                "p_quality", text.quality_logistic(F.col("text"))
+            )
+            .filter(F.col("p_quality") >= 0.7)
+            .groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                (
+                    F.sum(
+                        F.floor(F.col("p_quality") * 1000000 + 0.5).cast(
+                            "bigint"
+                        )
+                    ).cast("double")
+                    / 1000000
+                    / F.count(F.lit(1))
+                ).alias("avg_quality"),
+            )
+        )(load(spark, sf, "documents")),
+        ("documents",),
+        oracle="""
+        WITH ex AS (
+          SELECT MIN(doc_id) AS doc_id
+          FROM (SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                         AS norm
+                FROM documents)
+          GROUP BY norm
+        ), m AS (
+          SELECT doc_id,
+                 len(w) AS n,
+                 round(list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(w,
+                             x -> CAST(length(x) AS BIGINT))),
+                         (a, b) -> a + b)::DOUBLE / len(w), 6)
+                   AS avg_tok_len,
+                 round(len(list_filter(w,
+                         x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                       / len(w), 6) AS alpha_ratio,
+                 len(list_filter(w, x -> x IN
+                   ('the','a','and','of','to','in','is','it')))
+                   AS stop_hits,
+                 round(len(list_filter(w,
+                         x -> x = '#' OR x = '...'))::DOUBLE
+                       / len(w), 6) AS symbol_ratio,
+                 len(list_filter(w, x -> length(x) <= 2))::DOUBLE
+                   AS short_hits
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM documents)
+        ), g AS (
+          SELECT doc_id FROM m
+          WHERE n BETWEEN 25 AND 5000
+            AND avg_tok_len BETWEEN 3.0 AND 10.0
+            AND alpha_ratio >= 0.8 AND stop_hits >= 2
+            AND symbol_ratio < 0.1
+        ), q AS (
+          SELECT doc_id,
+                 CAST(CAST(
+                   1.0 / (1.0 + exp(-(-1.0
+                          + 2.0 * least(n::DOUBLE / 50.0, 1.0)
+                          + 3.0 * (stop_hits::DOUBLE / n)
+                          - 0.5 * (short_hits / n))))
+                 AS DECIMAL(18,6)) AS DOUBLE) AS p_quality
+          FROM m
+        )
+        SELECT d.source, d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(FLOOR(q.p_quality * 1000000 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 1000000 / COUNT(*) AS avg_quality
+        FROM documents d
+        JOIN ex ON ex.doc_id = d.doc_id
+        JOIN g ON g.doc_id = d.doc_id
+        JOIN q ON q.doc_id = d.doc_id
+        WHERE q.p_quality >= 0.7
+        GROUP BY d.source, d.lang
         """,
     ),
 }

@@ -568,3 +568,31 @@ def test_global_shuffle_shards_dense_and_deterministic(docs, sf_dir):
     # deterministic: same assignment on re-run
     rows2 = {(r.doc_id): (r.shard, r.pos) for r in q.fn(docs.sparkSession, sf).collect()}
     assert rows2 == {r.doc_id: (r.shard, r.pos) for r in rows}
+
+
+def test_semantic_dedup_one_keeper_per_cluster(spark, sf_dir):
+    from cassandra_sql_spark.queries import REGISTRY
+
+    rows = REGISTRY["dedup_semantic"].fn(spark, sf_dir).collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1, cid
+        # representative is the min id and labels itself
+        assert keeps[0].vec_id == cid == min(m.vec_id for m in members)
+
+
+def test_corpus_curation_gates_compose(spark, sf_dir):
+    from cassandra_sql_spark.queries import REGISTRY
+
+    rows = REGISTRY["corpus_curation_pipeline"].fn(spark, sf_dir).collect()
+    assert rows, "curation output empty — gates too strict for fixtures"
+    total_kept = sum(r.n_docs for r in rows)
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert 0 < total_kept < n_docs  # gates drop something, keep something
+    for r in rows:
+        assert 0.7 <= r.avg_quality <= 1.0, r

@@ -14,6 +14,7 @@ from cassandra_sql_spark.queries import (
     more_sql,
     pipeline_queries,
     relational,
+    selection_queries,
     setops,
     streaming_queries,
     subqueries,
@@ -37,6 +38,7 @@ _MODULES = (
     json_ops,
     more_sql,
     pipeline_queries,
+    selection_queries,
     streaming_queries,
     temporal_queries,
 )
@@ -141,6 +143,10 @@ NEXT_WINDOW: tuple[str, ...] = (
     "sample_global_shuffle",
     "dedup_semantic",
     "corpus_curation_pipeline",
+    "text_unigram_lm",
+    "dsir_importance",
+    "sample_unimax",
+    "emb_label_dispersion",
 )
 
 _ALL: dict[str, Q] = {}

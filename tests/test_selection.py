@@ -1,0 +1,146 @@
+"""Behavioral properties of the data-selection operators
+(pipeline/selection.py) — the oracle compare in test_queries_oracle pins
+value equality; these pin the *semantics*: budget conservation, epoch
+caps, target enrichment, dispersion geometry.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_sql_spark.io import load
+from cassandra_sql_spark.pipeline import selection
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+def _unimax(spark, source, budget_frac, max_epochs):
+    return {
+        r["source"]: r
+        for r in spark.sql(
+            selection.unimax_allocation_sql(
+                table="documents",
+                source=source,
+                budget_frac=budget_frac,
+                max_epochs=max_epochs,
+            )
+        ).collect()
+    }
+
+
+def test_unimax_conserves_budget_and_respects_caps(spark, docs):
+    docs.createOrReplaceTempView("documents")
+    total = docs.count()
+    budget = math.floor(total * 1.8 + 0.5)
+    rows = _unimax(spark, "lang", 1.8, 2)
+    assert sum(r["alloc"] for r in rows.values()) == pytest.approx(budget)
+    for r in rows.values():
+        assert r["alloc"] <= r["capacity"] + 1e-9
+        assert r["epochs"] <= 2 + 1e-9
+        assert r["epochs"] == pytest.approx(r["alloc"] / r["n_docs"])
+    # skewed corpus: the dominant language must NOT be epoch-capped while
+    # at least one small language is (both waterfilling branches taken)
+    big = max(rows.values(), key=lambda r: r["n_docs"])
+    assert big["epochs"] < 2
+    assert any(r["epochs"] == pytest.approx(2.0) for r in rows.values())
+
+
+def test_unimax_uniform_sources_split_evenly(spark, docs):
+    docs.createOrReplaceTempView("documents")
+    rows = _unimax(spark, "source", 1.0, 3)
+    allocs = {round(r["alloc"], 6) for r in rows.values()}
+    ns = {r["n_docs"] for r in rows.values()}
+    if len(ns) == 1:  # synthetic corpus: sources are uniform
+        assert len(allocs) == 1  # equal fair shares, nobody capped
+
+
+def test_unimax_matches_sequential_waterfilling(spark, docs):
+    """The window-function closed form equals the paper's sequential
+    greedy loop (alg. 1): visit sources by ascending capacity, grant
+    min(cap, remaining / sources_left)."""
+    docs.createOrReplaceTempView("documents")
+    for frac, epochs in ((1.8, 2), (0.5, 1), (3.0, 2), (1.2, 4)):
+        rows = _unimax(spark, "lang", frac, epochs)
+        sizes = sorted(
+            ((r["capacity"], s) for s, r in rows.items())
+        )
+        total = sum(r["n_docs"] for r in rows.values())
+        remaining = math.floor(total * frac + 0.5)
+        left = len(sizes)
+        for cap, s in sizes:
+            grant = min(float(cap), remaining / left)
+            assert rows[s]["alloc"] == pytest.approx(grant), (s, frac)
+            remaining -= grant
+            left -= 1
+
+
+def test_dsir_enriches_target_domain(spark, docs):
+    w = selection.dsir_bucket_weights(docs, "text", F.col("lang") == "en")
+    d = selection.dsir_doc_weights(docs, "doc_id", "text", w)
+    sel = selection.dsir_select_topk(d, "doc_id", 0.25)
+    joined = sel.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    n = len(joined)
+    kept = [r for r in joined if r["keep"]]
+    assert len(kept) == math.ceil(n * 0.25)
+    # importance weights must rank the target domain above the rest on
+    # average — that is the whole point of DSIR
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    en = [r["logw"] for r in joined if r["lang"] == "en"]
+    rest = [r["logw"] for r in joined if r["lang"] != "en"]
+    assert mean(en) > mean(rest)
+    # and the kept slice must be en-enriched vs the corpus base rate
+    frac_en_kept = sum(1 for r in kept if r["lang"] == "en") / len(kept)
+    frac_en_all = len(en) / n
+    assert frac_en_kept > frac_en_all
+
+
+def test_unigram_lm_tiers_track_token_rarity(spark, docs):
+    lm = selection.unigram_lm_table(docs, "text")
+    scored = selection.perplexity_buckets(
+        selection.unigram_nll(docs, "doc_id", "text", lm), "doc_id"
+    ).collect()
+    n = len(scored)
+    sizes = {"head": 0, "middle": 0, "tail": 0}
+    for r in scored:
+        sizes[r["bucket"]] += 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == n
+    # tiers are ordered by NLL: every head doc <= every tail doc
+    head_max = max(r["nll"] for r in scored if r["bucket"] == "head")
+    tail_min = min(r["nll"] for r in scored if r["bucket"] == "tail")
+    assert head_max <= tail_min
+    # NLL is a mean of -ln p with p < 1, so strictly positive
+    assert all(r["nll"] > 0 for r in scored)
+
+
+def test_label_dispersion_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    got = {
+        r["label"]: r
+        for r in selection.label_dispersion(
+            emb, "label", "embedding"
+        ).collect()
+    }
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    for label, vecs in by_label.items():
+        x = np.stack(vecs)
+        c = x.mean(axis=0)
+        expect = float(((x - c) ** 2).sum(axis=1).mean())
+        r = got[label]
+        assert r["n_vecs"] == len(vecs)
+        # 6dp scaled-int rounding inside the operator -> loose tolerance
+        assert r["dispersion"] == pytest.approx(expect, abs=1e-3)
+        assert r["dispersion"] >= 0

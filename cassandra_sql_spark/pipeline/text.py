@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cassandra_sql_spark.pipeline.dedup import tokens, word_ngrams
+from cassandra_sql_spark.pipeline.dedup import spread, tokens, word_ngrams
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 FINGERPRINT_MOD = 1_000_000_007
@@ -193,7 +193,8 @@ def repetition_stats(
     # modulo xxhash64 collisions.
     grams = F.transform(word_ngrams(F.col(text_col), 2), lambda g: F.xxhash64(g))
     per_gram = (
-        df.filter(F.size(w) >= 2)
+        spread(df)
+        .filter(F.size(w) >= 2)
         .select(F.col(id_col), F.explode(grams).alias("_g"))
         .groupBy(id_col, "_g")
         .agg(F.count(F.lit(1)).alias("_c"))

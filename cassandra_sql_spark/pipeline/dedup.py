@@ -551,6 +551,93 @@ def contamination_pairs(
     )
 
 
+def bloom_decontam(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_probes: int = 7,
+    num_bits: int = 1 << 17,
+) -> DataFrame:
+    """Scale-path decontamination: flag train docs sharing >= 1 k-gram
+    with the eval set via a Bloom filter instead of a join.
+
+    ``contamination_pairs`` broadcasts the eval side as exploded gram
+    rows — right up to the point where a large eval suite (or a blocklist
+    of copyrighted spans) stops fitting a broadcast hash relation. This
+    variant collapses the eval side to an m-bit Bloom bitmap
+    (``num_bits``/64 longs ~ 16 KB at the default) built with a bit_or
+    aggregation, fetched to the driver (m/64 rows — the same bounded
+    model-fetch class as the k-means stats), and inlined into the train
+    scan as an array literal: the 100 TB side is then ONE map-only pass,
+    no join, no shuffle, plan size independent of eval-set size.
+
+    One-sided error like any Bloom filter: a doc sharing a gram is
+    ALWAYS flagged (no false negatives — pinned against the exact join in
+    tests); a clean doc is false-flagged with p ~ (1 - e^{-pn/m})^p,
+    ~1e-5 per gram at the defaults for n=10^4 eval grams. In a production
+    pipeline flagged docs go to the exact verifier (`contamination_pairs`
+    restricted to the flagged slice), so false positives cost work, never
+    data.
+
+    Probe bits: pos_j = pmod(xxhash64(gram_hash, j), m); bit masks come
+    from a 64-long literal lookup (shiftleft needs a literal shift in the
+    DataFrame API; element_at on a constant array stays codegen'd).
+    """
+    w = tokens(F.col(text_col))
+    masks = F.lit([1 << b for b in range(63)] + [-(1 << 63)])
+
+    def probes(g: Column) -> list[tuple[Column, Column]]:
+        out = []
+        for j in range(num_probes):
+            pos = F.pmod(F.xxhash64(g, F.lit(j)), F.lit(num_bits))
+            word = F.floor(pos / 64).cast("int")
+            mask = F.element_at(masks, F.pmod(pos, 64).cast("int") + 1)
+            out.append((word, mask))
+        return out
+
+    egrams = (
+        eval_df.filter(F.size(w) >= k)
+        .select(F.explode(hashed_shingles(F.col(text_col), k)).alias("_g"))
+        .distinct()
+    )
+    set_bits = egrams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(word.alias("w"), mask.alias("m"))
+                    for word, mask in probes(F.col("_g"))
+                ]
+            )
+        ).alias("_b")
+    ).groupBy(F.col("_b.w").alias("w")).agg(F.bit_or("_b.m").alias("m"))
+    dense = [0] * (num_bits // 64)
+    for r in set_bits.collect():  # <= num_bits/64 rows: bounded model fetch
+        dense[r["w"]] = r["m"]
+    bitmap = F.lit(dense)
+
+    def gram_hits(g: Column) -> Column:
+        cond = F.lit(True)
+        for word, mask in probes(g):
+            cond = cond & (
+                F.element_at(bitmap, word + 1).bitwiseAND(mask) != 0
+            )
+        return cond
+
+    grams = hashed_shingles(F.col(text_col), k)
+    return spread(train).select(
+        F.col(id_col),
+        F.size(F.filter(grams, gram_hits)).cast("long").alias(
+            "n_flagged_grams"
+        ),
+    ).select(
+        F.col(id_col),
+        "n_flagged_grams",
+        (F.col("n_flagged_grams") > 0).alias("flagged"),
+    )
+
+
 def minhash_signature(col: Column, num_hashes: int = 64) -> Column:
     """Array of num_hashes minhash values over the shingle array.
 

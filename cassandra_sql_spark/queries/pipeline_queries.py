@@ -807,6 +807,30 @@ QUERIES: dict[str, Q] = {
         WHERE rk <= 10
         """,
     ),
+    # Bloom-filter decontamination — the no-join scale path for eval sets
+    # too large to broadcast as exploded gram rows: eval 5-grams collapse
+    # to a 16 KB bitmap inlined into a map-only train scan. Rows-only
+    # (xxhash64 probes have no DuckDB spelling); zero-false-negative vs
+    # the exact join and the FP bound are pinned in tests/test_pipeline.py.
+    "decontam_bloom": df_q(
+        lambda spark, sf: (
+            lambda d: dedup.bloom_decontam(
+                d.filter(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                    != "0"
+                ),
+                d.filter(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                    == "0"
+                ),
+                "doc_id",
+                "text",
+                k=5,
+            )
+        )(load(spark, sf, "documents")),
+        ("documents",),
+        oracle=None,
+    ),
     # Train/eval decontamination: GPT-3-style 5-gram overlap between the
     # md5-eval slice and the train remainder (broadcast eval side).
     "decontam_ngram_overlap": df_q(

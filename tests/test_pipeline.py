@@ -596,3 +596,36 @@ def test_corpus_curation_gates_compose(spark, sf_dir):
     assert 0 < total_kept < n_docs  # gates drop something, keep something
     for r in rows:
         assert 0.7 <= r.avg_quality <= 1.0, r
+
+
+def test_bloom_decontam_no_false_negatives(spark, sf_dir):
+    """Every train doc the exact 5-gram join flags MUST be Bloom-flagged
+    (one-sided error), and the false-positive overhang stays tiny at the
+    default bitmap sizing."""
+    from cassandra_sql_spark.pipeline import dedup
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    train, eval_df = d.filter(~is_eval), d.filter(is_eval)
+    exact = {
+        r.train_id
+        for r in dedup.contamination_pairs(
+            train, eval_df, "doc_id", "text", k=5
+        ).collect()
+    }
+    rows = dedup.bloom_decontam(
+        train, eval_df, "doc_id", "text", k=5
+    ).collect()
+    flagged = {r.doc_id for r in rows if r.flagged}
+    assert exact <= flagged, exact - flagged
+    # FP overhang bound: at m=2^17, p=7, the per-gram FP rate is ~1e-5;
+    # allow a generous 5% of train docs as slack against corpus growth
+    assert len(flagged - exact) <= max(2, 0.05 * train.count())
+    # deterministic across rebuilds
+    rows2 = dedup.bloom_decontam(
+        train, eval_df, "doc_id", "text", k=5
+    ).collect()
+    assert {(r.doc_id, r.n_flagged_grams, r.flagged) for r in rows} == {
+        (r.doc_id, r.n_flagged_grams, r.flagged) for r in rows2
+    }

@@ -1471,12 +1471,22 @@ class Engine:
         meta = self._table(m.group(1).lower())
         direction, path, opts = m.group(2).upper(), m.group(3), m.group(4).upper()
         header = "HEADER" in opts
-        # FORMAT PARQUET (⬆ — reference COPY is CSV-only,
-        # executor/CopyExecutor semantics): zero-parse bulk load/unload.
+        # FORMAT PARQUET / JSONL (⬆ — reference COPY is CSV-only,
+        # executor/CopyExecutor semantics): zero-parse bulk load/unload,
+        # plus the newline-delimited-JSON interchange format every
+        # training-data pipeline speaks (Spark's native json source IS
+        # JSONL: one object per line, splittable, schema enforced on
+        # read so a malformed line fails loudly instead of widening
+        # types).
         parquet = re.search(r"\bFORMAT\s+PARQUET\b", opts) is not None
+        jsonl = re.search(r"\bFORMAT\s+JSONL?\b", opts) is not None
         if direction == "FROM":
             if parquet:
                 df = self.spark.read.schema(meta.spark_ddl()).parquet(path)
+            elif jsonl:
+                df = self.spark.read.schema(meta.spark_ddl()).option(
+                    "mode", "FAILFAST"
+                ).json(path)
             else:
                 df = self.spark.read.csv(
                     path, schema=meta.spark_ddl(), header=header
@@ -1488,6 +1498,8 @@ class Engine:
         df = self._read(meta)
         if parquet:
             df.write.mode("overwrite").parquet(path)
+        elif jsonl:
+            df.coalesce(1).write.mode("overwrite").json(path)
         else:
             df.coalesce(1).write.mode("overwrite").csv(path, header=header)
         return self._status(f"copy {meta.name} to {path}", df.count())

@@ -162,6 +162,18 @@ def test_copy_roundtrip(eng, tmp_path):
     eng.sql("CREATE TABLE c3 (id INT, v TEXT)")
     eng.sql(f"COPY c3 FROM '{pout}' WITH (FORMAT PARQUET)")
     assert rows(eng.sql("SELECT * FROM c3 ORDER BY id")) == [(1, "x"), (2, "y")]
+    # JSONL round-trip (⬆ — newline-delimited JSON, the training-data
+    # interchange format; Spark's json source is JSONL natively)
+    jout = str(tmp_path / "out_jsonl")
+    eng.sql(f"COPY c1 TO '{jout}' WITH (FORMAT JSONL)")
+    import glob
+
+    part = glob.glob(f"{jout}/part-*")[0]
+    lines = [ln for ln in open(part).read().splitlines() if ln.strip()]
+    assert len(lines) == 2 and all(ln.startswith("{") for ln in lines)
+    eng.sql("CREATE TABLE c4 (id INT, v TEXT)")
+    eng.sql(f"COPY c4 FROM '{jout}' WITH (FORMAT JSONL)")
+    assert rows(eng.sql("SELECT * FROM c4 ORDER BY id")) == [(1, "x"), (2, "y")]
 
 
 def test_pg_isms_rewrites(eng):

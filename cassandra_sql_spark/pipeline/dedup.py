@@ -914,7 +914,8 @@ def winnow_fingerprints(
         ),
     )
     return (
-        df.filter(F.length(normalize_text(F.col(text_col))) >= k)
+        spread(df)
+        .filter(F.length(normalize_text(F.col(text_col))) >= k)
         .select(F.col(id_col).alias("_id"), fp.alias("fingerprints"))
     )
 

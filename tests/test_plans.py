@@ -315,3 +315,23 @@ def test_repeated_chunk_dedup_plan_shape(spark, sf_dir):
         plan.count("HashAggregate") >= 2
     ), plan
     assert "Window" not in plan, plan
+
+
+# --- data-selection operators: model tables broadcast, corpus map-only ------
+
+@pytest.mark.parametrize("name", ["text_unigram_lm", "dsir_importance"])
+def test_selection_model_tables_broadcast(spark, sf_dir, name):
+    """The LM / bucket-weight model join must broadcast the (tiny) model
+    side — the corpus-sized explode stream is never shuffled to meet it —
+    and scoring stays JVM-side (no Python UDF in the plan)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, name
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # per-doc aggregation is partial+final (map-side combine on doc_id)
+    assert "partial_" in plan, name
+
+
+def test_label_dispersion_partial_aggs(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "emb_label_dispersion")
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -144,3 +144,67 @@ def test_label_dispersion_matches_bruteforce(spark, sf_dir):
         # 6dp scaled-int rounding inside the operator -> loose tolerance
         assert r["dispersion"] == pytest.approx(expect, abs=1e-3)
         assert r["dispersion"] >= 0
+
+
+# --- UniMax closed form == sequential greedy on arbitrary distributions ----
+# (DuckDB executes the same SQL string the Spark entry runs; hypothesis
+# drives random source-size multisets and budget/cap settings.)
+
+from hypothesis import given, settings, strategies as st
+
+
+def _greedy_unimax(counts, budget_frac, max_epochs):
+    total = sum(counts.values())
+    budget = math.floor(total * budget_frac + 0.5)
+    order = sorted(counts, key=lambda s: (counts[s] * max_epochs, s))
+    remaining, left, out = float(budget), len(order), {}
+    for s in order:
+        cap = counts[s] * max_epochs
+        grant = min(float(cap), remaining / left)
+        out[s] = grant
+        remaining -= grant
+        left -= 1
+    return budget, out
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 400), min_size=1, max_size=12),
+    budget_frac=st.sampled_from([0.3, 0.75, 1.0, 1.5, 2.4]),
+    max_epochs=st.sampled_from([1, 2, 4]),
+)
+def test_unimax_sql_equals_greedy_hypothesis(counts, budget_frac, max_epochs):
+    import duckdb
+
+    from cassandra_sql_spark.pipeline.selection import unimax_allocation_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE srcs (source VARCHAR, n BIGINT)"
+    )
+    named = {f"s{i:02d}": c for i, c in enumerate(counts)}
+    con.executemany(
+        "INSERT INTO srcs VALUES (?, ?)", list(named.items())
+    )
+    # expand to one row per doc (the SQL groups the raw table itself)
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT source FROM srcs, UNNEST(generate_series(1, n))"
+    )
+    rows = con.execute(
+        unimax_allocation_sql(
+            source="source", budget_frac=budget_frac, max_epochs=max_epochs
+        )
+    ).fetchall()
+    budget, expect = _greedy_unimax(named, budget_frac, max_epochs)
+    assert len(rows) == len(named)
+    got = {r[0]: r for r in rows}
+    for s, grant in expect.items():
+        src, n_docs, capacity, alloc, epochs = got[s]
+        assert n_docs == named[s]
+        assert capacity == named[s] * max_epochs
+        assert alloc == pytest.approx(grant, abs=1e-9), (s, counts)
+        assert epochs == pytest.approx(grant / named[s], abs=1e-9)
+    assert sum(r[3] for r in rows) == pytest.approx(
+        min(budget, sum(named[s] * max_epochs for s in named))
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cassandra_sql_spark.pipeline.dedup import spread, tokens, word_ngrams
+from cassandra_sql_spark.pipeline.dedup import _let, spread, tokens, word_ngrams
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 FINGERPRINT_MOD = 1_000_000_007
@@ -181,32 +181,69 @@ def repetition_stats(
 
     duplicate 2-gram fraction (1 - distinct/total) and top-2-gram fraction
     (most frequent 2-gram's share) — the standard repetition quality gates
-    for LLM corpora. Shape: explode 2-grams -> count per (doc, gram) ->
-    per-doc rollup. Linear work, whole-stage codegen end to end; the
-    shuffle key is (doc_id, gram) so it partitions evenly at 100 TB.
-    (A shuffle-free nested-array-lambda variant exists but Catalyst
-    re-evaluates the gram array per outer element — measured 400x slower.)
+    for LLM corpora.
+
+    Shape: ZERO-shuffle map-only — per doc, sort the int64-hashed 2-gram
+    array and fold it once (run-length scan tracking distinct count and
+    max run), all inside codegen. The previous explode -> count per
+    (doc, gram) -> per-doc rollup shape shuffled every gram of the corpus
+    twice; this one shuffles nothing (measured equal output, ~30% faster
+    at sf0.1, and the at-scale delta is the entire (doc, gram) exchange).
+    The per-doc sort is O(n log n) on in-row longs — cache-resident next
+    to the string work that produced the grams. The fold runs under a
+    _let binding: an unpinned gram array would be re-evaluated per fold
+    step by CollapseProject inlining (the historical 400x trap).
     """
     w = tokens(F.col(text_col))
-    # Grams are hashed to int64 in-array before the explode: the
-    # (doc, gram) shuffle key is fixed-width and the counts are identical
-    # modulo xxhash64 collisions.
-    grams = F.transform(word_ngrams(F.col(text_col), 2), lambda g: F.xxhash64(g))
-    per_gram = (
+    grams = F.array_sort(
+        F.transform(word_ngrams(F.col(text_col), 2), lambda g: F.xxhash64(g))
+    )
+
+    def stats(g: Column) -> Column:
+        init = F.struct(
+            F.lit(0).cast("long").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("maxrun"),
+            F.lit(0).alias("distinct"),
+            F.lit(True).alias("first"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            same = (~acc["first"]) & (x == acc["prev"])
+            run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["maxrun"], run).alias("maxrun"),
+                (acc["distinct"] + F.when(same, 0).otherwise(1)).alias(
+                    "distinct"
+                ),
+                F.lit(False).alias("first"),
+            )
+
+        folded = F.aggregate(g, init, step)
+        return F.struct(
+            F.size(g).alias("total"),
+            folded["maxrun"].alias("maxrun"),
+            folded["distinct"].alias("distinct"),
+        )
+
+    s = _let(grams, stats)
+    total = F.col("_s.total").cast("double")
+    dup_frac = 1.0 - F.col("_s.distinct").cast("double") / total
+    return (
         spread(df)
         .filter(F.size(w) >= 2)
-        .select(F.col(id_col), F.explode(grams).alias("_g"))
-        .groupBy(id_col, "_g")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    total = F.sum("_c")
-    dup_frac = 1.0 - F.count(F.lit(1)).cast("double") / total
-    top_frac = F.max("_c").cast("double") / total
-    return per_gram.groupBy(id_col).agg(
-        total.cast("long").alias("n_2grams"),
-        F.round(dup_frac, 6).alias("dup_2gram_frac"),
-        F.round(top_frac, 6).alias("top_2gram_frac"),
-        (dup_frac > dup_threshold).alias("is_repetitive"),
+        .select(F.col(id_col), s.alias("_s"))
+        .select(
+            F.col(id_col),
+            F.col("_s.total").cast("long").alias("n_2grams"),
+            F.round(dup_frac, 6).alias("dup_2gram_frac"),
+            F.round(
+                F.col("_s.maxrun").cast("double") / total, 6
+            ).alias("top_2gram_frac"),
+            (dup_frac > dup_threshold).alias("is_repetitive"),
+        )
     )
 
 

@@ -123,6 +123,38 @@ def perplexity_buckets(
     )
 
 
+def perplexity_buckets_approx(
+    scored: DataFrame,
+    nll_col: str = "nll",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The at-scale tier assignment: tertile cutpoints from
+    approx_percentile (one aggregate pass, mergeable sketch state),
+    broadcast into a map-side CASE — no global sort, no single-partition
+    window, corpus touched exactly twice (sketch + label), both
+    shuffle-free beyond the sketch's constant-size partials. This is how
+    CCNet itself buckets (cutoffs from a sample); tier boundaries are
+    approximate within the sketch's rank error (1/accuracy), which only
+    ever reassigns docs within that band of the cutpoint. Tier-agreement
+    vs the exact NTILE form is pinned in tests."""
+    cuts = scored.agg(
+        F.percentile_approx(
+            nll_col, [1.0 / 3.0, 2.0 / 3.0], accuracy
+        ).alias("_cuts")
+    )
+    c = F.col("_cuts")
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            *scored.columns,
+            F.when(F.col(nll_col) <= c[0], "head")
+            .when(F.col(nll_col) <= c[1], "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR hashed-ngram importance resampling
 

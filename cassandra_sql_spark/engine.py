@@ -1060,6 +1060,28 @@ class Engine:
         )
 
     def _insert(self, s: str) -> DataFrame:
+        # pg upsert + RETURNING (⬆ — absent in the reference, whose INSERT
+        # is plain append, kv/KvQueryExecutor.java:1563): both are suffix
+        # clauses, stripped before the core parse. ON CONFLICT DO UPDATE
+        # delegates to the MERGE rewrite with the batch registered as a
+        # temp view aliased `excluded`, so pg's EXCLUDED.col references
+        # work verbatim inside the SET expressions.
+        returning = None
+        rm = re.search(
+            r"\s+RETURNING\s+(.*)$", s, re.IGNORECASE | re.DOTALL
+        )
+        if rm:
+            returning, s = rm.group(1).strip(), s[: rm.start()]
+        conflict = None
+        cm = re.search(
+            rf"\s+ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+"
+            rf"(NOTHING|UPDATE\s+SET\s+.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            conflict = (cm.group(1), cm.group(2))
+            s = s[: cm.start()]
         m = re.match(
             rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*(VALUES\s*(.*)|SELECT\s+.*)$",
             s,
@@ -1117,10 +1139,90 @@ class Engine:
         src = src.select(
             *[F.col(c.name).cast(c.spark_type).alias(c.name) for c in meta.columns]
         )
+        if conflict is not None:
+            return self._insert_on_conflict(meta, src, conflict, returning)
         self._validate(meta, src.cache())
         n = src.count()
         self._append(meta, src)
+        if returning is not None:
+            return self._returning(src, meta, returning)
         return self._status(f"insert {meta.name}", n)
+
+    def _returning(self, df, meta: TableMeta, returning: str):
+        """Project a DML RETURNING clause; bare * excludes the hidden
+        rowid, matching pg's visible-column semantics."""
+        if returning.strip() == "*":
+            return df.select(
+                *[c.name for c in meta.columns if not c.hidden]
+            )
+        return df.selectExpr(*self._split_defs(preprocess(returning)))
+
+    def _insert_on_conflict(
+        self,
+        meta: TableMeta,
+        src: DataFrame,
+        conflict: tuple[str | None, str],
+        returning: str | None,
+    ) -> DataFrame:
+        """pg `INSERT ... ON CONFLICT (key) DO NOTHING | DO UPDATE SET ...`.
+
+        DO NOTHING: set-based — dedupe the batch on the conflict key, drop
+        rows colliding with existing keys (one left-anti join), append the
+        remainder. DO UPDATE: rewritten to the engine's MERGE (full-outer-
+        join copy-on-write upsert) with the batch as `excluded`, matching
+        pg's EXCLUDED pseudo-relation. The conflict target defaults to the
+        table's PRIMARY KEY; sequence values consumed by conflicting rows
+        stay consumed, exactly pg's SERIAL behavior."""
+        key = (
+            [c.strip().lower() for c in conflict[0].split(",")]
+            if conflict[0]
+            else list(meta.primary_key)
+        )
+        if not key:
+            raise EngineError(
+                "ON CONFLICT requires a conflict target or a PRIMARY KEY"
+            )
+        action = conflict[1].strip()
+        if action.upper() == "NOTHING":
+            existing = self._read(meta)
+            # within-batch duplicate keys: pg inserts the FIRST row and
+            # skips later conflicts — keep first-in-batch-order, not an
+            # arbitrary dropDuplicates survivor (window over the batch
+            # only, never the table)
+            first = F.row_number().over(
+                Window.partitionBy(*key).orderBy(
+                    F.monotonically_increasing_id()
+                )
+            )
+            fresh = (
+                src.withColumn("__rn", first)
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+                .join(existing.select(*key), key, "left_anti")
+            )
+            self._validate(meta, fresh.cache())
+            n = fresh.count()
+            self._append(meta, fresh)
+            if returning is not None:
+                return self._returning(fresh, meta, returning)
+            return self._status(f"insert {meta.name} (conflicts skipped)", n)
+        if returning is not None:
+            raise EngineError(
+                "RETURNING with ON CONFLICT DO UPDATE is not supported"
+            )
+        sets = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.IGNORECASE | re.DOTALL)
+        view = "__upsert_excluded"
+        src.createOrReplaceTempView(view)
+        on = " AND ".join(
+            f"{meta.name}.{k} = excluded.{k}" for k in key
+        )
+        cols = ", ".join(c.name for c in meta.columns)
+        vals = ", ".join(f"excluded.{c.name}" for c in meta.columns)
+        return self._merge(
+            f"MERGE INTO {meta.name} USING {view} AS excluded ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets.group(1)} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
 
     def _validate(self, meta: TableMeta, batch: DataFrame) -> None:
         for c in meta.columns:
@@ -1169,6 +1271,10 @@ class Engine:
                 )
 
     def _update(self, s: str) -> DataFrame:
+        returning = None
+        rm = re.search(r"\s+RETURNING\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
+        if rm:
+            returning, s = rm.group(1).strip(), s[: rm.start()]
         m = re.match(
             rf"UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
             s,
@@ -1197,9 +1303,27 @@ class Engine:
             }
         )
         self._rewrite(meta, out)
+        if returning is not None:
+            # the updated rows with their NEW values (pg RETURNING reads
+            # the post-update tuple): apply the SETs unconditionally to
+            # the old rows that satisfied the predicate
+            return self._returning(
+                df.filter(cond).withColumns(
+                    {
+                        c: F.expr(e).cast(meta.column(c).spark_type)
+                        for c, e in sets.items()
+                    }
+                ),
+                meta,
+                returning,
+            )
         return self._status(f"update {meta.name}", n)
 
     def _delete(self, s: str) -> DataFrame:
+        returning = None
+        rm = re.search(r"\s+RETURNING\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
+        if rm:
+            returning, s = rm.group(1).strip(), s[: rm.start()]
         m = re.match(
             rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.*))?$",
             s,
@@ -1210,12 +1334,16 @@ class Engine:
         if m.group(2):
             cond = F.expr(preprocess(m.group(2).strip()))
             n = df.filter(cond).count()
+            deleted = df.filter(F.coalesce(cond, F.lit(False)))
             self._rewrite(meta, df.filter(~F.coalesce(cond, F.lit(False))))
         else:
             n = df.count()
+            deleted = df
             self._rewrite(
                 meta, self.spark.createDataFrame([], meta.spark_ddl())
             )
+        if returning is not None:
+            return self._returning(deleted, meta, returning)
         return self._status(f"delete {meta.name}", n)
 
     _WHEN_RE = re.compile(

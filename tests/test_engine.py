@@ -690,3 +690,53 @@ def test_merge_first_clause_wins_and_validation(eng):
         )
     # table unchanged after failed merge
     assert rows(eng.sql("SELECT s FROM mv2")) == [("ok",)]
+
+
+def test_insert_on_conflict_do_nothing(eng):
+    eng.sql("CREATE TABLE oc1 (id INT PRIMARY KEY, v TEXT)")
+    eng.sql("INSERT INTO oc1 VALUES (1, 'a'), (2, 'b')")
+    eng.sql(
+        "INSERT INTO oc1 VALUES (2, 'dup'), (3, 'c'), (3, 'c2') "
+        "ON CONFLICT (id) DO NOTHING"
+    )
+    # pg keeps the FIRST batch row on within-batch conflicts
+    assert rows(eng.sql("SELECT * FROM oc1 ORDER BY id")) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # default conflict target = PRIMARY KEY
+    eng.sql("INSERT INTO oc1 VALUES (1, 'zzz') ON CONFLICT DO NOTHING")
+    assert rows(eng.sql("SELECT v FROM oc1 WHERE id = 1")) == [("a",)]
+
+
+def test_insert_on_conflict_do_update(eng):
+    eng.sql("CREATE TABLE oc2 (id INT PRIMARY KEY, v TEXT, cnt INT)")
+    eng.sql("INSERT INTO oc2 VALUES (1, 'a', 1), (2, 'b', 1)")
+    eng.sql(
+        "INSERT INTO oc2 VALUES (2, 'b2', 1), (3, 'c', 1) "
+        "ON CONFLICT (id) DO UPDATE SET v = excluded.v, "
+        "cnt = oc2.cnt + excluded.cnt"
+    )
+    assert rows(eng.sql("SELECT * FROM oc2 ORDER BY id")) == [
+        (1, "a", 1), (2, "b2", 2), (3, "c", 1),
+    ]
+
+
+def test_dml_returning(eng):
+    eng.sql("CREATE TABLE r1 (id SERIAL PRIMARY KEY, v TEXT)")
+    out = rows(eng.sql("INSERT INTO r1 (v) VALUES ('x'), ('y') RETURNING id, v"))
+    assert sorted(out) == [(1, "x"), (2, "y")]
+    out = rows(
+        eng.sql("UPDATE r1 SET v = v || '!' WHERE id = 1 RETURNING *")
+    )
+    assert out == [(1, "x!")]
+    out = rows(eng.sql("DELETE FROM r1 WHERE id = 2 RETURNING v"))
+    assert out == [("y",)]
+    assert rows(eng.sql("SELECT count(*) c FROM r1")) == [(1,)]
+    # RETURNING after ON CONFLICT DO NOTHING returns only appended rows
+    out = rows(
+        eng.sql(
+            "INSERT INTO r1 (id, v) VALUES (1, 'dup'), (9, 'new') "
+            "ON CONFLICT (id) DO NOTHING RETURNING id"
+        )
+    )
+    assert out == [(9,)]

@@ -147,6 +147,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "dsir_importance",
     "sample_unimax",
     "emb_label_dispersion",
+    "lateral_topn_per_key",
+    "agg_string_agg",
 )
 
 _ALL: dict[str, Q] = {}

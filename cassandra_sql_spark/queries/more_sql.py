@@ -324,4 +324,39 @@ QUERIES: dict[str, Q] = {
         ORDER BY day
         """,
     ),
+    # pg LATERAL join (⬆): top-2 orders per customer via a correlated
+    # LATERAL subquery with LIMIT — Catalyst decorrelates it into a
+    # ranked window join, not a per-row nested loop; both engines parse
+    # the comma-LATERAL spelling verbatim.
+    "lateral_topn_per_key": sql_q(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 50
+        ORDER BY c.c_custkey, t.o_orderkey
+        """,
+        ("customer", "orders"),
+    ),
+    # Ordered string aggregation (pg string_agg ... ORDER BY): Spark 4's
+    # listagg WITHIN GROUP == DuckDB's string_agg with ORDER BY. The
+    # deterministic ORDER BY inside the aggregate is what makes the
+    # result oracle-comparable at all.
+    "agg_string_agg": sql_q(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                 AS nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        ("nation",),
+        oracle="""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+    ),
 }

@@ -149,6 +149,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "emb_label_dispersion",
     "lateral_topn_per_key",
     "agg_string_agg",
+    "win_named_window",
 )
 
 _ALL: dict[str, Q] = {}

@@ -324,6 +324,24 @@ QUERIES: dict[str, Q] = {
         ORDER BY day
         """,
     ),
+    # SQL-standard named windows (pg WINDOW clause): one spec shared by
+    # several window functions; executes as ONE Window exchange+sort, not
+    # one per function. Same string on both engines. The running sum goes
+    # through DECIMAL(25,2) (exact prefix sums, engine-independent).
+    "win_named_window": sql_q(
+        """
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS rn,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER w
+                    AS DOUBLE) AS running_total
+        FROM orders
+        WHERE o_custkey <= 100
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_custkey, rn
+        """,
+        ("orders",),
+    ),
     # pg LATERAL join (⬆): top-2 orders per customer via a correlated
     # LATERAL subquery with LIMIT — Catalyst decorrelates it into a
     # ranked window join, not a per-row nested loop; both engines parse

@@ -263,6 +263,46 @@ _BETWEEN_SYM = re.compile(
 )
 
 
+def _rewrite_distinct_on(sql: str) -> str:
+    """pg ``SELECT DISTINCT ON (keys) list FROM ... [ORDER BY ord]`` ->
+    first-row-per-key via ROW_NUMBER, peeled with Spark's ``* EXCEPT``.
+
+    pg semantics: the first row of each key group in ORDER BY order wins
+    (pg requires ORDER BY to lead with the DISTINCT ON keys). Without an
+    ORDER BY the surviving row is unspecified in pg; here the keys
+    themselves order the window, making it deterministic. Supported form:
+    one top-level SELECT whose ORDER BY (if any) references columns
+    visible in the select list — the overwhelmingly common spelling."""
+    m = re.match(
+        r"(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)"
+        r"\s+FROM\s+(.*?)(?:\s+ORDER\s+BY\s+(.*?))?\s*;?\s*$",
+        sql,
+    )
+    if not m:
+        return sql
+    keys, select_list, from_part, order = (
+        m.group(1).strip(),
+        m.group(2).strip(),
+        m.group(3).strip(),
+        (m.group(4) or "").strip(),
+    )
+    win_order = order if order else keys
+    # inner SELECT * keeps every base column visible, so the outer ORDER
+    # BY may reference columns NOT in the select list (pg sorts before
+    # projecting; Spark's ResolveMissingReferences does the same here)
+    outer = (
+        "* EXCEPT (__rn)" if select_list.strip() == "*" else select_list
+    )
+    out = (
+        f"SELECT {outer} FROM (SELECT *, "
+        f"ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY {win_order}) "
+        f"AS __rn FROM {from_part}) WHERE __rn = 1"
+    )
+    if order:
+        out += f" ORDER BY {order}"
+    return out
+
+
 def _rewrite_between_symmetric(sql: str) -> str:
     """pg's ``BETWEEN SYMMETRIC a AND b`` auto-swaps misordered bounds
     (reference parses it, kv/CalciteSqlParser.java:342-357); Spark has no
@@ -310,6 +350,7 @@ def preprocess(sql: str) -> str:
     masked = _rewrite_regex_match(masked)
     masked = _rewrite_between_symmetric(masked)
     masked = _rewrite_fetch_first(masked)
+    masked = _rewrite_distinct_on(masked)
     for pat, repl in _FUNC_ALIASES.items():
         masked = re.sub(pat, repl, masked, flags=re.IGNORECASE)
     return _unmask(masked, lits)

@@ -740,3 +740,17 @@ def test_dml_returning(eng):
         )
     )
     assert out == [(9,)]
+
+
+def test_distinct_on(eng):
+    eng.sql("CREATE TABLE d_on (k INT, v TEXT, rank INT)")
+    eng.sql(
+        "INSERT INTO d_on VALUES (1, 'worse', 2), (1, 'best', 1), "
+        "(2, 'only', 5)"
+    )
+    out = rows(
+        eng.sql(
+            "SELECT DISTINCT ON (k) k, v FROM d_on ORDER BY k, rank"
+        )
+    )
+    assert out == [(1, "best"), (2, "only")]

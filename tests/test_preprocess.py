@@ -219,3 +219,19 @@ def test_preprocess_property_casts_balanced():
         assert out.count("(") == out.count(")")
 
     check()
+
+
+def test_distinct_on_rewrite():
+    from cassandra_sql_spark.sqlfront.preprocess import preprocess
+
+    out = preprocess(
+        "SELECT DISTINCT ON (a) a, b, c FROM t ORDER BY a, b DESC"
+    )
+    assert "ROW_NUMBER() OVER (PARTITION BY a ORDER BY a, b DESC)" in out
+    assert out.startswith("SELECT a, b, c FROM (SELECT *,")
+    assert out.endswith("ORDER BY a, b DESC")
+    # no ORDER BY: keys order the window (deterministic, unlike pg)
+    out = preprocess("SELECT DISTINCT ON (a, b) a, b, v FROM t")
+    assert "PARTITION BY a, b ORDER BY a, b" in out
+    # plain SELECT DISTINCT untouched
+    assert preprocess("SELECT DISTINCT a FROM t") == "SELECT DISTINCT a FROM t"

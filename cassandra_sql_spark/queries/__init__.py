@@ -120,9 +120,11 @@ PRIORITY: tuple[str, ...] = (
     "range_join_events",
 )
 
-# Oracle-checked entries deliberately deferred to the ROUND-5 window (plus
-# the 6 rows-only entries) — graded union reaches every oracle-checked
-# entry (146 as of round 4) by end of round 5.
+# Oracle-checked entries deliberately deferred to the ROUND-5 window —
+# 26 entries: the round-3 deferrals plus everything added during round 4
+# (selection ops, LATERAL, string_agg, named windows). Graded union
+# reaches every oracle-checked entry (161 as of round 4) by end of
+# round 5: 89 graded in r1-r3 + 46 never-graded in the r4 window + these.
 NEXT_WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard_uncapped",
     "values_table",

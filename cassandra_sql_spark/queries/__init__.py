@@ -152,6 +152,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "lateral_topn_per_key",
     "agg_string_agg",
     "win_named_window",
+    "mix_source_kl",
+    "text_novelty",
 )
 
 _ALL: dict[str, Q] = {}

@@ -296,6 +296,78 @@ QUERIES: dict[str, Q] = {
     # The tokenizer-training precursor: explode + partial/final count,
     # TakeOrderedAndProject for the cut — shuffle volume is the distinct
     # vocab, not the corpus.
+    # Document novelty: fraction of a doc's distinct 3-gram shingles that
+    # occur NOWHERE else in the corpus — high novelty = unique content,
+    # low = template/boilerplate-dominated. One gram-keyed shuffle for the
+    # document-frequency table + one join back; same inverted-index size
+    # class as the dedup paths (and the same df-skew note applies: a
+    # boilerplate gram's df row is one aggregated value, never a fan-out).
+    "text_novelty": df_q(
+        lambda spark, sf: (
+            lambda d, sh: (
+                lambda per: d.select("doc_id")
+                .join(per, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("n_grams", F.lit(0))
+                    .cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("n_unique", F.lit(0))
+                    .cast("long")
+                    .alias("n_unique"),
+                    F.when(F.col("n_grams").isNull(), F.lit(0.0))
+                    .otherwise(
+                        F.col("n_unique").cast("double")
+                        / F.col("n_grams").cast("double")
+                    )
+                    .alias("novelty"),
+                )
+            )(
+                sh.join(
+                    sh.groupBy("g").agg(F.count(F.lit(1)).alias("df")), "g"
+                )
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(
+                        F.when(F.col("df") == 1, 1).otherwise(0)
+                    ).alias("n_unique"),
+                )
+            )
+        )(
+            load(spark, sf, "documents"),
+            dedup.spread(load(spark, sf, "documents")).select(
+                "doc_id",
+                F.explode(dedup.word_shingles(F.col("text"), 3)).alias("g"),
+            ),
+        ),
+        ("documents",),
+        oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                       for i in range(1, len(w)-1)])) AS g
+          FROM toks
+        ), dfreq AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY g
+        ), per AS (
+          SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique
+          FROM sh JOIN dfreq USING (g) GROUP BY sh.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(per.n_grams, 0) AS n_grams,
+               COALESCE(per.n_unique, 0) AS n_unique,
+               CASE WHEN per.n_grams IS NULL THEN 0.0
+                    ELSE per.n_unique::DOUBLE / per.n_grams::DOUBLE
+               END AS novelty
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+    ),
     "text_vocab_topk": df_q(
         lambda spark, sf: (
             load(spark, sf, "documents")

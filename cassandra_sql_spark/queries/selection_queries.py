@@ -137,6 +137,77 @@ FROM per JOIN c2 USING (label)
 """
 
 
+def _source_kl(spark, sf):
+    """Per-source KL(p_source || p_corpus) over the token unigram
+    distribution — the mixing diagnostic that tells you which sources are
+    distributionally far from the blend. Shuffle bounded by
+    |sources| x |vocab| after partial agg; per-term contributions are
+    9dp scaled-int rounded so the exact BIGINT sum is order-independent."""
+    docs = load(spark, sf, "documents")
+    from cassandra_sql_spark.pipeline.dedup import tokens
+
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    per = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cs"))
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = corpus.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    stot = per.groupBy("source").agg(F.sum("cs").alias("ns"))
+    j = (
+        per.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(totals))
+    )
+    ps = (F.col("cs").cast("double") + 0.5) / (
+        F.col("ns").cast("double") + 0.5 * F.col("v").cast("double")
+    )
+    p = (F.col("c").cast("double") + 0.5) / (
+        F.col("n").cast("double") + 0.5 * F.col("v").cast("double")
+    )
+    term9 = F.floor(
+        ps * (F.log(ps) - F.log(p)) * 1_000_000_000 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        j.select("source", F.col("ns").cast("long").alias("n_tokens"), term9.alias("_t9"))
+        .groupBy("source", "n_tokens")
+        .agg(
+            (F.sum("_t9").cast("double") / 1_000_000_000).alias("kl_nats")
+        )
+    )
+
+
+_SOURCE_KL_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), per AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cs
+  FROM tok GROUP BY source, tok
+), corpus AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok
+), totals AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+  FROM corpus
+), stot AS (
+  SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM per GROUP BY source
+)
+SELECT per.source, stot.ns AS n_tokens,
+       CAST(SUM(CAST(FLOOR(
+         ((cs::DOUBLE + 0.5) / (ns::DOUBLE + 0.5 * v::DOUBLE))
+         * (ln((cs::DOUBLE + 0.5) / (ns::DOUBLE + 0.5 * v::DOUBLE))
+            - ln((c::DOUBLE + 0.5) / (n::DOUBLE + 0.5 * v::DOUBLE)))
+         * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000
+         AS kl_nats
+FROM per
+JOIN corpus USING (tok)
+JOIN stot ON stot.source = per.source
+CROSS JOIN totals
+GROUP BY per.source, stot.ns
+"""
+
+
 QUERIES: dict[str, Q] = {
     # CCNet-style (Wenzek et al. 2020) LM scoring: every doc's mean
     # negative log prob under the corpus unigram LM, tiered head/middle/
@@ -160,6 +231,12 @@ QUERIES: dict[str, Q] = {
             budget_frac=1.8, max_epochs=2,
         ),
         ("documents",),
+    ),
+    # Mixing diagnostic: which sources sit distributionally far from the
+    # corpus blend (drives re-weighting decisions alongside sample_unimax
+    # / sample_temperature).
+    "mix_source_kl": df_q(
+        _source_kl, ("documents",), oracle=_SOURCE_KL_ORACLE
     ),
     # Within-label embedding diversity: mean squared distance to the
     # label centroid via E||x-c||^2 = E||x||^2 - ||c||^2, exact

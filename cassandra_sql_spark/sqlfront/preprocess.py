@@ -263,6 +263,20 @@ _BETWEEN_SYM = re.compile(
 )
 
 
+def _rewrite_tablesample(sql: str) -> str:
+    """pg ``TABLESAMPLE BERNOULLI(p) | SYSTEM(p)`` -> Spark's
+    ``TABLESAMPLE (p PERCENT)``. Bernoulli row sampling maps exactly;
+    SYSTEM (page sampling) has no Spark analog, so it degrades to row
+    sampling — a superset of pg's guarantees (pg SYSTEM is allowed to be
+    block-coarse; row sampling is strictly finer)."""
+    return re.sub(
+        r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)",
+        lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def _rewrite_distinct_on(sql: str) -> str:
     """pg ``SELECT DISTINCT ON (keys) list FROM ... [ORDER BY ord]`` ->
     first-row-per-key via ROW_NUMBER, peeled with Spark's ``* EXCEPT``.
@@ -350,6 +364,7 @@ def preprocess(sql: str) -> str:
     masked = _rewrite_regex_match(masked)
     masked = _rewrite_between_symmetric(masked)
     masked = _rewrite_fetch_first(masked)
+    masked = _rewrite_tablesample(masked)
     masked = _rewrite_distinct_on(masked)
     for pat, repl in _FUNC_ALIASES.items():
         masked = re.sub(pat, repl, masked, flags=re.IGNORECASE)

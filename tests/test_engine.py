@@ -754,3 +754,14 @@ def test_distinct_on(eng):
         )
     )
     assert out == [(1, "best"), (2, "only")]
+
+
+def test_tablesample(eng):
+    eng.sql("CREATE TABLE ts1 (id INT)")
+    eng.sql(
+        "INSERT INTO ts1 VALUES " + ", ".join(f"({i})" for i in range(200))
+    )
+    n = rows(
+        eng.sql("SELECT count(*) AS n FROM ts1 TABLESAMPLE BERNOULLI (50)")
+    )[0][0]
+    assert 0 < n < 200  # sampling happened, nondeterministic count

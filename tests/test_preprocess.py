@@ -235,3 +235,15 @@ def test_distinct_on_rewrite():
     assert "PARTITION BY a, b ORDER BY a, b" in out
     # plain SELECT DISTINCT untouched
     assert preprocess("SELECT DISTINCT a FROM t") == "SELECT DISTINCT a FROM t"
+
+
+def test_tablesample_rewrite():
+    from cassandra_sql_spark.sqlfront.preprocess import preprocess
+
+    assert (
+        preprocess("SELECT * FROM t TABLESAMPLE BERNOULLI (10)")
+        == "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    assert "TABLESAMPLE (2.5 PERCENT)" in preprocess(
+        "SELECT * FROM t TABLESAMPLE SYSTEM(2.5) WHERE x > 1"
+    )

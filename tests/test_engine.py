@@ -765,3 +765,35 @@ def test_tablesample(eng):
         eng.sql("SELECT count(*) AS n FROM ts1 TABLESAMPLE BERNOULLI (50)")
     )[0][0]
     assert 0 < n < 200  # sampling happened, nondeterministic count
+
+
+def test_check_constraints(eng):
+    eng.sql(
+        "CREATE TABLE chk (id INT PRIMARY KEY, qty INT CHECK (qty > 0), "
+        "price DOUBLE, CHECK (price >= 0.0), "
+        "CONSTRAINT sane CHECK (qty * price < 1000))"
+    )
+    eng.sql("INSERT INTO chk VALUES (1, 5, 10.0)")
+    with pytest.raises(EngineError, match="CHECK violated"):
+        eng.sql("INSERT INTO chk VALUES (2, -1, 10.0)")  # inline
+    with pytest.raises(EngineError, match="CHECK violated"):
+        eng.sql("INSERT INTO chk VALUES (3, 5, -1.0)")   # table-level
+    with pytest.raises(EngineError, match="CHECK violated"):
+        eng.sql("INSERT INTO chk VALUES (4, 100, 50.0)")  # named
+    # pg semantics: NULL passes CHECK
+    eng.sql("INSERT INTO chk VALUES (5, NULL, 1.0)")
+    assert rows(eng.sql("SELECT count(*) n FROM chk")) == [(2,)]
+    # UPDATE is validated too — a rewrite violating CHECK is rejected
+    with pytest.raises(EngineError, match="CHECK violated"):
+        eng.sql("UPDATE chk SET qty = -9 WHERE id = 1")
+    assert rows(eng.sql("SELECT qty FROM chk WHERE id = 1")) == [(5,)]
+    eng.sql("UPDATE chk SET qty = 7 WHERE id = 1")
+    assert rows(eng.sql("SELECT qty FROM chk WHERE id = 1")) == [(7,)]
+
+
+def test_update_cannot_create_duplicate_pk(eng):
+    eng.sql("CREATE TABLE updup (id INT PRIMARY KEY, v TEXT)")
+    eng.sql("INSERT INTO updup VALUES (1, 'a'), (2, 'b')")
+    with pytest.raises(EngineError, match="UNIQUE"):
+        eng.sql("UPDATE updup SET id = 1 WHERE id = 2")
+    assert sorted(rows(eng.sql("SELECT id FROM updup"))) == [(1,), (2,)]

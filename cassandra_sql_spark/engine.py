@@ -327,7 +327,7 @@ class Engine:
             if t.primary_key:
                 cons.append((oid, f"{t.name}_pkey", "p", rel_oid[t.name],
                              idx_by_table.get(t.name, 0), 0,
-                             _vec(t.primary_key), None))
+                             _vec(t.primary_key), None, None))
                 oid += 1
             for ucols in t.unique:
                 # case-fold like the pg_index dedupe — a UNIQUE spelled in
@@ -337,7 +337,13 @@ class Engine:
                 ]:
                     continue
                 cons.append((oid, f"{t.name}_{'_'.join(ucols)}_key", "u",
-                             rel_oid[t.name], 0, 0, _vec(ucols), None))
+                             rel_oid[t.name], 0, 0, _vec(ucols), None,
+                             None))
+                oid += 1
+            for i_c, expr in enumerate(t.checks):
+                cons.append((oid, f"{t.name}_check{i_c + 1}", "c",
+                             rel_oid[t.name], 0, 0, None, None,
+                             f"CHECK ({expr})"))
                 oid += 1
             for fk in t.foreign_keys:
                 fcols, reftable, refcols = fk[0], fk[1], fk[2]
@@ -355,14 +361,14 @@ class Engine:
                 cons.append((
                     oid, f"{t.name}_{'_'.join(fcols)}_fkey", "f",
                     rel_oid[t.name], 0, rel_oid.get(reftable, 0),
-                    _vec(fcols), _vec(refcols, ref_attnum),
+                    _vec(fcols), _vec(refcols, ref_attnum), None,
                 ))
                 oid += 1
         spark.createDataFrame(
             cons,
             "oid bigint, conname string, contype string, conrelid bigint, "
             "conindid bigint, confrelid bigint, conkey string, "
-            "confkey string",
+            "confkey string, consrc string",
         ).createOrReplaceTempView("pg_constraint")
         # pg_indexes: the simplified psql-compat view
         # (kv/PgCatalogTable.java:341-356)

@@ -797,3 +797,16 @@ def test_update_cannot_create_duplicate_pk(eng):
     with pytest.raises(EngineError, match="UNIQUE"):
         eng.sql("UPDATE updup SET id = 1 WHERE id = 2")
     assert sorted(rows(eng.sql("SELECT id FROM updup"))) == [(1,), (2,)]
+
+
+def test_pg_constraint_check_rows(eng):
+    eng.sql("CREATE TABLE pc (id INT PRIMARY KEY, qty INT CHECK (qty > 0))")
+    out = rows(
+        eng.sql(
+            "SELECT contype, consrc FROM pg_constraint c "
+            "JOIN pg_class r ON r.oid = c.conrelid "
+            "WHERE r.relname = 'pc' ORDER BY contype"
+        )
+    )
+    assert ("c", "CHECK (qty > 0)") in out
+    assert any(t == "p" for t, _ in out)

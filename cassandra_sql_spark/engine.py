@@ -961,7 +961,10 @@ class Engine:
         action = m.group(2).strip()
         au = action.upper()
         if au.startswith("ADD COLUMN") or (
-            au.startswith("ADD") and not au.startswith(("ADD PRIMARY", "ADD CONSTRAINT", "ADD FOREIGN", "ADD UNIQUE"))
+            au.startswith("ADD") and not au.startswith(
+                ("ADD PRIMARY", "ADD CONSTRAINT", "ADD FOREIGN",
+                 "ADD UNIQUE", "ADD CHECK")
+            )
         ):
             cm = re.match(
                 rf"ADD\s+(?:COLUMN\s+)?({_IDENT})\s+(\S+(?:\s+PRECISION)?)(.*)$",
@@ -993,6 +996,18 @@ class Engine:
             meta.unique.append(list(meta.primary_key))
             self.catalog.save()
             return self._status("alter add pk")
+        if "CHECK" in au and au.startswith(("ADD CONSTRAINT", "ADD CHECK", "ADD ")):
+            expr = _extract_check(action)
+            if not expr:
+                raise EngineError(f"bad ADD CHECK: {action[:60]}")
+            # pg validates existing rows when the constraint is added
+            probe = TableMeta(name=meta.name, columns=meta.columns,
+                              checks=[expr], path=meta.path)
+            self._validate(probe, self._read(meta), against_existing=False)
+            meta.checks.append(expr)
+            self.catalog.save()
+            self._register_pg_catalog()
+            return self._status("alter add check")
         if "FOREIGN KEY" in au:
             fk = re.search(
                 rf"FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+({_IDENT})\s*\(([^)]*)\)",

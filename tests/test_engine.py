@@ -810,3 +810,17 @@ def test_pg_constraint_check_rows(eng):
     )
     assert ("c", "CHECK (qty > 0)") in out
     assert any(t == "p" for t, _ in out)
+
+
+def test_alter_add_check(eng):
+    eng.sql("CREATE TABLE ac (id INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO ac VALUES (1, 5), (2, -3)")
+    # existing rows violate -> the ADD is rejected, nothing changes
+    with pytest.raises(EngineError, match="CHECK violated"):
+        eng.sql("ALTER TABLE ac ADD CONSTRAINT pos CHECK (v > 0)")
+    eng.sql("DELETE FROM ac WHERE v < 0")
+    eng.sql("ALTER TABLE ac ADD CHECK (v > 0)")
+    with pytest.raises(EngineError, match="CHECK violated"):
+        eng.sql("INSERT INTO ac VALUES (3, 0)")
+    eng.sql("INSERT INTO ac VALUES (3, 1)")
+    assert rows(eng.sql("SELECT count(*) n FROM ac")) == [(2,)]

@@ -69,7 +69,12 @@ def word_ngrams(col: Column, k: int) -> Column:
     grams = F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)])
     )
-    return F.slice(grams, 1, F.greatest(F.size(w) - (k - 1), F.lit(1)))
+    # A doc with fewer than k tokens has NO k-gram (empty list) — matching
+    # the `range(1, len(w)-(k-2))` convention every DuckDB oracle uses. The
+    # old floor of 1 emitted a partial gram for short docs: invisible on
+    # the long-doc fixtures but a latent Spark-vs-oracle divergence (and a
+    # semantic lie — a 1-token doc can legitimately match nothing).
+    return F.slice(grams, 1, F.greatest(F.size(w) - (k - 1), F.lit(0)))
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:

@@ -45,9 +45,10 @@ def test_word_ngrams_order_repeats_and_short_docs(spark):
     }
     assert out[1] == ["a b c", "b c d"]
     assert out[2] == ["a b a", "b a b"]
-    # n < k degrades to one gram of all tokens (matches shingle semantics)
-    assert out[3] == ["x y"]
-    assert out[4] == ["solo"]
+    # n < k: NO grams — matches the oracle convention (range(1, n-k+2)
+    # is empty) and the semantics (a 1-token doc has no 3-gram)
+    assert out[3] == []
+    assert out[4] == []
 
 
 def test_ngram_jaccard_count_identity_matches_array_math(spark):

@@ -234,3 +234,47 @@ def test_perplexity_buckets_approx_agrees_with_exact(spark, docs):
             selection.perplexity_buckets_approx(scored)
             ._jdf.queryExecution(), "formatted")
     assert "Window" not in plan, "approx path must not use a global window"
+
+
+def test_selection_ops_handle_degenerate_docs(spark):
+    """Empty text, single tokens, and whitespace must not crash or emit
+    NaN/None scores — the edges a real corpus always contains."""
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "   "),
+            (4, "a a a a"),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    lm = selection.unigram_lm_table(docs, "text")
+    scored = selection.perplexity_buckets(
+        selection.unigram_nll(docs, "doc_id", "text", lm), "doc_id"
+    ).collect()
+    assert len(scored) == 5  # every doc scores (empty text -> '' token)
+    assert all(r["nll"] is not None and r["nll"] == r["nll"] for r in scored)
+
+    w = selection.dsir_bucket_weights(docs, "text", F.col("doc_id") == 5)
+    d = selection.dsir_select_topk(
+        selection.dsir_doc_weights(docs, "doc_id", "text", w), "doc_id"
+    ).collect()
+    assert len(d) == 5
+    by_id = {r["doc_id"]: r for r in d}
+    # docs 1-3 have no bigram: zero features, zero weight, still ranked
+    for i in (1, 2, 3):
+        assert by_id[i]["n_feats"] == 0 and by_id[i]["logw"] == 0.0
+    assert sum(1 for r in d if r["keep"]) == 2  # ceil(5 * 0.25)
+
+
+def test_bloom_decontam_empty_eval_flags_nothing(spark):
+    from cassandra_sql_spark.pipeline import dedup
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id BIGINT, text STRING",
+    )
+    eval_df = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    out = dedup.bloom_decontam(train, eval_df, "doc_id", "text").collect()
+    assert len(out) == 1 and not out[0]["flagged"]

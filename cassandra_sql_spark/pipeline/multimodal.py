@@ -93,7 +93,10 @@ def sample_frames(
     n = F.octet_length(p)
     nframes = F.ceil(n.cast("double") / frame_size).cast("int")
     frames = (
-        df.select(F.col(id_col), p, F.explode(
+        # empty media has NO frames — and Spark's sequence(0, -1) would
+        # otherwise DESCEND to [0, -1] and fabricate a frame for it
+        df.filter(n > 0)
+        .select(F.col(id_col), p, F.explode(
             F.sequence(F.lit(0), nframes - 1)
         ).alias("frame_idx"))
         .filter(F.col("frame_idx") % every == 0)
@@ -159,7 +162,13 @@ def resize_media(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+    # empty media cannot be tiled to a target size — excluded, like the
+    # frame sampler (a real codec would reject a zero-byte file too)
+    return (
+        df.filter(F.octet_length(F.col(payload_col)) > 0)
+        .select(id_col, payload_col)
+        .mapInPandas(run, RESIZE_SCHEMA)
+    )
 
 
 def extract_features(

@@ -1117,7 +1117,7 @@ QUERIES: dict[str, Q] = {
           SELECT doc_id, length(text) AS n_in,
                  substring(repeat(text,
                    CAST(ceil(512.0 / length(text)) AS INT)), 1, 512) AS rz
-          FROM documents
+          FROM documents WHERE length(text) > 0
         )
         SELECT doc_id,
                CAST(n_in AS BIGINT) AS n_bytes_in,

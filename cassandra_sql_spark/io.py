@@ -42,7 +42,16 @@ def events_ts_is_nanos(path: str) -> bool:
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
         path = os.path.join(path, part)
-    return pq.read_schema(path).field("ts").type.unit == "ns"
+    if pq.read_schema(path).field("ts").type.unit != "ns":
+        return False
+    # pyarrow reports INT96 timestamps as ns too, but nanosAsLong only
+    # applies to INT64 TIMESTAMP(NANOS) — an INT96 file (Spark's legacy
+    # default output type) must take the plain-timestamp path
+    f = pq.ParquetFile(path)
+    if f.metadata.num_row_groups == 0:
+        return False
+    idx = f.schema_arrow.get_field_index("ts")
+    return f.metadata.row_group(0).column(idx).physical_type == "INT64"
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -23,9 +23,16 @@ QUERIES: dict[str, Q] = {
         """,
         ("events",),
         oracle="""
+        -- json_valid guard: Spark's get_json_object NULLs malformed or
+        -- NULL JSON; DuckDB's extractor raises. Identical on well-formed
+        -- input, NULL-aligned on garbage (pinned by the adversarial
+        -- events suite).
         SELECT event_id,
-               JSON_EXTRACT_STRING(props, '$.k') AS k_text,
-               CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_num
+               CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN JSON_EXTRACT_STRING(props, '$.k') END AS k_text,
+               CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                         THEN JSON_EXTRACT_STRING(props, '$.k') END
+                    AS BIGINT) AS k_num
         FROM events WHERE event_id < 2000
         """,
     ),
@@ -50,13 +57,15 @@ QUERIES: dict[str, Q] = {
         """,
         ("events",),
         oracle="""
-        SELECT event_type,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT))
-                    AS BIGINT) AS sum_k
-        FROM events
-        WHERE CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) > 50
-        GROUP BY event_type
+        WITH e AS (
+          SELECT event_type,
+                 CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                           THEN JSON_EXTRACT_STRING(props, '$.k') END
+                      AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM e WHERE k > 50 GROUP BY event_type
         """,
     ),
 }

@@ -76,11 +76,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in EVENTS_SCHEMA.fields
         ]
     )
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # directory-of-part-files layout (any Spark-written table)
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file layout (the driver fixtures): stream the parent
+        # dir filtered to exactly this file
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if ts_is_nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw

@@ -40,6 +40,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def nonzero(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Drop zero-norm vectors: they have no direction, so cosine against
+    them is 0/0 (an ANSI divide-by-zero, and NaN-comparison semantics
+    differ across engines). Excluding them is the similarity-search
+    analog of NULL join keys matching nothing — applied map-side at the
+    entry of every cosine path, and mirrored in the DuckDB oracles."""
+    return df.filter(dot(F.col(vec_col), F.col(vec_col)) > 0)
+
+
 def topk_bruteforce(
     emb: DataFrame,
     query_id: int,
@@ -48,6 +57,7 @@ def topk_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k vs one stored vector; broadcast 1-row query side."""
+    emb = nonzero(emb, vec_col)
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qv")
     )
@@ -74,6 +84,7 @@ def threshold_pairs(
     use lsh_topk/bucketed candidates at scale)."""
     # Norms are per-vector, so compute them map-side BEFORE the pair join:
     # cosine per pair then costs one 64-dim fold (the dot), not three.
+    emb = nonzero(emb, vec_col)
     a = emb.select(
         F.col(id_col).alias("da"),
         F.col(vec_col).alias("va"),
@@ -147,6 +158,7 @@ def threshold_pairs_lsh(
     # ex/norms measured 17% SLOWER (6.24s vs 5.33s at sf0.1), pure added
     # materialization. Minhash benefits because its shingle table feeds
     # three DIFFERENT projections that no exchange reuse covers.
+    emb = nonzero(emb, vec_col)
     ex = emb.select(
         F.col(id_col).alias("_id"),
         F.explode(band_buckets(F.col(vec_col), bands, rows)).alias("_bb"),
@@ -455,7 +467,10 @@ def topk_lsh_pruned(
     qbucket = qdf.select(
         lsh_bucket(F.col(vec_col), planes).alias("b")
     ).collect()[0]["b"]
-    bucketed = spark.read.parquet(path).filter(F.col("_bucket") == qbucket)
+    bucketed = nonzero(
+        spark.read.parquet(path).filter(F.col("_bucket") == qbucket),
+        vec_col,
+    )
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = bucketed.select(
         id_col,
@@ -547,6 +562,7 @@ def topk_lsh(
             for p in range(min(multiprobe, planes))
         ],
     )
+    bucketed = nonzero(bucketed, vec_col)
     q = bucketed.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qv"), probes.alias("_qbs")
     )

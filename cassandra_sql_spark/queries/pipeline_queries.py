@@ -72,7 +72,11 @@ _MD5_UNIT_SEEDED_SQL = "(" + " + ".join(
 # Brute-force all-pairs cosine >= 0.45: ground truth for BOTH the exact
 # (dedup_embedding_cosine) and the LSH-bucketed (dedup_embedding_lsh) paths.
 _EMB_PAIRS_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+-- zero-norm vectors excluded: no direction, cosine undefined (mirrors
+-- similarity.nonzero)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[],
+                                  embedding::DOUBLE[]) > 0)
 SELECT a.vec_id AS da, b.vec_id AS db,
        CAST(CAST({_COSINE.format(a='a.v', b='b.v')} AS DECIMAL(18,6))
             AS DOUBLE) AS score
@@ -238,7 +242,9 @@ QUERIES: dict[str, Q] = {
         ),
         ("embeddings",),
         oracle=f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]) > 0),
              q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
         SELECT e.vec_id,
                CAST(CAST({_COSINE.format(a='e.v', b='q.qv')}

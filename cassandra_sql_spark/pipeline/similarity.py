@@ -365,6 +365,10 @@ def ivf_train(
         .collect()
     )
     centroids = [_unit([float(x) for x in r[vec_col]]) for r in seeds]
+    if not centroids:
+        return []
+    # a corpus smaller than n_centroids trains that many clusters, not k
+    n_centroids = len(centroids)
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = emb.select(
@@ -404,8 +408,15 @@ def topk_ivf(
     Here the assignment is computed inline (same plan shape, no
     materialization step) to keep the query self-contained.
     """
+    emb = nonzero(emb, vec_col)
     centroids = ivf_train(emb, n_centroids, 2, id_col, vec_col)
     q = emb.filter(F.col(id_col) == query_id).select(id_col, vec_col).collect()
+    if not q:
+        # missing (or zero-norm) query id: empty result, same contract as
+        # the LSH probe — not a driver-side IndexError
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, score double"
+        )
     qv = [float(x) for x in q[0][vec_col]]
     qn = _unit(qv)
     probe_ids = sorted(

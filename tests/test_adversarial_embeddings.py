@@ -87,3 +87,21 @@ def test_adversarial_embeddings_match_oracle(
     orows = res.fetchall()
     problems = compare(srows, df.columns, orows, ocols, strict=True)
     assert not problems, f"{name}: {problems}"
+
+
+def test_rows_only_ann_paths_survive_degenerate_input(spark, adv_emb_dir):
+    """The rows-only ANN entries must handle a missing/zero-norm query id
+    and a corpus smaller than n_centroids without driver-side errors."""
+    out = REGISTRY["sim_ivf_topk"].fn(spark, adv_emb_dir)
+    assert out.collect() == []  # query_id=0 absent -> empty, not a crash
+    out = REGISTRY["sim_lsh_topk"].fn(spark, adv_emb_dir)
+    assert out.collect() == []
+    from cassandra_sql_spark.pipeline import similarity
+
+    # corpus smaller than the centroid count trains that many clusters
+    tiny = spark.createDataFrame(
+        [(1, [1.0] * 64, 0), (2, [0.5] * 64, 0)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    cents = similarity.ivf_train(tiny, n_centroids=8)
+    assert 1 <= len(cents) <= 2

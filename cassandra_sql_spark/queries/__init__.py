@@ -155,6 +155,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "win_named_window",
     "mix_source_kl",
     "text_novelty",
+    "win_time_range_frame",
 )
 
 _ALL: dict[str, Q] = {}

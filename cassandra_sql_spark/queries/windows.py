@@ -176,4 +176,23 @@ QUERIES: dict[str, Q] = {
         """,
         ("supplier",),
     ),
+    # Time-interval RANGE frame: events in the trailing hour per user —
+    # the production sliding-window shape (rate limiting, rolling usage,
+    # anomaly baselines). RANGE over a TIMESTAMP order key with an
+    # INTERVAL bound parses and executes identically on both engines;
+    # the sum goes through scaled-int cents so the frame's money math is
+    # exact and order-independent.
+    "win_time_range_frame": sql_q(
+        """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_last_hour,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                    AS DOUBLE) / 100 AS val_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        ("events",),
+    ),
 }

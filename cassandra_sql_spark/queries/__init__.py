@@ -156,6 +156,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "mix_source_kl",
     "text_novelty",
     "win_time_range_frame",
+    "agg_filter_clause",
+    "sort_explicit_null_order",
 )
 
 _ALL: dict[str, Q] = {}

@@ -385,4 +385,33 @@ QUERIES: dict[str, Q] = {
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
         """,
     ),
+    # pg FILTER (WHERE ...) aggregate clause — per-aggregate predicates
+    # without CASE scaffolding; same SQL both engines. The filtered money
+    # sum goes through scaled-int cents (exact, order-independent).
+    "agg_filter_clause": sql_q(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100
+                 AS rev_o
+        FROM orders GROUP BY o_orderpriority
+        """,
+        ("orders",),
+    ),
+    # Explicit NULLS FIRST/LAST with LIMIT: engine DEFAULTS diverge
+    # (Spark: ASC nulls first / DESC nulls last; DuckDB: the reverse), so
+    # any LIMIT over a nullable sort key is only well-defined with the
+    # ordering spelled out — this entry pins the explicit form that users
+    # must write, exercised with real NULLs in the adversarial net.
+    "sort_explicit_null_order": sql_q(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        ORDER BY c_acctbal DESC NULLS LAST, c_custkey
+        LIMIT 50
+        """,
+        ("customer",),
+    ),
 }

@@ -28,6 +28,7 @@ class ColumnMeta:
     identity: bool = False  # SERIAL / GENERATED ... AS IDENTITY
     enum_type: Optional[str] = None
     hidden: bool = False   # system column (hidden rowid), excluded from *
+    generated: Optional[str] = None  # GENERATED ALWAYS AS (expr) STORED
 
 
 @dataclass

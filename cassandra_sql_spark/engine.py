@@ -867,6 +867,21 @@ class Engine:
             identity = base in ("SERIAL", "BIGSERIAL", "SMALLSERIAL") or (
                 "GENERATED" in rest and "IDENTITY" in rest
             )
+            generated = None
+            gm = re.search(
+                r"GENERATED\s+ALWAYS\s+AS\s*\(", cm.group(4), re.IGNORECASE
+            )
+            if gm and "IDENTITY" not in rest:
+                depth, start = 1, gm.end()
+                body = cm.group(4)
+                for gi in range(start, len(body)):
+                    if body[gi] == "(":
+                        depth += 1
+                    elif body[gi] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            generated = body[start:gi].strip()
+                            break
             enum_type = (
                 ctype.strip().lower()
                 if ctype.strip().lower() in self.catalog.enums
@@ -900,6 +915,7 @@ class Engine:
                     nullable=nullable and not identity,
                     identity=identity,
                     enum_type=enum_type,
+                    generated=generated,
                 )
             )
             if identity:
@@ -1146,18 +1162,30 @@ class Engine:
             )
         else:
             src = self.spark.sql(preprocess(self._substitute_sequences(tail)))
+        gen_cols = {c.name for c in meta.columns if c.generated}
         if m.group(3):
             cols = [c.strip() for c in m.group(3).split(",")]
+            bad = gen_cols & {c.lower() for c in cols}
+            if bad:
+                raise EngineError(
+                    f"cannot insert into generated column: {sorted(bad)[0]}"
+                )
         else:
-            cols = [c.name for c in meta.columns if not c.hidden]
+            cols = [
+                c.name for c in meta.columns
+                if not c.hidden and not c.generated
+            ]
             if len(src.columns) == len(
-                [c for c in meta.columns if not c.identity and not c.hidden]
+                [
+                    c for c in meta.columns
+                    if not c.identity and not c.hidden and not c.generated
+                ]
             ):
                 # bare INSERT omitting identity columns (SERIAL usage)
                 cols = [
                     c.name
                     for c in meta.columns
-                    if not c.identity and not c.hidden
+                    if not c.identity and not c.hidden and not c.generated
                 ]
         if len(src.columns) != len(cols):
             raise EngineError(
@@ -1180,10 +1208,18 @@ class Engine:
                     src = src.withColumn(
                         c.name, (w + base - 1).cast(c.spark_type)
                     )
-                else:
+                elif not c.generated:
                     src = src.withColumn(
                         c.name, F.lit(None).cast(c.spark_type)
                     )
+        # generated columns: computed from the row AFTER every provided/
+        # defaulted column exists (pg GENERATED ALWAYS AS ... STORED)
+        for c in meta.columns:
+            if c.generated:
+                src = src.withColumn(
+                    c.name,
+                    F.expr(preprocess(c.generated)).cast(c.spark_type),
+                )
         src = src.select(
             *[F.col(c.name).cast(c.spark_type).alias(c.name) for c in meta.columns]
         )
@@ -1257,6 +1293,12 @@ class Engine:
         if returning is not None:
             raise EngineError(
                 "RETURNING with ON CONFLICT DO UPDATE is not supported"
+            )
+        if any(c.generated for c in meta.columns):
+            raise EngineError(
+                "ON CONFLICT DO UPDATE on a table with generated columns "
+                "is not supported (the MERGE rewrite cannot recompute them "
+                "unambiguously); use DO NOTHING + UPDATE"
             )
         sets = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.IGNORECASE | re.DOTALL)
         view = "__upsert_excluded"
@@ -1358,6 +1400,9 @@ class Engine:
         cond = (
             F.expr(preprocess(m.group(3).strip())) if m.group(3) else F.lit(True)
         )
+        for c in sets:
+            if meta.column(c).generated:
+                raise EngineError(f"cannot update generated column: {c}")
         df = self._read(meta)
         n = df.filter(cond).count()
         out = df.withColumns(
@@ -1368,6 +1413,13 @@ class Engine:
                 for c, e in sets.items()
             }
         )
+        gen = {
+            c.name: F.expr(preprocess(c.generated)).cast(c.spark_type)
+            for c in meta.columns
+            if c.generated
+        }
+        if gen:
+            out = out.withColumns(gen)
         if meta.checks or meta.unique or meta.foreign_keys:
             self._validate(meta, out.cache(), against_existing=False)
         self._rewrite(meta, out)
@@ -1375,16 +1427,15 @@ class Engine:
             # the updated rows with their NEW values (pg RETURNING reads
             # the post-update tuple): apply the SETs unconditionally to
             # the old rows that satisfied the predicate
-            return self._returning(
-                df.filter(cond).withColumns(
-                    {
-                        c: F.expr(e).cast(meta.column(c).spark_type)
-                        for c, e in sets.items()
-                    }
-                ),
-                meta,
-                returning,
+            ret = df.filter(cond).withColumns(
+                {
+                    c: F.expr(e).cast(meta.column(c).spark_type)
+                    for c, e in sets.items()
+                }
             )
+            if gen:
+                ret = ret.withColumns(gen)
+            return self._returning(ret, meta, returning)
         return self._status(f"update {meta.name}", n)
 
     def _delete(self, s: str) -> DataFrame:

@@ -824,3 +824,29 @@ def test_alter_add_check(eng):
         eng.sql("INSERT INTO ac VALUES (3, 0)")
     eng.sql("INSERT INTO ac VALUES (3, 1)")
     assert rows(eng.sql("SELECT count(*) n FROM ac")) == [(2,)]
+
+
+def test_generated_columns(eng):
+    eng.sql(
+        "CREATE TABLE gcol (a INT PRIMARY KEY, b INT, "
+        "total INT GENERATED ALWAYS AS (a + b) STORED)"
+    )
+    eng.sql("INSERT INTO gcol (a, b) VALUES (1, 10), (2, 20)")
+    assert rows(eng.sql("SELECT * FROM gcol ORDER BY a")) == [
+        (1, 10, 11), (2, 20, 22),
+    ]
+    # bare INSERT omits generated columns, like identity
+    eng.sql("INSERT INTO gcol VALUES (3, 30)")
+    assert rows(eng.sql("SELECT total FROM gcol WHERE a = 3")) == [(33,)]
+    # explicit write to a generated column is rejected
+    with pytest.raises(EngineError, match="generated"):
+        eng.sql("INSERT INTO gcol (a, b, total) VALUES (4, 40, 99)")
+    with pytest.raises(EngineError, match="generated"):
+        eng.sql("UPDATE gcol SET total = 0 WHERE a = 1")
+    # UPDATE of a base column recomputes the generated value
+    eng.sql("UPDATE gcol SET b = 100 WHERE a = 1")
+    assert rows(eng.sql("SELECT total FROM gcol WHERE a = 1")) == [(101,)]
+    out = rows(
+        eng.sql("UPDATE gcol SET b = 5 WHERE a = 2 RETURNING total")
+    )
+    assert out == [(7,)]

@@ -29,6 +29,7 @@ class ColumnMeta:
     enum_type: Optional[str] = None
     hidden: bool = False   # system column (hidden rowid), excluded from *
     generated: Optional[str] = None  # GENERATED ALWAYS AS (expr) STORED
+    default: Optional[str] = None    # DEFAULT expr (filled when omitted)
 
 
 @dataclass

@@ -867,6 +867,15 @@ class Engine:
             identity = base in ("SERIAL", "BIGSERIAL", "SMALLSERIAL") or (
                 "GENERATED" in rest and "IDENTITY" in rest
             )
+            default = None
+            dm = re.search(
+                r"\bDEFAULT\s+(.*?)(?:\s+(?:NOT\s+NULL|NULL|UNIQUE|"
+                r"PRIMARY\s+KEY|REFERENCES|CHECK|GENERATED)\b.*)?$",
+                cm.group(4).strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if dm:
+                default = dm.group(1).strip().rstrip(",")
             generated = None
             gm = re.search(
                 r"GENERATED\s+ALWAYS\s+AS\s*\(", cm.group(4), re.IGNORECASE
@@ -916,6 +925,7 @@ class Engine:
                     identity=identity,
                     enum_type=enum_type,
                     generated=generated,
+                    default=default,
                 )
             )
             if identity:
@@ -1207,6 +1217,14 @@ class Engine:
                     )
                     src = src.withColumn(
                         c.name, (w + base - 1).cast(c.spark_type)
+                    )
+                elif c.default is not None:
+                    # pg DEFAULT: the expression fills omitted columns
+                    src = src.withColumn(
+                        c.name,
+                        F.expr(preprocess(
+                            self._substitute_sequences(c.default)
+                        )).cast(c.spark_type),
                     )
                 elif not c.generated:
                     src = src.withColumn(

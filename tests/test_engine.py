@@ -850,3 +850,23 @@ def test_generated_columns(eng):
         eng.sql("UPDATE gcol SET b = 5 WHERE a = 2 RETURNING total")
     )
     assert out == [(7,)]
+
+
+def test_default_column_values(eng):
+    eng.sql(
+        "CREATE TABLE dflt (id INT PRIMARY KEY, "
+        "status TEXT DEFAULT 'new' NOT NULL, "
+        "score INT DEFAULT 2 + 3, "
+        "created TIMESTAMP DEFAULT TIMESTAMP '2024-01-01 00:00:00')"
+    )
+    eng.sql("INSERT INTO dflt (id) VALUES (1)")
+    eng.sql("INSERT INTO dflt (id, status) VALUES (2, 'open')")
+    eng.sql("INSERT INTO dflt (id, score) VALUES (3, 99)")
+    out = rows(eng.sql("SELECT id, status, score FROM dflt ORDER BY id"))
+    assert out == [(1, "new", 5), (2, "open", 5), (3, "new", 99)]
+    assert rows(
+        eng.sql("SELECT CAST(created AS STRING) c FROM dflt WHERE id = 1")
+    ) == [("2024-01-01 00:00:00",)]
+    # DEFAULT + NOT NULL: omitted column passes the constraint via the fill
+    eng.sql("INSERT INTO dflt (id) VALUES (4)")
+    assert rows(eng.sql("SELECT count(*) n FROM dflt")) == [(4,)]

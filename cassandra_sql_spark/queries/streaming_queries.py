@@ -111,6 +111,11 @@ QUERIES: dict[str, Q] = {
     ),
     "stream_window_agg": Q(
         _windowed,
+        # ts IS NOT NULL: an event-time window is undefined without a
+        # timestamp — Spark's window() excludes such rows (and a
+        # watermark could never admit them); the batch oracle matches
+        # instead of inventing a NULL bucket. No-op on the fixtures,
+        # pinned with real NULL-ts rows in the adversarial events net.
         """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type,
@@ -118,6 +123,7 @@ QUERIES: dict[str, Q] = {
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
                  AS sum_value
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
         """,
     ),

@@ -47,6 +47,11 @@ ADV_EVENTS = [
     (402, _ts(3, 11), 4, "error", 0.0, None),
     # u5: single event, NULL value
     (500, _ts(1, 13), 5, "view", None, '{"k": 200}'),
+    # NULL event time: belongs to no event-time window (dropped by
+    # window()/watermark operators; batch oracles align via ts IS NOT
+    # NULL), but still visible to non-event-time queries
+    (600, None, 6, "click", 1.0, None),
+    (601, None, 6, "purchase", 2.0, None),
     # far-future anchor so the 2h watermark tail excludes nothing above
     (900, _ts(6, 23), 9, "view", 0.0, None),
 ]

@@ -35,7 +35,12 @@ from pyspark.sql.window import Window
 
 from cassandra_sql_spark.catalog import Catalog, ColumnMeta, TableMeta, ViewMeta
 from cassandra_sql_spark.functions import register_pg_functions
-from cassandra_sql_spark.sqlfront.preprocess import map_pg_type, preprocess
+from cassandra_sql_spark.sqlfront.preprocess import (
+    _mask_literals,
+    _unmask,
+    map_pg_type,
+    preprocess,
+)
 
 _IDENT = r"[A-Za-z_][\w]*"
 
@@ -820,23 +825,38 @@ class Engine:
         meta = TableMeta(name=name)
         for d in self._split_defs(body):
             du = d.upper()
-            if du.startswith("PRIMARY KEY"):
-                meta.primary_key = re.findall(_IDENT, d[len("PRIMARY KEY"):])
+            # A named table constraint (`CONSTRAINT name ...`) dispatches
+            # on what FOLLOWS the name — substring matching ("CHECK" in
+            # the whole def) mis-fires when the constraint name, its
+            # columns, or the referenced table contain the keyword (e.g.
+            # CONSTRAINT fk_x FOREIGN KEY (check_id) REFERENCES
+            # checklist(id) must stay an FK, not vanish into the CHECK
+            # branch).
+            cd = d
+            if du.startswith("CONSTRAINT"):
+                cd = re.sub(
+                    rf"^CONSTRAINT\s+{_IDENT}\s+",
+                    "",
+                    d,
+                    count=1,
+                    flags=re.IGNORECASE,
+                )
+            cu = cd.upper()
+            if cu.startswith("PRIMARY KEY"):
+                meta.primary_key = re.findall(_IDENT, cd[len("PRIMARY KEY"):])
                 continue
-            if du.startswith("UNIQUE"):
-                meta.unique.append(re.findall(_IDENT, d[len("UNIQUE"):]))
+            if cu.startswith("UNIQUE"):
+                meta.unique.append(re.findall(_IDENT, cd[len("UNIQUE"):]))
                 continue
-            if du.startswith("CHECK") or (
-                du.startswith("CONSTRAINT") and "CHECK" in du
-            ):
-                expr = _extract_check(d)
+            if re.match(r"CHECK\s*\(", cu):
+                expr = _extract_check(cd)
                 if expr:
                     meta.checks.append(expr)
                 continue
-            if du.startswith(("CONSTRAINT", "FOREIGN KEY")):
+            if cu.startswith("FOREIGN KEY"):
                 fk = re.search(
                     rf"FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+({_IDENT})\s*\(([^)]*)\)",
-                    d,
+                    cd,
                     re.IGNORECASE,
                 )
                 if fk:
@@ -1140,22 +1160,28 @@ class Engine:
         # delegates to the MERGE rewrite with the batch registered as a
         # temp view aliased `excluded`, so pg's EXCLUDED.col references
         # work verbatim inside the SET expressions.
+        # suffix clauses are located on a literal-MASKED copy — a VALUES
+        # string like 'items returning soon' or 'on conflict policy' must
+        # not truncate the statement at that point
+        masked, lits = _mask_literals(s)
         returning = None
         rm = re.search(
-            r"\s+RETURNING\s+(.*)$", s, re.IGNORECASE | re.DOTALL
+            r"\s+RETURNING\s+(.*)$", masked, re.IGNORECASE | re.DOTALL
         )
         if rm:
-            returning, s = rm.group(1).strip(), s[: rm.start()]
+            returning = _unmask(rm.group(1).strip(), lits)
+            masked = masked[: rm.start()]
         conflict = None
         cm = re.search(
             rf"\s+ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+"
             rf"(NOTHING|UPDATE\s+SET\s+.*)$",
-            s,
+            masked,
             re.IGNORECASE | re.DOTALL,
         )
         if cm:
-            conflict = (cm.group(1), cm.group(2))
-            s = s[: cm.start()]
+            conflict = (cm.group(1), _unmask(cm.group(2), lits))
+            masked = masked[: cm.start()]
+        s = _unmask(masked, lits)
         m = re.match(
             rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*(VALUES\s*(.*)|SELECT\s+.*)$",
             s,
@@ -1317,6 +1343,22 @@ class Engine:
                 "ON CONFLICT DO UPDATE on a table with generated columns "
                 "is not supported (the MERGE rewrite cannot recompute them "
                 "unambiguously); use DO NOTHING + UPDATE"
+            )
+        # pg: "ON CONFLICT DO UPDATE command cannot affect row a second
+        # time" — two batch rows sharing a conflict key would BOTH take
+        # MERGE's NOT MATCHED branch when the key is absent from the
+        # target, silently inserting duplicate PK rows. Raise, like pg.
+        dup = (
+            src.groupBy(*key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise EngineError(
+                "ON CONFLICT DO UPDATE cannot affect row a second time: "
+                f"duplicate conflict key within the insert batch on ({', '.join(key)})"
             )
         sets = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.IGNORECASE | re.DOTALL)
         view = "__upsert_excluded"
@@ -1704,9 +1746,17 @@ class Engine:
             .drop("__keep", "__hit")
             .unionByName(inserts)
         )
-        # NOT NULL + enum domains re-checked on the merged result (UNIQUE/FK
-        # are insert-batch checks in _validate; a merge rewrites the table,
-        # so the batch-vs-existing split doesn't apply)
+        # NOT NULL + enum domains + CHECK constraints re-checked on the
+        # merged result (UNIQUE/FK are insert-batch checks in _validate; a
+        # merge rewrites the table, so the batch-vs-existing split doesn't
+        # apply)
+        for e in meta.checks:
+            # pg semantics: CHECK passes on TRUE or NULL, fails on FALSE
+            bad = final.filter(
+                ~F.coalesce(F.expr(preprocess(e)), F.lit(True))
+            )
+            if bad.limit(1).count():
+                raise EngineError(f"CHECK violated: {meta.name}: {e}")
         for c in meta.columns:
             if not c.nullable or c.name in meta.primary_key:
                 if final.filter(F.col(c.name).isNull()).limit(1).count():

@@ -45,120 +45,81 @@ _MODULES = (
 
 # The correctness driver grades only the FIRST 50 registry entries. The
 # window ROTATES per round so every oracle-checked entry eventually gets a
-# hard-signal driver row (rounds 1-3 graded 89 distinct entries; see
-# CORRECTNESS_r0*.json). Round-4 window = the four queries whose output
-# representation changed this round (regression canaries: the three r3
-# hash-red rows, now de-decimalized, plus sim_topk_bruteforce whose score
-# column also moved DECIMAL->DOUBLE) + 46 entries never graded in any prior
-# round. The ~15 still-ungraded entries (9 oracle-checked + 6 rows-only)
-# are queued for the round-5 window. ``tests/test_registry.py`` pins this
-# composition.
+# hard-signal driver row (r1-r4 graded 135 distinct entries; see
+# CORRECTNESS_r0*.json). Round-5 window = the three r4 hash-boundary red
+# rows, now fixed (regression canaries) + all 31 oracle-checked entries
+# never graded in any prior round + 16 regression picks spread across the
+# SURVEY families. This CLOSES the oracle-checked tail: every
+# oracle-checked entry present at the start of round 5 has a driver row
+# by end of round. ``tests/test_registry.py`` pins this composition.
 PRIORITY: tuple[str, ...] = (
-    # Canaries: representation changed this round (DECIMAL -> DOUBLE at the
-    # hash boundary); must re-grade green.
-    "expr_math_transcendental",
-    "expr_cast",
-    "dedup_embedding_lsh",
-    "sim_topk_bruteforce",
-    # §2.4 aggregation variants
-    "agg_over_join",
-    "agg_manual_pivot",
-    "agg_approx_percentile_bound",
-    # §2.2 predicates
-    "pred_null_safe_eq",
-    # §2.5 window functions
-    "win_lag_lead",
-    "win_first_last",
-    "win_range_frame",
-    "win_topk_per_group",
-    "win_nth_value",
-    # §2.6 set operations
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    # §2.7 subqueries
-    "subq_in",
-    "subq_not_in",
-    "subq_scalar_where",
-    "subq_derived",
-    "subq_exists_or",
-    # §2.8 expressions / JSON / arrays
-    "expr_concat",
-    "expr_math",
-    "expr_coalesce_nullif",
-    "expr_string_funcs",
-    "expr_datediff_format",
-    "expr_time_bucket_agg",
-    "json_extract_scalar",
-    "explode_tokens",
+    # Canaries: the r4 hash-boundary reds, fixed this round (ARRAY outputs
+    # serialized via array_join/array_to_string; oracle HUGEINT cast back
+    # to BIGINT); must re-grade green.
     "array_agg_per_group",
-    "series_calendar_fill",
-    # pipeline: dedup / similarity / embeddings
-    "dedup_embedding_cosine",
-    "emb_random_projection",
     "emb_quantize_int8",
-    "emb_label_centroids",
-    # pipeline: text analysis
-    "text_bpe_tokens",
-    "text_vocab_topk",
-    "text_bm25",
-    "text_chunk_sliding",
-    "text_pii_redact",
-    # pipeline: sampling / packing
-    "sample_md5_split",
-    "pack_token_budget",
-    # pipeline: multimodal
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    # streaming (batch-equivalent oracles)
-    "stream_stream_join",
-    "stream_stream_left_join",
     "stream_static_join",
-    "stream_dedup",
-    "event_sessionize_batch",
-    # temporal
-    "range_join_events",
-)
-
-# Oracle-checked entries deliberately deferred to the ROUND-5 window —
-# 28 entries: the round-3 deferrals plus everything added during round 4
-# (selection/mixing ops, corpus diagnostics, LATERAL, string_agg, named
-# windows). Graded union reaches every oracle-checked entry (163 as of
-# round 4) by end of round 5: 89 graded in r1-r3 + 46 never-graded in
-# the r4 window + these.
-NEXT_WINDOW: tuple[str, ...] = (
+    # Never graded in r1-r4 (the round-4 additions + r3 deferrals):
+    # dedup / corpus diagnostics
     "dedup_ngram_jaccard_uncapped",
-    "values_table",
-    "agg_over_derived",
-    "agg_where_then_group",
-    "setop_union_orderby",
-    "expr_string_extras",
-    "expr_datetime_extras",
-    "text_length_histogram",
-    "sample_source_quota",
     "dedup_clusters_bigstar",
     "dedup_survivor_selection",
-    "text_quality_classifier",
-    "sample_temperature",
     "dedup_cross_source_audit",
-    "text_gopher_filters",
     "dedup_repeated_chunks",
-    "sample_global_shuffle",
     "dedup_semantic",
     "corpus_curation_pipeline",
+    # selection / mixing family
     "text_unigram_lm",
     "dsir_importance",
     "sample_unimax",
-    "emb_label_dispersion",
-    "lateral_topn_per_key",
-    "agg_string_agg",
-    "win_named_window",
+    "sample_temperature",
+    "sample_source_quota",
+    "sample_global_shuffle",
+    "text_quality_classifier",
+    "text_gopher_filters",
     "mix_source_kl",
     "text_novelty",
-    "win_time_range_frame",
+    "text_length_histogram",
+    # embeddings
+    "emb_label_dispersion",
+    # SQL surface stragglers
+    "values_table",
+    "agg_over_derived",
+    "agg_where_then_group",
+    "agg_string_agg",
     "agg_filter_clause",
+    "setop_union_orderby",
     "sort_explicit_null_order",
+    "expr_string_extras",
+    "expr_datetime_extras",
+    "lateral_topn_per_key",
+    "win_named_window",
+    "win_time_range_frame",
+    # Regression picks (already graded green in r1-r4; re-grade to catch
+    # drift while the tail closes).
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "scan_filter_project",
+    "join_full_outer",
+    "agg_rollup",
+    "win_ranking",
+    "setop_union_all",
+    "subq_correlated",
+    "recursive_cte",
+    "expr_datetime",
+    "json_filter_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "asof_join_purchases",
 )
+
+# Oracle-checked entries queued for the ROUND-6 window: entries ADDED
+# during round 5 (they postdate the r5 window composition). Keep this in
+# sync as round-5 work lands; tests/test_registry.py enforces that
+# window + NEXT_WINDOW + graded union covers every oracle-checked entry.
+NEXT_WINDOW: tuple[str, ...] = ()
 
 _ALL: dict[str, Q] = {}
 for _m in _MODULES:

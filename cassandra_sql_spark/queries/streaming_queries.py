@@ -167,7 +167,11 @@ QUERIES: dict[str, Q] = {
         FROM events e
         JOIN (
           SELECT user_id,
-                 SUM(CAST(ROUND(value * 100) AS BIGINT)) AS user_total_cents,
+                 -- DuckDB types SUM(BIGINT) as HUGEINT; a pandas-style
+                 -- fetch renders that float64 and hash-mismatches the
+                 -- Spark BIGINT (r4 red row). Cast back to BIGINT.
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS user_total_cents,
                  COUNT(*) AS user_n_events
           FROM events GROUP BY user_id
         ) u ON e.user_id = u.user_id

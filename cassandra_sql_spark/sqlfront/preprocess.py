@@ -287,13 +287,25 @@ def _rewrite_distinct_on(sql: str) -> str:
     themselves order the window, making it deterministic. Supported form:
     one top-level SELECT whose ORDER BY (if any) references columns
     visible in the select list — the overwhelmingly common spelling."""
+    # split off a trailing LIMIT/OFFSET/FETCH first — the lazy ORDER BY
+    # capture would otherwise absorb it into the window's ORDER BY
+    # ("ORDER BY k, c LIMIT 10" -> invalid window order "c LIMIT 10")
+    tail = ""
+    tm = re.search(
+        r"(?is)\s+(LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?|OFFSET\s+\d+"
+        r"(?:\s+ROWS?)?(?:\s+FETCH\s+.*)?|FETCH\s+.*?)\s*;?\s*$",
+        sql,
+    )
+    if tm and re.match(r"(?is)^\s*SELECT\s+DISTINCT\s+ON\b", sql):
+        tail = " " + re.sub(r";\s*$", "", tm.group(1).strip())
+        sql = sql[: tm.start()]
     m = re.match(
         r"(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)"
         r"\s+FROM\s+(.*?)(?:\s+ORDER\s+BY\s+(.*?))?\s*;?\s*$",
         sql,
     )
     if not m:
-        return sql
+        return sql + tail
     keys, select_list, from_part, order = (
         m.group(1).strip(),
         m.group(2).strip(),
@@ -314,7 +326,7 @@ def _rewrite_distinct_on(sql: str) -> str:
     )
     if order:
         out += f" ORDER BY {order}"
-    return out
+    return out + tail
 
 
 def _rewrite_between_symmetric(sql: str) -> str:

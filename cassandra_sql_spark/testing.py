@@ -20,6 +20,38 @@ from datetime import date, datetime
 from decimal import Decimal
 
 
+# Driver hash-boundary contract for oracle-checked entries (round-4
+# postmortem): the driver's pandas-based hasher crashes on ARRAY/MAP
+# output columns (TypeError: unhashable type 'list'), and DuckDB
+# HUGEINT/DECIMAL oracle columns render float64-style on fetch
+# ('448955.0' vs Spark's '448955') — value-equal but hash-red. Graded
+# entries must ship scalars: serialize arrays (array_join /
+# array_to_string) and CAST wide integers back to BIGINT on the oracle
+# side.
+FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "DECIMAL")
+
+
+def boundary_problems(spark_dtypes, duck_cols, duck_types) -> list[str]:
+    """Contract violations for an oracle-checked entry's output schema.
+
+    ``spark_dtypes``: ``df.dtypes`` pairs; ``duck_cols``/``duck_types``:
+    the DuckDB relation's ``columns``/``types``.
+    """
+    problems = []
+    for c, t in spark_dtypes:
+        if t.startswith("array") or t.startswith("map"):
+            problems.append(
+                f"spark column {c} is {t} (driver hasher cannot hash it)"
+            )
+    for c, t in zip(duck_cols, duck_types):
+        tu = str(t).upper()
+        if any(f in tu for f in FORBIDDEN_ORACLE_TYPES):
+            problems.append(
+                f"oracle column {c} is {t} (fetch-representation drift)"
+            )
+    return problems
+
+
 def norm(v, strict: bool = False):
     if v is None:
         return None

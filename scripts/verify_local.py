@@ -25,7 +25,10 @@ sys.path.insert(0, "/root/repo")
 
 from cassandra_sql_spark.io import TABLES  # noqa: E402
 from cassandra_sql_spark.session import get_spark  # noqa: E402
-from cassandra_sql_spark.testing import compare  # noqa: E402
+from cassandra_sql_spark.testing import (  # noqa: E402
+    boundary_problems,
+    compare,
+)
 
 
 def main() -> int:
@@ -62,14 +65,20 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = list(rel.types)
+            orows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
             continue
-        problems = compare(rows, cols, orows, ocols, strict=strict)
+        # Driver hash-boundary contract (r4 postmortem): ARRAY/MAP Spark
+        # outputs crash the driver's hasher; HUGEINT/DECIMAL oracle types
+        # drift in fetch representation. Fail them here, before the
+        # driver ever sees them — in BOTH compare modes.
+        problems = boundary_problems(df.dtypes, ocols, otypes)
+        problems += compare(rows, cols, orows, ocols, strict=strict)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1

@@ -1,8 +1,8 @@
 """The correctness driver grades only the FIRST 50 registry entries.
 
 The window ROTATES per round so every oracle-checked entry eventually gets
-a hard-signal driver row (the round-3 verdict's task #2: rounds 1-3 graded
-89 distinct entries; round 4 grades the never-sampled tail). These tests
+a hard-signal driver row (r1-r4 graded 135 distinct entries; the round-5
+window grades the 31-entry never-sampled tail, closing it). These tests
 pin the rotation's invariants:
 
 - the window is exactly the first 50 registry entries,
@@ -10,10 +10,12 @@ pin the rotation's invariants:
   rows-only check),
 - every entry whose output representation changed this round is in the
   window (regression canaries),
-- every non-canary slot goes to an entry never graded in rounds 1-3,
+- the round-4 ungraded tail is fully inside the window,
 - family coverage holds over the UNION of past driver rows and the current
   window — rotating the window must not leave a family with no hard signal
-  anywhere.
+  anywhere,
+- the hash-boundary contract (no ARRAY/MAP Spark outputs, no
+  HUGEINT/DECIMAL oracle types) holds for every oracle-checked entry.
 """
 
 from __future__ import annotations
@@ -25,13 +27,13 @@ from cassandra_sql_spark.queries import NEXT_WINDOW, PRIORITY, REGISTRY
 
 _REPO = Path(__file__).resolve().parent.parent
 
-# Output representation changed in round 4 (DECIMAL -> DOUBLE at the hash
-# boundary) — these must re-grade green.
+# Output representation changed in round 5 (ARRAY outputs serialized to
+# scalar CSV; oracle HUGEINT cast back to BIGINT) — the r4 hash-boundary
+# red rows, which must re-grade green.
 _CANARIES = {
-    "expr_math_transcendental",
-    "expr_cast",
-    "dedup_embedding_lsh",
-    "sim_topk_bruteforce",
+    "array_agg_per_group",
+    "emb_quantize_int8",
+    "stream_static_join",
 }
 
 # One-or-more graded representatives required per SURVEY §2 / pipeline
@@ -124,14 +126,29 @@ def test_canaries_in_window():
     assert not missing, f"representation-changed canaries not graded: {missing}"
 
 
-def test_noncanary_slots_go_to_never_graded():
-    # Pinned to rounds 1-3: this window was composed against their union
-    # (the driver's own r4 rows grading this window shouldn't flip it).
-    graded = _graded_union(through=3)
-    wasted = [
-        n for n in PRIORITY if n in graded and n not in _CANARIES
-    ]
-    assert not wasted, f"window slots wasted on already-graded entries: {wasted}"
+# The 31 oracle-checked entries that had no driver row through r4 (the
+# r4 verdict's staged set) — the r5 window must grade every one of them.
+_R4_UNGRADED = {
+    "dedup_ngram_jaccard_uncapped", "values_table", "agg_over_derived",
+    "agg_where_then_group", "setop_union_orderby", "expr_string_extras",
+    "expr_datetime_extras", "text_length_histogram", "sample_source_quota",
+    "dedup_clusters_bigstar", "dedup_survivor_selection",
+    "text_quality_classifier", "sample_temperature",
+    "dedup_cross_source_audit", "text_gopher_filters",
+    "dedup_repeated_chunks", "sample_global_shuffle", "dedup_semantic",
+    "corpus_curation_pipeline", "text_unigram_lm", "dsir_importance",
+    "sample_unimax", "emb_label_dispersion", "lateral_topn_per_key",
+    "agg_string_agg", "win_named_window", "mix_source_kl", "text_novelty",
+    "win_time_range_frame", "agg_filter_clause", "sort_explicit_null_order",
+}
+
+
+def test_window_contains_every_never_graded_entry():
+    # The r5 window closes the oracle-checked tail staged in r4.
+    graded = _graded_union(through=4)
+    assert not (_R4_UNGRADED & graded), "staged set drifted: already graded"
+    missing = _R4_UNGRADED - set(PRIORITY)
+    assert not missing, f"never-graded entries left out of the window: {missing}"
 
 
 def test_union_covers_every_family():
@@ -160,3 +177,24 @@ def test_next_window_closes_oracle_checked_tail():
     assert not ungraded_after_r5, sorted(ungraded_after_r5)
     for n in NEXT_WINDOW:
         assert n in REGISTRY and REGISTRY[n].oracle is not None, n
+
+
+def test_oracle_checked_outputs_respect_hash_boundary(spark, duck, sf_dir):
+    """Round-4 postmortem contract: the driver's hasher crashes on
+    ARRAY/MAP Spark output columns, and DuckDB HUGEINT/DECIMAL oracle
+    columns render float64-style on fetch (value-equal, hash-red). Every
+    oracle-checked entry must ship scalar columns on both sides. Both
+    checks are plan-time only (lazy Spark schema; DuckDB bind) — no query
+    executes here."""
+    from cassandra_sql_spark.testing import boundary_problems
+
+    bad = {}
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        df = q.fn(spark, sf_dir)
+        rel = duck.sql(q.oracle)
+        problems = boundary_problems(df.dtypes, rel.columns, rel.types)
+        if problems:
+            bad[name] = problems
+    assert not bad, f"hash-boundary contract violations: {bad}"

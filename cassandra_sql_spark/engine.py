@@ -1006,6 +1006,79 @@ class Engine:
         meta = self._table(m.group(1).lower())
         action = m.group(2).strip()
         au = action.upper()
+        if au.startswith("RENAME TO"):
+            # catalog-only flip (⬆): meta.path is authoritative, so the
+            # data directory never moves — O(1) like DROP/TRUNCATE
+            new = re.match(
+                rf"RENAME\s+TO\s+({_IDENT})", action, re.IGNORECASE
+            ).group(1).lower()
+            if new in self.catalog.tables or new in self.catalog.views:
+                raise EngineError(f"relation exists: {new}")
+            old = meta.name
+            self.catalog.tables.pop(old)
+            meta.name = new
+            self.catalog.tables[new] = meta
+            for c in meta.columns:
+                if c.identity:
+                    oseq = f"{old}_{c.name}_seq"
+                    if oseq in self.catalog.sequences:
+                        self.catalog.sequences[f"{new}_{c.name}_seq"] = (
+                            self.catalog.sequences.pop(oseq)
+                        )
+            for t in self.catalog.tables.values():
+                for fk in t.foreign_keys:
+                    if fk[1] == old:
+                        fk[1] = new
+            self.catalog.save()
+            self.spark.catalog.dropTempView(old)
+            self._register(meta)
+            self._register_pg_catalog()
+            return self._status(f"rename {old} -> {new}")
+        if au.startswith("RENAME"):
+            rm_ = re.match(
+                rf"RENAME\s+(?:COLUMN\s+)?({_IDENT})\s+TO\s+({_IDENT})",
+                action,
+                re.IGNORECASE,
+            )
+            if not rm_:
+                raise EngineError(f"bad RENAME: {action[:60]}")
+            old_c, new_c = rm_.group(1).lower(), rm_.group(2).lower()
+            if any(c.name == new_c for c in meta.columns):
+                raise EngineError(f"column exists: {new_c}")
+            col = meta.column(old_c)
+            df = self._read(meta).withColumnRenamed(old_c, new_c)
+            col.name = new_c
+
+            def _ren(expr: str | None) -> str | None:
+                # word-boundary textual rename inside stored expressions
+                # (checks / defaults / generated) — same identifier-level
+                # rewrite pg performs on stored constraint trees
+                if expr is None:
+                    return None
+                return re.sub(
+                    rf"\b{re.escape(old_c)}\b", new_c, expr,
+                    flags=re.IGNORECASE,
+                )
+
+            meta.checks = [_ren(e) for e in meta.checks]
+            for c in meta.columns:
+                c.generated = _ren(c.generated)
+                c.default = _ren(c.default)
+            meta.primary_key = [
+                new_c if k == old_c else k for k in meta.primary_key
+            ]
+            meta.unique = [
+                [new_c if k == old_c else k for k in u] for u in meta.unique
+            ]
+            for fk in meta.foreign_keys:
+                fk[0] = [new_c if k == old_c else k for k in fk[0]]
+            for t in self.catalog.tables.values():
+                for fk in t.foreign_keys:
+                    if fk[1] == meta.name:
+                        fk[2] = [new_c if k == old_c else k for k in fk[2]]
+            self._rewrite(meta, df)
+            self._register_pg_catalog()
+            return self._status(f"rename column {old_c} -> {new_c}")
         if au.startswith("ADD COLUMN") or (
             au.startswith("ADD") and not au.startswith(
                 ("ADD PRIMARY", "ADD CONSTRAINT", "ADD FOREIGN",
@@ -1183,7 +1256,8 @@ class Engine:
             masked = masked[: cm.start()]
         s = _unmask(masked, lits)
         m = re.match(
-            rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*(VALUES\s*(.*)|SELECT\s+.*)$",
+            rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*"
+            rf"(DEFAULT\s+VALUES|VALUES\s*(.*)|SELECT\s+.*)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -1191,15 +1265,25 @@ class Engine:
             raise EngineError(f"bad INSERT: {s[:80]}")
         meta = self._table(m.group(1).lower())
         tail = m.group(4)
-        if tail.upper().startswith("VALUES"):
+        if re.match(r"DEFAULT\s+VALUES\s*$", tail, re.IGNORECASE):
+            # pg `INSERT INTO t DEFAULT VALUES`: one row, every column
+            # from its DEFAULT / identity sequence / NULL — a 1-row
+            # 0-column frame drops into the existing fill loop below
+            src = self.spark.range(1).select()
+            default_values = True
+        elif tail.upper().startswith("VALUES"):
             body = self._substitute_sequences(m.group(5))
             src = self.spark.sql(
                 f"SELECT * FROM (VALUES {preprocess(body)}) AS _v"
             )
+            default_values = False
         else:
             src = self.spark.sql(preprocess(self._substitute_sequences(tail)))
+            default_values = False
         gen_cols = {c.name for c in meta.columns if c.generated}
-        if m.group(3):
+        if default_values:
+            cols = []
+        elif m.group(3):
             cols = [c.strip() for c in m.group(3).split(",")]
             bad = gen_cols & {c.lower() for c in cols}
             if bad:
@@ -1438,18 +1522,70 @@ class Engine:
                     f"{ref}({','.join(rcols)})"
                 )
 
+    @staticmethod
+    def _toplevel_keyword(s: str, word: str) -> int:
+        """Index of the first word-bounded, paren-depth-0 occurrence of
+        ``word`` (case-insensitive) in ``s``, or -1. Run on a
+        literal-masked string: 'FROM' inside `substring(x from 2)` sits
+        at depth > 0 and inside a string it is masked away entirely."""
+        upper, w = s.upper(), word.upper()
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and upper.startswith(w, i)
+                and (i == 0 or not (upper[i - 1].isalnum() or s[i - 1] == "_"))
+                and (
+                    i + len(w) >= len(s)
+                    or not (upper[i + len(w)].isalnum() or s[i + len(w)] == "_")
+                )
+            ):
+                return i
+        return -1
+
     def _update(self, s: str) -> DataFrame:
+        # suffix/clause split on a literal-MASKED copy (same hazard as
+        # _insert: a SET string containing ' returning ' or ' from '
+        # must not truncate the statement); FROM/WHERE located at paren
+        # depth 0 so `substring(x from 2)` can't fake an UPDATE FROM
+        masked, lits = _mask_literals(s)
         returning = None
-        rm = re.search(r"\s+RETURNING\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
+        rm = re.search(
+            r"\s+RETURNING\s+(.*)$", masked, re.IGNORECASE | re.DOTALL
+        )
         if rm:
-            returning, s = rm.group(1).strip(), s[: rm.start()]
+            returning = _unmask(rm.group(1).strip(), lits)
+            masked = masked[: rm.start()]
+        hm = re.match(
+            rf"UPDATE\s+({_IDENT})\s+SET\s+", masked, re.IGNORECASE
+        )
+        if not hm:
+            raise EngineError(f"bad UPDATE: {s[:80]}")
+        tname, body = hm.group(1).lower(), masked[hm.end():]
+        cond_sql = None
+        wi = self._toplevel_keyword(body, "WHERE")
+        if wi >= 0:
+            cond_sql = _unmask(body[wi + len("WHERE"):].strip(), lits)
+            body = body[:wi]
+        fi = self._toplevel_keyword(body, "FROM")
+        if fi >= 0:
+            # pg `UPDATE t SET ... FROM other WHERE join_cond`
+            return self._update_from(
+                tname,
+                _unmask(body[:fi].strip(), lits),
+                _unmask(body[fi + len("FROM"):].strip(), lits),
+                cond_sql,
+                returning,
+            )
         m = re.match(
             rf"UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
-            s,
+            _unmask(masked, lits),
             re.IGNORECASE | re.DOTALL,
         )
-        if not m:
-            raise EngineError(f"bad UPDATE: {s[:80]}")
         meta = self._table(m.group(1).lower())
         sets = {}
         for part in self._split_defs(m.group(2)):
@@ -1498,11 +1634,141 @@ class Engine:
             return self._returning(ret, meta, returning)
         return self._status(f"update {meta.name}", n)
 
+    def _update_from(
+        self,
+        tname: str,
+        sets_sql: str,
+        from_sql: str,
+        cond_sql: str | None,
+        returning: str | None,
+    ) -> DataFrame:
+        """pg ``UPDATE t SET ... FROM from_list WHERE cond`` (⬆ — the
+        reference's UPDATE is single-table, kv/KvQueryExecutor.java:1814).
+
+        One join pipeline: target (tagged with a materialized row id) x
+        from_list under cond computes the new values; a left join back
+        applies them. pg leaves multi-match behavior unspecified — we
+        raise instead (Delta MERGE's ambiguity rule): silent arbitrary
+        row picks are exactly the nondeterminism this engine bans."""
+        meta = self._table(tname)
+        sets: dict[str, str] = {}
+        for part in self._split_defs(sets_sql):
+            sm = re.match(rf"({_IDENT})\s*=\s*(.*)$", part, re.DOTALL)
+            if not sm:
+                raise EngineError(f"bad SET clause: {part[:60]}")
+            sets[sm.group(1).lower()] = preprocess(
+                self._substitute_sequences(sm.group(2).strip())
+            )
+        for c in sets:
+            if meta.column(c).generated:
+                raise EngineError(f"cannot update generated column: {c}")
+        # __tid must be STABLE across the two uses below —
+        # monotonically_increasing_id is partition-dependent, so pin it
+        # with a localCheckpoint (one materialization, same order as the
+        # copy-on-write rewrite this statement performs anyway)
+        t = (
+            self._read(meta)
+            .withColumn("__tid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        t.createOrReplaceTempView("__upd_target")
+        new_cols = ", ".join(
+            f"({e}) AS __new_{c}" for c, e in sets.items()
+        )
+        cond = preprocess(cond_sql) if cond_sql else "TRUE"
+        matched = self.spark.sql(
+            f"SELECT {tname}.__tid AS __tid, {new_cols} "
+            f"FROM __upd_target AS {tname}, {preprocess(from_sql)} "
+            f"WHERE {cond}"
+        ).cache()
+        ambiguous = (
+            matched.groupBy("__tid").count().filter(F.col("count") > 1)
+        )
+        if ambiguous.limit(1).count():
+            raise EngineError(
+                "UPDATE ... FROM matches a target row more than once; "
+                "make the join condition unique (pg leaves this "
+                "unspecified — this engine refuses the nondeterminism)"
+            )
+        n = matched.count()
+        hit = matched.withColumn("__hit", F.lit(True))
+        joined = t.join(hit, "__tid", "left")
+        out = joined.withColumns(
+            {
+                c: F.when(
+                    F.coalesce(F.col("__hit"), F.lit(False)),
+                    F.col(f"__new_{c}"),
+                )
+                .otherwise(F.col(c))
+                .cast(meta.column(c).spark_type)
+                for c in sets
+            }
+        )
+        gen = {
+            c.name: F.expr(preprocess(c.generated)).cast(c.spark_type)
+            for c in meta.columns
+            if c.generated
+        }
+        if gen:
+            out = out.withColumns(gen)
+        out = out.drop(
+            "__tid", "__hit", *[f"__new_{c}" for c in sets]
+        )
+        if meta.checks or meta.unique or meta.foreign_keys:
+            self._validate(meta, out.cache(), against_existing=False)
+        ret = None
+        if returning is not None:
+            updated = joined.filter(
+                F.coalesce(F.col("__hit"), F.lit(False))
+            )
+            updated = updated.withColumns(
+                {
+                    c: F.col(f"__new_{c}").cast(meta.column(c).spark_type)
+                    for c in sets
+                }
+            )
+            if gen:
+                updated = updated.withColumns(gen)
+            ret = self._returning(
+                updated.drop(
+                    "__tid", "__hit", *[f"__new_{c}" for c in sets]
+                ).localCheckpoint(eager=True),
+                meta,
+                returning,
+            )
+        self._rewrite(meta, out)
+        matched.unpersist()
+        if ret is not None:
+            return ret
+        return self._status(f"update {meta.name}", n)
+
     def _delete(self, s: str) -> DataFrame:
+        masked, lits = _mask_literals(s)
         returning = None
-        rm = re.search(r"\s+RETURNING\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
+        rm = re.search(
+            r"\s+RETURNING\s+(.*)$", masked, re.IGNORECASE | re.DOTALL
+        )
         if rm:
-            returning, s = rm.group(1).strip(), s[: rm.start()]
+            returning = _unmask(rm.group(1).strip(), lits)
+            masked = masked[: rm.start()]
+        hm = re.match(
+            rf"DELETE\s+FROM\s+({_IDENT})\s+USING\s+", masked, re.IGNORECASE
+        )
+        if hm:
+            body = masked[hm.end():]
+            wi = self._toplevel_keyword(body, "WHERE")
+            cond_sql = (
+                _unmask(body[wi + len("WHERE"):].strip(), lits)
+                if wi >= 0
+                else None
+            )
+            from_sql = _unmask(
+                (body[:wi] if wi >= 0 else body).strip(), lits
+            )
+            return self._delete_using(
+                hm.group(1).lower(), from_sql, cond_sql, returning
+            )
+        s = _unmask(masked, lits)
         m = re.match(
             rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.*))?$",
             s,
@@ -1523,6 +1789,45 @@ class Engine:
             )
         if returning is not None:
             return self._returning(deleted, meta, returning)
+        return self._status(f"delete {meta.name}", n)
+
+    def _delete_using(
+        self,
+        tname: str,
+        from_sql: str,
+        cond_sql: str | None,
+        returning: str | None,
+    ) -> DataFrame:
+        """pg ``DELETE FROM t USING from_list WHERE cond`` (⬆): one
+        semi/anti join pair against the joined match set — the set-based
+        form of the reference's row-at-a-time tombstone loop
+        (kv/KvQueryExecutor.java:2013)."""
+        meta = self._table(tname)
+        t = (
+            self._read(meta)
+            .withColumn("__tid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        t.createOrReplaceTempView("__del_target")
+        cond = preprocess(cond_sql) if cond_sql else "TRUE"
+        matched = self.spark.sql(
+            f"SELECT DISTINCT {tname}.__tid AS __tid "
+            f"FROM __del_target AS {tname}, {preprocess(from_sql)} "
+            f"WHERE {cond}"
+        ).cache()
+        n = matched.count()
+        keep = t.join(matched, "__tid", "anti").drop("__tid")
+        ret = None
+        if returning is not None:
+            ret = self._returning(
+                t.join(matched, "__tid", "semi").drop("__tid"),
+                meta,
+                returning,
+            )
+        self._rewrite(meta, keep)
+        matched.unpersist()
+        if ret is not None:
+            return ret
         return self._status(f"delete {meta.name}", n)
 
     _WHEN_RE = re.compile(

@@ -139,6 +139,82 @@ def write_sorted_table(
     )
 
 
+def zorder_column(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 12,
+):
+    """Z-value (Morton code) expression over ``cols``: per-column linear
+    bucketing into 2^bits cells, then bit interleaving, all as JVM
+    codegen-able expressions — no UDF.
+
+    One driver-side min/max agg per call sizes the buckets (a k*2-value
+    model, same pattern as the IVF centroids). Linear bucketing is the
+    width_bucket approach; for heavily skewed columns, pre-transform
+    (e.g. log) before calling — rank-based bucketing would need a global
+    sort, which is exactly what z-ordering exists to avoid.
+    Returns (df_with_casts, zvalue_column).
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    n_cells = 2 ** bits
+    bucketed = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"_mn_{i}"], stats[f"_mx_{i}"]
+        span = (mx - mn) or 1.0
+        b = F.floor(
+            (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * n_cells
+        ).cast("long")
+        bucketed.append(F.least(F.greatest(b, F.lit(0)), F.lit(n_cells - 1)))
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for bit in range(bits):
+        for j, b in enumerate(bucketed):
+            z = z + (
+                F.shiftright(b, bit).bitwiseAND(F.lit(1))
+                * F.lit(2 ** (bit * k + j))
+            )
+    return df, z
+
+
+def write_zordered_table(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    num_files: int = 8,
+    rows_per_group: int = 4_000,
+) -> None:
+    """Persist clustered on the z-order curve of ``cols`` — multi-column
+    data skipping (lakehouse OPTIMIZE ZORDER analog; ⬆ north-star, the
+    reference has no layout management at all).
+
+    ``write_sorted_table`` makes ONE column's min/max stats selective;
+    lexicographic sort gives later columns no locality. The z-curve
+    interleaves the columns' bits, so every row group covers a small
+    hyper-rectangle of the (col1, col2, ...) space and a pushed predicate
+    on ANY of the z-columns skips most row groups. At 100 TB this is the
+    difference between "point lookups are fast on the lead column only"
+    and "fast on every dimension you query by"; cost is one linear write
+    pass, no index structure. ``tests/test_sources.py`` measures the
+    skip fraction per column vs a lexicographic layout.
+    """
+    df, z = zorder_column(df, cols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 128 * 1024)
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -146,3 +146,130 @@ def test_distinct_on_with_offset(eng):
         "LIMIT 10 OFFSET 1"
     )
     assert rows(out) == [(2, 8), (3, 7)]
+
+
+# ---- round-5 DML/DDL extensions (pg staples the reference lacks) ----
+
+
+def test_update_from(eng):
+    eng.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO t VALUES (1, 10), (2, 20), (3, 30)")
+    eng.sql("CREATE TABLE s (id INT PRIMARY KEY, delta INT)")
+    eng.sql("INSERT INTO s VALUES (1, 100), (3, 300)")
+    eng.sql("UPDATE t SET v = t.v + s.delta FROM s WHERE t.id = s.id")
+    assert rows(eng.sql("SELECT id, v FROM t ORDER BY id")) == [
+        (1, 110),
+        (2, 20),
+        (3, 330),
+    ]
+
+
+def test_update_from_multi_match_raises(eng):
+    eng.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO t VALUES (1, 10)")
+    eng.sql("CREATE TABLE s (id INT, delta INT)")
+    eng.sql("INSERT INTO s VALUES (1, 100), (1, 200)")
+    with pytest.raises(EngineError, match="more than once"):
+        eng.sql("UPDATE t SET v = s.delta FROM s WHERE t.id = s.id")
+
+
+def test_update_from_returning(eng):
+    eng.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
+    eng.sql("CREATE TABLE s (id INT PRIMARY KEY, delta INT)")
+    eng.sql("INSERT INTO s VALUES (2, 5)")
+    out = eng.sql(
+        "UPDATE t SET v = s.delta FROM s WHERE t.id = s.id "
+        "RETURNING id, v"
+    )
+    assert rows(out) == [(2, 5)]
+
+
+def test_update_substring_from_is_not_update_from(eng):
+    # `substring(x FROM 2)` sits inside parens — must stay a plain UPDATE
+    eng.sql("CREATE TABLE t (id INT PRIMARY KEY, v TEXT)")
+    eng.sql("INSERT INTO t VALUES (1, 'abcdef')")
+    eng.sql("UPDATE t SET v = substring(v FROM 2) WHERE id = 1")
+    assert rows(eng.sql("SELECT v FROM t")) == [("bcdef",)]
+
+
+def test_update_literal_with_from_keyword(eng):
+    eng.sql("CREATE TABLE t (id INT PRIMARY KEY, v TEXT)")
+    eng.sql("INSERT INTO t VALUES (1, 'x')")
+    eng.sql("UPDATE t SET v = 'greetings from over there' WHERE id = 1")
+    assert rows(eng.sql("SELECT v FROM t")) == [
+        ("greetings from over there",)
+    ]
+
+
+def test_delete_using(eng):
+    eng.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO t VALUES (1, 10), (2, 20), (3, 30)")
+    eng.sql("CREATE TABLE dead (id INT PRIMARY KEY)")
+    eng.sql("INSERT INTO dead VALUES (1), (3)")
+    eng.sql("DELETE FROM t USING dead WHERE t.id = dead.id")
+    assert rows(eng.sql("SELECT id FROM t ORDER BY id")) == [(2,)]
+
+
+def test_delete_using_returning(eng):
+    eng.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
+    eng.sql("CREATE TABLE dead (id INT PRIMARY KEY)")
+    eng.sql("INSERT INTO dead VALUES (2)")
+    out = eng.sql("DELETE FROM t USING dead WHERE t.id = dead.id RETURNING id, v")
+    assert rows(out) == [(2, 20)]
+
+
+def test_insert_default_values(eng):
+    eng.sql(
+        "CREATE TABLE t (id SERIAL PRIMARY KEY, v TEXT DEFAULT 'dv', "
+        "n INT)"
+    )
+    eng.sql("INSERT INTO t DEFAULT VALUES")
+    eng.sql("INSERT INTO t DEFAULT VALUES")
+    assert rows(eng.sql("SELECT id, v, n FROM t ORDER BY id")) == [
+        (1, "dv", None),
+        (2, "dv", None),
+    ]
+
+
+def test_alter_rename_table(eng):
+    eng.sql("CREATE TABLE old_t (id SERIAL PRIMARY KEY, v TEXT)")
+    eng.sql("INSERT INTO old_t (v) VALUES ('a')")
+    eng.sql("ALTER TABLE old_t RENAME TO new_t")
+    eng.sql("INSERT INTO new_t (v) VALUES ('b')")  # SERIAL survives rename
+    assert rows(eng.sql("SELECT id, v FROM new_t ORDER BY id")) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    with pytest.raises(Exception):  # Spark AnalysisException: unknown table
+        eng.sql("SELECT * FROM old_t")
+
+
+def test_alter_rename_table_updates_fk_references(eng):
+    eng.sql("CREATE TABLE p (id INT PRIMARY KEY)")
+    eng.sql("INSERT INTO p VALUES (1)")
+    eng.sql(
+        "CREATE TABLE c (id INT PRIMARY KEY, pid INT, "
+        "FOREIGN KEY (pid) REFERENCES p (id))"
+    )
+    eng.sql("ALTER TABLE p RENAME TO parent")
+    eng.sql("INSERT INTO c VALUES (1, 1)")  # FK must resolve to new name
+    with pytest.raises(EngineError):
+        eng.sql("INSERT INTO c VALUES (2, 999)")
+
+
+def test_alter_rename_column(eng):
+    eng.sql(
+        "CREATE TABLE t (id INT PRIMARY KEY, n INT CHECK (n >= 0))"
+    )
+    eng.sql("INSERT INTO t VALUES (1, 5)")
+    eng.sql("ALTER TABLE t RENAME COLUMN n TO amount")
+    assert rows(eng.sql("SELECT amount FROM t")) == [(5,)]
+    # the CHECK expression followed the rename
+    with pytest.raises(EngineError, match="CHECK violated"):
+        eng.sql("INSERT INTO t VALUES (2, -1)")
+    # and so did the PK on a rename of the key column
+    eng.sql("ALTER TABLE t RENAME COLUMN id TO tid")
+    with pytest.raises(EngineError, match="UNIQUE|unique"):
+        eng.sql("INSERT INTO t (tid, amount) VALUES (1, 3)")

@@ -37,7 +37,14 @@ def _op(draw_id, draw_val):
         st.tuples(st.just("delete_id"), draw_id, draw_id),
         st.tuples(st.just("upsert_nothing"), draw_id, draw_val),
         st.tuples(st.just("upsert_update"), draw_id, draw_val),
+        st.tuples(st.just("update_from"), draw_val, draw_val),
+        st.tuples(st.just("delete_using"), draw_val, draw_val),
     )
+
+
+# fixed auxiliary join table for UPDATE ... FROM / DELETE ... USING:
+# even ids 0-8, delta = id * 10 (unique ids -> no multi-match ambiguity)
+_AUX = {i: i * 10 for i in range(0, 10, 2)}
 
 
 _PROGRAM = st.lists(_op(_ids, _vals), min_size=1, max_size=5)
@@ -56,6 +63,13 @@ def test_dml_program_matches_model(eng, prog):
     _counter += 1
     t = f"prop_dml_{_counter}"
     eng.sql(f"CREATE TABLE {t} (id INT PRIMARY KEY, v INT)")
+    aux = f"prop_aux_{_counter}"
+    if any(op in ("update_from", "delete_using") for op, _, _ in prog):
+        eng.sql(f"CREATE TABLE {aux} (id INT PRIMARY KEY, delta INT)")
+        eng.sql(
+            f"INSERT INTO {aux} VALUES "
+            + ", ".join(f"({k}, {d})" for k, d in _AUX.items())
+        )
     model: dict[int, int] = {}
     try:
         for op, a, b in prog:
@@ -94,6 +108,25 @@ def test_dml_program_matches_model(eng, prog):
                     "ON CONFLICT (id) DO UPDATE SET v = excluded.v"
                 )
                 model[a] = b
+            elif op == "update_from":
+                eng.sql(
+                    f"UPDATE {t} SET v = {t}.v + {aux}.delta "
+                    f"FROM {aux} "
+                    f"WHERE {t}.id = {aux}.id AND {t}.v < {b}"
+                )
+                for k in model:
+                    if k in _AUX and model[k] < b:
+                        model[k] += _AUX[k]
+            elif op == "delete_using":
+                eng.sql(
+                    f"DELETE FROM {t} USING {aux} "
+                    f"WHERE {t}.id = {aux}.id AND {aux}.delta > {b}"
+                )
+                model = {
+                    k: v
+                    for k, v in model.items()
+                    if not (k in _AUX and _AUX[k] > b)
+                }
         got = {
             r[0]: r[1]
             for r in eng.sql(f"SELECT id, v FROM {t}").collect()
@@ -101,6 +134,7 @@ def test_dml_program_matches_model(eng, prog):
         assert got == model
     finally:
         eng.sql(f"DROP TABLE {t}")
+        eng.sql(f"DROP TABLE IF EXISTS {aux}")
 
 
 def test_update_swap_semantics(eng):

@@ -149,3 +149,63 @@ def test_sorted_layout_skips_row_groups(spark, sf_dir, tmp_path):
     # and the result is correct vs the source frame
     expect = li.filter(F.col("l_shipdate") == "1994-03-15").count()
     assert probe.count() == expect and expect > 0
+
+
+def _rg_hit_fraction(path: str, col: str, probes) -> float:
+    """Average fraction of parquet row groups whose [min, max] statistics
+    admit a probe value — the fraction a stats-pruning reader must read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rgs = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        pf = pq.ParquetFile(f)
+        names = [pf.metadata.schema.column(i).name
+                 for i in range(pf.metadata.num_columns)]
+        idx = names.index(col)
+        for i in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(i).column(idx).statistics
+            rgs.append((st.min, st.max))
+    assert len(rgs) >= 8, "need enough row groups for skipping to matter"
+    hits = sum(
+        1 for p in probes for mn, mx in rgs if mn <= p <= mx
+    )
+    return hits / (len(probes) * len(rgs))
+
+
+def test_zorder_skips_on_every_dimension(spark, tmp_path):
+    """Lexicographic sort gives min/max selectivity on the LEAD column
+    only; the z-curve layout gives it on every z-ordered column at once.
+    Measured directly from parquet row-group statistics (what any
+    stats-pruning reader consults), not from one engine's metrics."""
+    df = spark.range(200_000).select(
+        (F.col("id") % 1000).alias("a"),
+        # multiplicative-hash column, independent of a
+        ((F.col("id") * 2654435761) % 1000).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    lex = str(tmp_path / "lex")
+    zo = str(tmp_path / "zo")
+    sources.write_sorted_table(df, lex, ["a", "b"])
+    sources.write_zordered_table(df, zo, ["a", "b"])
+
+    probes = [100, 500, 900]
+    lex_a = _rg_hit_fraction(lex, "a", probes)
+    lex_b = _rg_hit_fraction(lex, "b", probes)
+    zo_a = _rg_hit_fraction(zo, "a", probes)
+    zo_b = _rg_hit_fraction(zo, "b", probes)
+
+    # lead column: both layouts selective
+    assert lex_a < 0.25
+    assert zo_a < 0.5
+    # second column: lexicographic layout reads ~everything, z-order skips
+    assert lex_b > 0.8
+    assert zo_b < 0.5
+    assert zo_b < lex_b / 2
+
+    # layout is a rewrite, not a transformation: values intact
+    back = spark.read.parquet(zo)
+    assert back.count() == 200_000
+    expect = df.filter("a = 500").count()
+    assert back.filter("a = 500").count() == expect

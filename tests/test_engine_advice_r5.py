@@ -273,3 +273,88 @@ def test_alter_rename_column(eng):
     eng.sql("ALTER TABLE t RENAME COLUMN id TO tid")
     with pytest.raises(EngineError, match="UNIQUE|unique"):
         eng.sql("INSERT INTO t (tid, amount) VALUES (1, 3)")
+
+
+# ---- adversarial interactions of the round-5 surface ----
+
+
+def test_update_from_null_join_keys(eng):
+    # NULL = NULL is not a match in the join condition — NULL-keyed rows
+    # stay untouched on both sides
+    eng.sql("CREATE TABLE t (id INT PRIMARY KEY, k INT, v INT)")
+    eng.sql("INSERT INTO t VALUES (1, NULL, 10), (2, 7, 20)")
+    eng.sql("CREATE TABLE s (k INT, delta INT)")
+    eng.sql("INSERT INTO s VALUES (NULL, 999), (7, 5)")
+    eng.sql("UPDATE t SET v = s.delta FROM s WHERE t.k = s.k")
+    assert rows(eng.sql("SELECT id, v FROM t ORDER BY id")) == [
+        (1, 10),
+        (2, 5),
+    ]
+
+
+def test_delete_using_null_join_keys(eng):
+    eng.sql("CREATE TABLE t (id INT PRIMARY KEY, k INT)")
+    eng.sql("INSERT INTO t VALUES (1, NULL), (2, 7)")
+    eng.sql("CREATE TABLE s (k INT)")
+    eng.sql("INSERT INTO s VALUES (NULL), (7)")
+    eng.sql("DELETE FROM t USING s WHERE t.k = s.k")
+    assert rows(eng.sql("SELECT id FROM t ORDER BY id")) == [(1,)]
+
+
+def test_update_from_recomputes_generated_columns(eng):
+    eng.sql(
+        "CREATE TABLE t (id INT PRIMARY KEY, a INT, "
+        "doubled INT GENERATED ALWAYS AS (a * 2) STORED)"
+    )
+    eng.sql("INSERT INTO t (id, a) VALUES (1, 3)")
+    eng.sql("CREATE TABLE s (id INT PRIMARY KEY, a INT)")
+    eng.sql("INSERT INTO s VALUES (1, 10)")
+    eng.sql("UPDATE t SET a = s.a FROM s WHERE t.id = s.id")
+    assert rows(eng.sql("SELECT a, doubled FROM t")) == [(10, 20)]
+
+
+def test_update_from_enforces_checks(eng):
+    eng.sql("CREATE TABLE t (id INT PRIMARY KEY, n INT CHECK (n >= 0))")
+    eng.sql("INSERT INTO t VALUES (1, 5)")
+    eng.sql("CREATE TABLE s (id INT PRIMARY KEY, n INT)")
+    eng.sql("INSERT INTO s VALUES (1, -4)")
+    with pytest.raises(EngineError, match="CHECK violated"):
+        eng.sql("UPDATE t SET n = s.n FROM s WHERE t.id = s.id")
+    assert rows(eng.sql("SELECT n FROM t")) == [(5,)]
+
+
+def test_insert_default_values_with_generated_column(eng):
+    eng.sql(
+        "CREATE TABLE t (id SERIAL PRIMARY KEY, a INT DEFAULT 21, "
+        "doubled INT GENERATED ALWAYS AS (a * 2) STORED)"
+    )
+    eng.sql("INSERT INTO t DEFAULT VALUES")
+    assert rows(eng.sql("SELECT id, a, doubled FROM t")) == [(1, 21, 42)]
+
+
+def test_rename_column_follows_generated_expression(eng):
+    eng.sql(
+        "CREATE TABLE t (id INT PRIMARY KEY, a INT, "
+        "doubled INT GENERATED ALWAYS AS (a * 2) STORED)"
+    )
+    eng.sql("INSERT INTO t (id, a) VALUES (1, 4)")
+    eng.sql("ALTER TABLE t RENAME COLUMN a TO base")
+    eng.sql("UPDATE t SET base = 6 WHERE id = 1")
+    assert rows(eng.sql("SELECT base, doubled FROM t")) == [(6, 12)]
+
+
+def test_rename_table_then_merge_and_views_still_work(eng):
+    eng.sql("CREATE TABLE t0 (id INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO t0 VALUES (1, 10)")
+    eng.sql("ALTER TABLE t0 RENAME TO t1")
+    eng.sql("CREATE TABLE src (id INT, v INT)")
+    eng.sql("INSERT INTO src VALUES (1, 11), (2, 22)")
+    eng.sql(
+        "MERGE INTO t1 USING src ON t1.id = src.id "
+        "WHEN MATCHED THEN UPDATE SET v = src.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)"
+    )
+    assert rows(eng.sql("SELECT id, v FROM t1 ORDER BY id")) == [
+        (1, 11),
+        (2, 22),
+    ]

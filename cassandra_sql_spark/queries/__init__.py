@@ -119,7 +119,10 @@ PRIORITY: tuple[str, ...] = (
 # during round 5 (they postdate the r5 window composition). Keep this in
 # sync as round-5 work lands; tests/test_registry.py enforces that
 # window + NEXT_WINDOW + graded union covers every oracle-checked entry.
-NEXT_WINDOW: tuple[str, ...] = ()
+NEXT_WINDOW: tuple[str, ...] = (
+    # added during round 5
+    "stream_session_window",
+)
 
 _ALL: dict[str, Q] = {}
 for _m in _MODULES:

@@ -73,6 +73,18 @@ def _attribution_left(spark, sf_dir):
     return spark.table("attr_left_q").filter(F.col("click_ts") < F.lit(cutoff))
 
 
+def _session_window(spark, sf_dir):
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-sesswin-")
+    stream = ev.read_events_stream(spark, sf_dir)
+    agg = ev.session_window_agg(stream, gap="30 minutes")
+    # complete mode: every session is emitted at drain end regardless of
+    # the final watermark (append would hold back sessions younger than
+    # watermark+gap — the same closed-region subtlety _attribution_left
+    # handles; complete sidesteps it and matches the batch oracle exactly)
+    ev.run_available_now(agg, "session_window_q", ckpt, mode="complete")
+    return spark.table("session_window_q")
+
+
 def _static_enrich(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="spark-graft-enrich-")
     joined = ev.stream_static_enrich(spark, sf_dir)
@@ -128,6 +140,36 @@ QUERIES: dict[str, Q] = {
         """,
     ),
     "stream_sessionize": Q(_sessions, None),
+    # BUILT-IN session windows (zero-UDF gap sessions): drained complete-
+    # mode result equals the batch gaps-and-islands the oracle runs;
+    # session_end is last event + gap by the operator's definition.
+    "stream_session_window": Q(
+        _session_window,
+        """
+        WITH e AS (
+          SELECT user_id, ts, value FROM events WHERE ts IS NOT NULL
+        ), o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts, value,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o
+        )
+        SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP)
+                 AS session_end,
+               user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 AS sum_value
+        FROM s GROUP BY user_id, sess
+        """,
+    ),
     # Stream-stream LEFT OUTER interval join over the watermark-closed
     # region (see _attribution_left); nulls mark clicks with no purchase
     # in the window.

@@ -117,6 +117,39 @@ def windowed_counts(
     )
 
 
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions via Spark's BUILT-IN ``session_window``
+    operator — the zero-UDF path, identical semantics in batch and
+    streaming (the ``sessionize`` applyInPandasWithState operator stays
+    for what the built-in can't express: emitting CLOSED sessions
+    mid-stream as their event-time timeout fires). ``window.end`` is
+    last event ts + gap by the operator's definition; rows with NULL
+    event time belong to no session."""
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, sink_table: str, checkpoint_dir: str, mode: str = "complete"
 ) -> None:

@@ -206,3 +206,59 @@ def test_ingest_stream_dedup_rejects_near_dups(spark, tmp_path):
     assert sorted(
         glob.glob(str(tmp_path / "corpus") + "/batch=*/part-*")
     ) == files
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The BUILT-IN session_window operator: the drained complete-mode
+    streaming result equals batch execution of the identical expression
+    (one code path, two execution modes — the zero-UDF guarantee the
+    custom applyInPandasWithState sessionize can't give)."""
+    stream = ev.read_events_stream(spark, sf_dir)
+    agg = ev.session_window_agg(stream, gap="30 minutes")
+    ev.run_available_now(
+        agg, "sesswin_test", str(tmp_path / "ckpt"), mode="complete"
+    )
+    got = {
+        (r.session_start, r.user_id): (r.session_end, r.n_events, r.sum_value)
+        for r in spark.table("sesswin_test").collect()
+    }
+    batch = ev.session_window_agg(load(spark, sf_dir, "events"))
+    want = {
+        (r.session_start, r.user_id): (r.session_end, r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_window_gap_merges(spark, tmp_path):
+    """Two events 29 minutes apart share a session; 31 minutes apart
+    split; session_end = last event + gap."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 1.0),
+            (1, datetime(2024, 1, 1, 10, 29), 2.0),
+            (2, datetime(2024, 1, 1, 10, 0), 1.0),
+            (2, datetime(2024, 1, 1, 10, 31), 2.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in ev.session_window_agg(df).collect()
+    }
+    assert out == {
+        (1, pd.Timestamp("2024-01-01 10:00:00")): (
+            pd.Timestamp("2024-01-01 10:59:00"),
+            2,
+        ),
+        (2, pd.Timestamp("2024-01-01 10:00:00")): (
+            pd.Timestamp("2024-01-01 10:30:00"),
+            1,
+        ),
+        (2, pd.Timestamp("2024-01-01 10:31:00")): (
+            pd.Timestamp("2024-01-01 11:01:00"),
+            1,
+        ),
+    }

@@ -534,6 +534,8 @@ class Engine:
             return self._vacuum(s)
         if kw[0] == "ANALYZE":
             return self._analyze(s)
+        if kw[0] == "VERIFY":
+            return self._verify_constraints(s)
         if kw[0] == "SELECT" and re.search(
             r"\bVERSION\s+AS\s+OF\s+\d+", s, re.IGNORECASE
         ):
@@ -2079,6 +2081,105 @@ class Engine:
                     )
         self._rewrite(meta, final)
         return self._status(f"merge {meta.name}", n)
+
+    def _verify_constraints(self, s: str) -> DataFrame:
+        """``VERIFY CONSTRAINTS [table]`` — set-based audit of every
+        declared constraint over the CURRENT table contents, reported (not
+        raised): one row per constraint with its violation count. The
+        reference runs this asynchronously
+        (kv/jobs/ConstraintViolationCheckerJob.java, 431 LoC of
+        row-at-a-time probing); here each constraint is one aggregate or
+        anti-join over the table — at 100 TB, a handful of scans with
+        partial aggregation, no per-row driver logic.
+
+        Violations can exist despite write-time validation after e.g. an
+        ALTER ADD FK on legacy data, a COPY FROM of unvalidated files, or
+        a parent-side DELETE (FKs are checked on child writes only) —
+        exactly the drift the reference's job exists to catch."""
+        m = re.match(
+            rf"VERIFY\s+CONSTRAINTS(?:\s+({_IDENT}))?\s*$", s, re.IGNORECASE
+        )
+        if not m:
+            raise EngineError(f"bad VERIFY CONSTRAINTS: {s[:60]}")
+        names = (
+            [m.group(1).lower()] if m.group(1) else sorted(self.catalog.tables)
+        )
+        report: list[tuple[str, str, str, int]] = []
+        for name in names:
+            meta = self._table(name)
+            df = self._read(meta).cache()
+            for c in meta.columns:
+                if not c.nullable or c.name in meta.primary_key:
+                    n = df.filter(F.col(c.name).isNull()).count()
+                    if n:
+                        report.append((name, "not_null", c.name, n))
+                if c.enum_type:
+                    domain = self.catalog.enums[c.enum_type]
+                    n = df.filter(
+                        ~F.col(c.name).isin(*domain)
+                        & F.col(c.name).isNotNull()
+                    ).count()
+                    if n:
+                        report.append((name, "enum", c.name, n))
+            keysets = [list(meta.primary_key)] if meta.primary_key else []
+            keysets += [u for u in meta.unique if u != list(meta.primary_key)]
+            for keys in keysets:
+                dup = (
+                    df.groupBy(*keys)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .agg(F.coalesce(F.sum("count"), F.lit(0)))
+                    .collect()[0][0]
+                )
+                if dup:
+                    kind = (
+                        "primary_key"
+                        if keys == list(meta.primary_key)
+                        else "unique"
+                    )
+                    report.append((name, kind, ", ".join(keys), int(dup)))
+            for cols, ref_table, ref_cols in meta.foreign_keys:
+                if ref_table not in self.catalog.tables:
+                    report.append(
+                        (name, "foreign_key", f"-> {ref_table} (missing)", -1)
+                    )
+                    continue
+                parent = self._read(self._table(ref_table)).select(
+                    *[
+                        F.col(rc).alias(cc)
+                        for cc, rc in zip(cols, ref_cols)
+                    ]
+                )
+                orphans = (
+                    df.filter(
+                        F.greatest(
+                            *[F.col(c).isNotNull() for c in cols]
+                        ) if len(cols) > 1 else F.col(cols[0]).isNotNull()
+                    )
+                    .join(parent, cols, "left_anti")
+                    .count()
+                )
+                if orphans:
+                    report.append(
+                        (
+                            name,
+                            "foreign_key",
+                            f"({', '.join(cols)}) -> {ref_table}",
+                            orphans,
+                        )
+                    )
+            for e in meta.checks:
+                n = df.filter(
+                    ~F.coalesce(F.expr(preprocess(e)), F.lit(True))
+                ).count()
+                if n:
+                    report.append((name, "check", e, n))
+            df.unpersist()
+        return self.spark.createDataFrame(
+            report,
+            "table_name string, constraint_type string, "
+            "constraint string, n_violations long",
+        )
 
     def _copy(self, s: str) -> DataFrame:
         m = re.match(

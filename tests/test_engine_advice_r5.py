@@ -358,3 +358,66 @@ def test_rename_table_then_merge_and_views_still_work(eng):
         (1, 11),
         (2, 22),
     ]
+
+
+# ---- VERIFY CONSTRAINTS (the async ConstraintViolationCheckerJob,
+# kv/jobs/ConstraintViolationCheckerJob.java, as a set-based statement) --
+
+
+def test_verify_constraints_clean_table(eng):
+    eng.sql("CREATE TABLE t (id INT PRIMARY KEY, n INT CHECK (n >= 0))")
+    eng.sql("INSERT INTO t VALUES (1, 5)")
+    assert rows(eng.sql("VERIFY CONSTRAINTS t")) == []
+
+
+def test_verify_constraints_finds_fk_drift_after_parent_delete(eng):
+    # FKs validate child writes only; deleting the parent afterwards
+    # leaves orphans — the drift the reference's async job catches
+    eng.sql("CREATE TABLE p (id INT PRIMARY KEY)")
+    eng.sql("INSERT INTO p VALUES (1), (2)")
+    eng.sql(
+        "CREATE TABLE c (id INT PRIMARY KEY, pid INT, "
+        "FOREIGN KEY (pid) REFERENCES p (id))"
+    )
+    eng.sql("INSERT INTO c VALUES (10, 1), (11, 2)")
+    eng.sql("DELETE FROM p WHERE id = 2")
+    got = rows(eng.sql("VERIFY CONSTRAINTS c"))
+    assert got == [("c", "foreign_key", "(pid) -> p", 1)]
+
+
+def test_verify_constraints_finds_pk_drift_after_alter_add_pk(eng):
+    # ALTER ADD PRIMARY KEY doesn't validate existing rows (pg would);
+    # VERIFY CONSTRAINTS is the audit that surfaces the drift
+    eng.sql("CREATE TABLE t (id INT, v INT)")
+    eng.sql("INSERT INTO t VALUES (1, 10), (1, 11), (2, 20)")
+    eng.sql("ALTER TABLE t ADD PRIMARY KEY (id)")
+    got = rows(eng.sql("VERIFY CONSTRAINTS t"))
+    assert ("t", "primary_key", "id", 2) in got
+
+
+def test_copy_validates_check_so_verify_stays_clean(eng, tmp_path):
+    # COPY FROM runs the same validation as INSERT — bad rows are
+    # rejected wholesale, so the audit has nothing to find
+    import csv
+
+    path = tmp_path / "bad.csv"
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["id", "n"])
+        w.writerow([1, 5])
+        w.writerow([2, -7])
+    eng.sql("CREATE TABLE t (id INT PRIMARY KEY, n INT CHECK (n >= 0))")
+    with pytest.raises(EngineError, match="CHECK violated"):
+        eng.sql(f"COPY t FROM '{path}' WITH (FORMAT CSV, HEADER)")
+    assert rows(eng.sql("VERIFY CONSTRAINTS t")) == []
+
+
+def test_verify_constraints_all_tables(eng):
+    eng.sql("CREATE TABLE a (id INT PRIMARY KEY)")
+    eng.sql("CREATE TABLE b (id INT PRIMARY KEY)")
+    eng.sql("INSERT INTO a VALUES (1)")
+    out = eng.sql("VERIFY CONSTRAINTS")
+    assert rows(out) == []
+    assert out.columns == [
+        "table_name", "constraint_type", "constraint", "n_violations",
+    ]

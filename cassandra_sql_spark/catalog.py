@@ -40,6 +40,7 @@ class TableMeta:
     unique: list = field(default_factory=list)      # list[list[str]]
     foreign_keys: list = field(default_factory=list)  # [[cols],reftable,[refcols]]
     checks: list = field(default_factory=list)      # list[str] (SQL exprs)
+    partition_by: list = field(default_factory=list)  # hive-dir layout cols
     path: str = ""
     stats: dict = field(default_factory=dict)  # ANALYZE output (n_rows, columns)
 

@@ -453,7 +453,12 @@ class Engine:
         m = re.search(r"/v(\d+)$", meta.path)
         ver = int(m.group(1)) + 1 if m else 1
         new_path = os.path.join(base, f"v{ver}")
-        df.write.mode("overwrite").parquet(new_path)
+        writer = df.write.mode("overwrite")
+        if meta.partition_by:
+            # hive-style dirs: SELECTs with a partition-column predicate
+            # prune whole directories before any task launches
+            writer = writer.partitionBy(*meta.partition_by)
+        writer.parquet(new_path)
         meta.path = new_path
         self.catalog.save()
         # Older vN dirs are RETAINED: immutable snapshots that serve
@@ -476,15 +481,29 @@ class Engine:
         )
         os.makedirs(new_path, exist_ok=True)
         if os.path.isdir(meta.path):
-            for f in os.listdir(meta.path):
-                if not f.endswith(".parquet"):
-                    continue
-                src, dst = os.path.join(meta.path, f), os.path.join(new_path, f)
-                try:
-                    os.link(src, dst)
-                except OSError:
-                    shutil.copy2(src, dst)
-        df.write.mode("append").parquet(new_path)
+            # recursive walk: partitioned tables keep their data under
+            # hive-style key=value subdirectories
+            for root, _dirs, files in os.walk(meta.path):
+                rel = os.path.relpath(root, meta.path)
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        continue
+                    dst_dir = (
+                        new_path
+                        if rel == "."
+                        else os.path.join(new_path, rel)
+                    )
+                    os.makedirs(dst_dir, exist_ok=True)
+                    src = os.path.join(root, f)
+                    dst = os.path.join(dst_dir, f)
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
+        writer = df.write.mode("append")
+        if meta.partition_by:
+            writer = writer.partitionBy(*meta.partition_by)
+        writer.parquet(new_path)
         meta.path = new_path
         self.catalog.save()
         self._register(meta)
@@ -536,6 +555,8 @@ class Engine:
             return self._analyze(s)
         if kw[0] == "VERIFY":
             return self._verify_constraints(s)
+        if kw[0] == "OPTIMIZE":
+            return self._optimize(s)
         if kw[0] == "SELECT" and re.search(
             r"\bVERSION\s+AS\s+OF\s+\d+", s, re.IGNORECASE
         ):
@@ -811,6 +832,21 @@ class Engine:
             return self._create_table_as(
                 bool(ctas.group(1)), ctas.group(2).lower(), ctas.group(3)
             )
+        # pg declarative partitioning suffix -> hive-style directory
+        # layout (value partitioning; LIST semantics — RANGE/HASH degrade
+        # to it, a finer grain than either requires)
+        partition_by: list[str] = []
+        pm = re.search(
+            r"\)\s*PARTITION(?:ED)?\s+BY\s+(?:LIST|RANGE|HASH)?\s*"
+            r"\(([^)]*)\)\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if pm:
+            partition_by = [
+                c.strip().lower() for c in pm.group(1).split(",")
+            ]
+            s = s[: pm.start() + 1]
         m = re.match(
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*$",
             s,
@@ -969,6 +1005,10 @@ class Engine:
             self.catalog.create_sequence(f"{name}_rowid_seq")
         if meta.primary_key:
             meta.unique.append(list(meta.primary_key))
+        for pc in partition_by:
+            if not any(c.name == pc for c in meta.columns):
+                raise EngineError(f"unknown partition column: {pc}")
+        meta.partition_by = partition_by
         meta.path = os.path.join(self.catalog.table_path(name), "v1")
         self.catalog.add_table(meta)
         self.spark.createDataFrame([], meta.spark_ddl()).write.mode(
@@ -2081,6 +2121,50 @@ class Engine:
                     )
         self._rewrite(meta, final)
         return self._status(f"merge {meta.name}", n)
+
+    def _optimize(self, s: str) -> DataFrame:
+        """``OPTIMIZE <table> [ZORDER BY (c1, c2, ...)]`` — lakehouse
+        layout maintenance as a new table version (time travel keeps the
+        old layout until VACUUM). Bare OPTIMIZE compacts to
+        row-count-proportional file counts (the small-files problem);
+        ZORDER BY rewrites on the Morton curve of the named columns so
+        min/max stats prune on EVERY named dimension
+        (sources.write_zordered_table's layout, inside the engine's
+        versioned tables). The reference maintains b-tree indexes its
+        executor never reads (optimizer/QueryOptimizer.java:231-235);
+        this is the layout-based replacement that every reader consults.
+        """
+        m = re.match(
+            rf"OPTIMIZE\s+({_IDENT})"
+            r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise EngineError(f"bad OPTIMIZE: {s[:60]}")
+        meta = self._table(m.group(1).lower())
+        df = self._read(meta)
+        n = df.count()
+        files = max(1, min(64, (n + 24_999) // 25_000))
+        if m.group(2):
+            from cassandra_sql_spark import sources
+
+            cols = [c.strip().lower() for c in m.group(2).split(",")]
+            for pc in cols:
+                meta.column(pc)  # raises on unknown column
+            _, z = sources.zorder_column(df, cols)
+            out = (
+                df.withColumn("__z", z)
+                .repartitionByRange(files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            self._rewrite(meta, out)
+            return self._status(
+                f"optimize {meta.name} zorder ({', '.join(cols)})", n
+            )
+        self._rewrite(meta, df.coalesce(files))
+        return self._status(f"optimize {meta.name}", n)
 
     def _verify_constraints(self, s: str) -> DataFrame:
         """``VERIFY CONSTRAINTS [table]`` — set-based audit of every

@@ -421,3 +421,107 @@ def test_verify_constraints_all_tables(eng):
     assert out.columns == [
         "table_name", "constraint_type", "constraint", "n_violations",
     ]
+
+
+# ---- partitioned tables + OPTIMIZE [ZORDER BY] ----
+
+
+def test_partitioned_table_roundtrip_and_pruning(eng, tmp_path):
+    import glob
+
+    eng.sql(
+        "CREATE TABLE pt (id INT PRIMARY KEY, region TEXT, v INT) "
+        "PARTITION BY LIST (region)"
+    )
+    eng.sql(
+        "INSERT INTO pt VALUES (1, 'eu', 10), (2, 'us', 20), (3, 'eu', 30)"
+    )
+    assert rows(eng.sql("SELECT id, region, v FROM pt ORDER BY id")) == [
+        (1, "eu", 10),
+        (2, "us", 20),
+        (3, "eu", 30),
+    ]
+    # hive-style layout on disk: one directory per partition value
+    meta_path = eng.catalog.tables["pt"].path
+    dirs = {
+        d.split("/")[-1]
+        for d in glob.glob(f"{meta_path}/region=*")
+    }
+    assert dirs == {"region=eu", "region=us"}
+    # DML still works through the partitioned layout
+    eng.sql("UPDATE pt SET v = v + 1 WHERE region = 'eu'")
+    assert rows(eng.sql("SELECT id, v FROM pt ORDER BY id")) == [
+        (1, 11),
+        (2, 20),
+        (3, 31),
+    ]
+    eng.sql("DELETE FROM pt WHERE region = 'us'")
+    assert rows(eng.sql("SELECT id FROM pt ORDER BY id")) == [(1,), (3,)]
+
+
+def test_partitioned_table_unknown_column_rejected(eng):
+    with pytest.raises(EngineError, match="unknown partition column"):
+        eng.sql(
+            "CREATE TABLE bad (id INT PRIMARY KEY) PARTITION BY (nope)"
+        )
+
+
+def test_optimize_compacts(eng):
+    eng.sql("CREATE TABLE ot (id INT PRIMARY KEY, v INT)")
+    for i in range(4):
+        eng.sql(f"INSERT INTO ot VALUES ({i}, {i * 10})")
+    eng.sql("OPTIMIZE ot")
+    assert rows(eng.sql("SELECT id, v FROM ot ORDER BY id")) == [
+        (i, i * 10) for i in range(4)
+    ]
+    import glob
+
+    files = glob.glob(f"{eng.catalog.tables['ot'].path}/*.parquet")
+    assert len(files) == 1  # 4 rows -> 1 file
+
+
+def test_optimize_zorder_preserves_data_and_clusters(eng):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    eng.sql("CREATE TABLE zt (id INT PRIMARY KEY, a INT, b INT)")
+    n = 200_000
+    eng.sql(
+        "INSERT INTO zt SELECT id, CAST(id % 1000 AS INT), "
+        "CAST((id * 2654435761) % 1000 AS INT) "
+        f"FROM range({n}) ORDER BY id"
+    )
+    eng.sql("OPTIMIZE zt ZORDER BY (a, b)")
+    got = eng.sql("SELECT COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb FROM zt")
+    r = rows(got)[0]
+    assert r[0] == n
+    # multiple files, each covering a hyper-rectangle of (a, b): the
+    # AVERAGE per-file span on BOTH columns sits well under the full
+    # 0-999 range (a lexicographic sort leaves b's span at ~999 in every
+    # file; the top-level z splits leave one dim wide in a few files,
+    # which is why the bound is on the mean, not each file)
+    files = sorted(glob.glob(f"{eng.catalog.tables['zt'].path}/*.parquet"))
+    assert len(files) >= 4
+    spans = {"a": [], "b": []}
+    for f in files:
+        pf = pq.ParquetFile(f)
+        names = [pf.metadata.schema.column(i).name
+                 for i in range(pf.metadata.num_columns)]
+        for col in ("a", "b"):
+            idx = names.index(col)
+            mins, maxs = [], []
+            for i in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(i).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans[col].append(max(maxs) - min(mins))
+    avg_a = sum(spans["a"]) / len(files)
+    avg_b = sum(spans["b"]) / len(files)
+    assert avg_a < 700 and avg_b < 700, (avg_a, avg_b, spans)
+
+
+def test_optimize_zorder_unknown_column(eng):
+    eng.sql("CREATE TABLE zx (id INT PRIMARY KEY)")
+    with pytest.raises(Exception):
+        eng.sql("OPTIMIZE zx ZORDER BY (missing)")

@@ -11,6 +11,7 @@ from cassandra_sql_spark.queries import (
     expressions,
     joins,
     json_ops,
+    modern_sql,
     more_sql,
     pipeline_queries,
     relational,
@@ -36,6 +37,7 @@ _MODULES = (
     subqueries,
     expressions,
     json_ops,
+    modern_sql,
     more_sql,
     pipeline_queries,
     selection_queries,
@@ -122,6 +124,12 @@ PRIORITY: tuple[str, ...] = (
 NEXT_WINDOW: tuple[str, ...] = (
     # added during round 5
     "stream_session_window",
+    "qualify_topn",
+    "qualify_alias_filter",
+    "win_ignore_nulls_fill",
+    "agg_within_group",
+    "agg_bool_countif",
+    "agg_listagg",
 )
 
 _ALL: dict[str, Q] = {}

@@ -1,0 +1,163 @@
+"""Coverage batch 5 (round 5): modern-SQL surface upgrades beyond the
+reference's Calcite grammar — QUALIFY (through the pg/modern-SQL
+preprocessor, so the graded rows exercise the rewrite end-to-end),
+IGNORE NULLS window navigation, ordered-set aggregates
+(``WITHIN GROUP``), boolean aggregates, and ``LISTAGG``.
+
+The reference's window executor (window/WindowFunctionExecutor.java) has
+no null-skipping navigation and its grammar (kv/CalciteSqlParser.java)
+stops at plain aggregates; these are deliberate upgrades a training-data
+pipeline reaches for constantly (LOCF gap-fill, exact medians, top-n
+without a subquery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cassandra_sql_spark.io import register
+from cassandra_sql_spark.queries.base import Q
+from cassandra_sql_spark.sqlfront.preprocess import preprocess
+
+
+def pg_q(sql: str, tables: tuple[str, ...], oracle: str) -> Q:
+    """A query whose Spark side goes THROUGH ``preprocess`` — the graded
+    entry covers the rewrite, not just the hand-rewritten output."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register(spark, sf_dir, *tables)
+        return spark.sql(preprocess(sql))
+
+    return Q(fn, oracle)
+
+
+from cassandra_sql_spark.queries.base import sql_q  # noqa: E402
+
+QUERIES: dict[str, Q] = {
+    # QUALIFY: filter on a window function without the subquery
+    # (DuckDB/Snowflake/BigQuery surface; _rewrite_qualify injects the
+    # predicate into the same projection and peels it with * EXCEPT).
+    # Top-2 orders per customer; o_orderkey breaks price ties so the kept
+    # rows are a deterministic set.
+    "qualify_topn": pg_q(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        """,
+        ("orders",),
+        oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        """,
+    ),
+    # QUALIFY referencing a select-list ALIAS: resolves via Spark's
+    # lateral column aliases after the rewrite (native in DuckDB). RANK
+    # keeps ties, so no tiebreaker is needed for determinism.
+    "qualify_alias_filter": pg_q(
+        """
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               RANK() OVER (
+                 PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk
+        FROM customer
+        QUALIFY rnk = 1
+        """,
+        ("customer",),
+        oracle="""
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               RANK() OVER (
+                 PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk
+        FROM customer
+        QUALIFY rnk = 1
+        """,
+    ),
+    # IGNORE NULLS navigation: last-observation-carried-forward gap-fill
+    # (the sensor/feature-backfill idiom) + the previous non-null value.
+    # The sparse column is synthesized with NULLIF so the entry is
+    # self-contained on NULL-free TPC-H data. Dialect split: Spark puts
+    # IGNORE NULLS after the call, DuckDB inside the parens.
+    "win_ignore_nulls_fill": sql_q(
+        """
+        SELECT o_orderkey, o_custkey,
+               LAST_VALUE(CASE WHEN o_orderstatus = 'F'
+                               THEN o_totalprice END) IGNORE NULLS OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_f_price,
+               LAG(CASE WHEN o_orderstatus = 'F'
+                        THEN o_totalprice END) IGNORE NULLS OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_f_price
+        FROM orders
+        WHERE o_custkey < 500
+        """,
+        ("orders",),
+        oracle="""
+        SELECT o_orderkey, o_custkey,
+               LAST_VALUE(CASE WHEN o_orderstatus = 'F'
+                               THEN o_totalprice END IGNORE NULLS) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_f_price,
+               LAG(CASE WHEN o_orderstatus = 'F'
+                        THEN o_totalprice END IGNORE NULLS) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_f_price
+        FROM orders
+        WHERE o_custkey < 500
+        """,
+    ),
+    # Ordered-set aggregates: SQL-standard WITHIN GROUP spelling for
+    # exact interpolated/discrete percentiles (same linear interpolation
+    # both engines, see agg_percentiles precedent).
+    "agg_within_group": sql_q(
+        """
+        SELECT l_returnflag,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                 AS median_qty,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+                 AS q1_qty,
+               percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+                 AS p90_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+        ("lineitem",),
+    ),
+    # Boolean aggregates + COUNT_IF (pg bool_and/bool_or; the reference
+    # has no boolean aggregate at all).
+    "agg_bool_countif": sql_q(
+        """
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 1000.0) AS all_over_1k,
+               bool_or(o_orderstatus = 'F') AS any_finished,
+               CAST(count_if(o_totalprice > 150000.0) AS BIGINT) AS n_big
+        FROM orders
+        GROUP BY o_orderpriority
+        """,
+        ("orders",),
+    ),
+    # LISTAGG ... WITHIN GROUP (ORDER BY ...): the SQL-standard ordered
+    # string aggregate (Spark 4 native; DuckDB spells it string_agg with
+    # an inline ORDER BY).
+    "agg_listagg": sql_q(
+        """
+        SELECT r.r_name, listagg(n.n_name, ',')
+                 WITHIN GROUP (ORDER BY n.n_name) AS nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """,
+        ("region", "nation"),
+        oracle="""
+        SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name)
+                 AS nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """,
+    ),
+}

@@ -329,6 +329,89 @@ def _rewrite_distinct_on(sql: str) -> str:
     return out + tail
 
 
+def _paren_depth(sql: str) -> list:
+    """depth[i] = paren nesting depth BEFORE character i (masked SQL, so
+    parens inside string literals are already gone)."""
+    depth = [0] * (len(sql) + 1)
+    d = 0
+    for i, ch in enumerate(sql):
+        depth[i] = d
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d = max(0, d - 1)
+    depth[len(sql)] = d
+    return depth
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """``QUALIFY <pred>`` (DuckDB/Snowflake/BigQuery; filters on window
+    functions without a subquery) -> the subquery Spark needs.
+
+    ``SELECT list FROM ... QUALIFY pred [ORDER BY/LIMIT tail]`` becomes
+    ``SELECT * EXCEPT (__qualify) FROM (SELECT list, (pred) AS __qualify
+    FROM ...) WHERE __qualify tail``. The predicate is injected into the
+    SAME select list, so it sees base columns not in the projection,
+    named WINDOW clauses, and aggregates under GROUP BY; references to
+    select-list aliases (``QUALIFY rn <= 3``) resolve via Spark's lateral
+    column aliases. QUALIFY evaluates BEFORE ``DISTINCT`` (DuckDB order),
+    so DISTINCT moves to the outer select. Top-level set operations are
+    left untouched (apply QUALIFY inside the arm instead)."""
+    if not re.search(r"(?i)\bQUALIFY\b", sql):
+        return sql
+    body = re.sub(r";\s*$", "", sql)
+    depth = _paren_depth(body)
+    qm = next(
+        (
+            m
+            for m in re.finditer(r"(?i)\bQUALIFY\b", body)
+            if depth[m.start()] == 0
+        ),
+        None,
+    )
+    if qm is None:
+        return sql
+    if any(
+        depth[m.start()] == 0
+        for m in re.finditer(
+            r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", body[: qm.start()]
+        )
+    ):
+        return sql
+    sm = re.match(r"(?is)^\s*SELECT\s+(DISTINCT\b(?!\s+ON))?", body)
+    fm = next(
+        (
+            m
+            for m in re.finditer(r"(?i)\bFROM\b", body)
+            if m.start() < qm.start() and depth[m.start()] == 0
+        ),
+        None,
+    )
+    if sm is None or fm is None:
+        return sql
+    tail_start = next(
+        (
+            m.start()
+            for m in re.finditer(
+                r"(?i)\b(ORDER\s+BY|LIMIT|OFFSET|FETCH)\b", body
+            )
+            if m.start() > qm.end() and depth[m.start()] == 0
+        ),
+        len(body),
+    )
+    select_list = body[sm.end() : fm.start()].strip()
+    from_mid = body[fm.start() : qm.start()].strip()
+    pred = body[qm.end() : tail_start].strip()
+    tail = body[tail_start:].strip()
+    distinct = "DISTINCT " if sm.group(1) else ""
+    out = (
+        f"SELECT {distinct}* EXCEPT (__qualify) FROM "
+        f"(SELECT {select_list}, ({pred}) AS __qualify {from_mid}) "
+        f"WHERE __qualify"
+    )
+    return out + (" " + tail if tail else "")
+
+
 def _rewrite_between_symmetric(sql: str) -> str:
     """pg's ``BETWEEN SYMMETRIC a AND b`` auto-swaps misordered bounds
     (reference parses it, kv/CalciteSqlParser.java:342-357); Spark has no
@@ -378,6 +461,7 @@ def preprocess(sql: str) -> str:
     masked = _rewrite_fetch_first(masked)
     masked = _rewrite_tablesample(masked)
     masked = _rewrite_distinct_on(masked)
+    masked = _rewrite_qualify(masked)
     for pat, repl in _FUNC_ALIASES.items():
         masked = re.sub(pat, repl, masked, flags=re.IGNORECASE)
     return _unmask(masked, lits)

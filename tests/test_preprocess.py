@@ -247,3 +247,52 @@ def test_tablesample_rewrite():
     assert "TABLESAMPLE (2.5 PERCENT)" in preprocess(
         "SELECT * FROM t TABLESAMPLE SYSTEM(2.5) WHERE x > 1"
     )
+
+
+def test_qualify_rewrite_basic():
+    out = preprocess(
+        "SELECT id, k FROM t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) <= 2"
+    )
+    assert out == (
+        "SELECT * EXCEPT (__qualify) FROM (SELECT id, k, "
+        "(ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) <= 2) "
+        "AS __qualify FROM t) WHERE __qualify"
+    )
+
+
+def test_qualify_rewrite_with_tail():
+    out = preprocess(
+        "SELECT id FROM t QUALIFY RANK() OVER (ORDER BY v) = 1 "
+        "ORDER BY id LIMIT 5"
+    )
+    assert out.endswith("WHERE __qualify ORDER BY id LIMIT 5")
+    assert "(RANK() OVER (ORDER BY v) = 1) AS __qualify" in out
+
+
+def test_qualify_distinct_moves_outside():
+    out = preprocess(
+        "SELECT DISTINCT k FROM t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) = 1"
+    )
+    assert out.startswith("SELECT DISTINCT * EXCEPT (__qualify) FROM (SELECT k,")
+
+
+def test_qualify_only_top_level():
+    # QUALIFY inside a subquery is the subquery's business; a string
+    # literal containing the word is never touched
+    q = (
+        "SELECT * FROM (SELECT id FROM t "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY id) = 1) s"
+    )
+    assert preprocess(q) == q
+    lit = "SELECT 'we qualify for this' AS s FROM t"
+    assert preprocess(lit) == lit
+
+
+def test_qualify_set_operation_untouched():
+    q = (
+        "SELECT id FROM a UNION ALL SELECT id FROM b "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY id) = 1"
+    )
+    assert preprocess(q) == q

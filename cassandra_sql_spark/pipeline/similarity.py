@@ -587,3 +587,234 @@ def topk_lsh(
         .alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou/Douze/Schmid, "Product Quantization for
+# Nearest Neighbor Search", PAMI 2011). The vector is split into M
+# subvectors; each subspace gets its own K-centroid codebook, so a vector
+# compresses to M small codes (M*log2(K) bits vs dim*32) and query
+# distance is an M-term table lookup (ADC) instead of a dim-term fold.
+# The memory/bandwidth lever for ANN at 100 TB: the codes table is ~1/64
+# the size of the raw vectors, so the scored scan reads that instead.
+# Same determinism discipline as ivf_train: hash-seeded init, no RNG.
+# ---------------------------------------------------------------------------
+
+
+def _pq_assign(sub: Column, codebook: list) -> Column:
+    """Nearest-codeword index for one subvector, map-side.
+
+    argmin ||s - c||^2 == argmin (|c|^2 - 2<s,c>): |s|^2 is constant per
+    row, |c|^2 is a driver-side literal — one _dot_lit fold per codeword.
+    Ties resolve to the lowest code (array_position's first minimum)."""
+    dists = F.array(
+        *[
+            F.lit(float(sum(x * x for x in c))) - 2.0 * _dot_lit(sub, c)
+            for c in codebook
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """M codebooks of k_codes centroids over dim/m subvectors.
+
+    - Init: the k_codes vectors with the smallest xxhash64(id) seed all M
+      codebooks jointly (deterministic on any cluster, no RNG state).
+    - Lloyd step: ALL subspaces update in ONE scan per iteration — each
+      row emits m (subspace, code, subvector) structs, posexplode twice,
+      then a (m x k x subdim)-bounded partial+final AVG; the collect is
+      model-sized, never data-sized.
+    - Model: m * k_codes * subdim floats on the driver, inlined as plan
+      literals downstream (broadcast-free, like ivf_train).
+    """
+    seeds = (
+        emb.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k_codes)
+        .collect()
+    )
+    if not seeds:
+        return []
+    dim = len(seeds[0][vec_col])
+    m = min(m, dim)
+    sub = dim // m
+    books = [
+        [
+            [float(x) for x in r[vec_col]][j * sub : (j + 1) * sub]
+            for r in seeds
+        ]
+        for j in range(m)
+    ]
+    k_codes = len(seeds)
+    for _ in range(iters):
+        sliced = emb.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            _pq_assign(
+                                F.slice(F.col(vec_col), j * sub + 1, sub),
+                                books[j],
+                            ).alias("c"),
+                            F.slice(F.col(vec_col), j * sub + 1, sub).alias(
+                                "v"
+                            ),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            )
+        )
+        means = (
+            sliced.select(
+                F.col("pos").alias("j"),
+                F.col("col.c").alias("c"),
+                F.posexplode("col.v"),
+            )
+            .groupBy("j", "c", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("mu"))
+            .collect()
+        )
+        nxt = [
+            [list(books[j][c]) for c in range(k_codes)] for j in range(m)
+        ]
+        for r in means:  # empty codes keep their previous codeword
+            nxt[r["j"]][r["c"]][r["pos"]] = r["mu"]
+        books = nxt
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — map-only, no shuffle: each subspace's
+    code is an independent argmin fold against plan-literal codewords."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return emb.select(
+        F.col(id_col),
+        F.array(
+            *[
+                _pq_assign(
+                    F.slice(F.col(vec_col), j * sub + 1, sub), codebooks[j]
+                )
+                for j in range(m)
+            ]
+        ).alias("codes"),
+    )
+
+
+def pq_topk_adc(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list | None = None,
+) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation: the query
+    stays exact; each candidate's distance is sum_j LUT[j][code_j], where
+    LUT[j][c] = ||q_sub_j - codebook_j[c]||^2 is computed once driver-side
+    (m x k_codes doubles) and inlined. The scored scan touches only the
+    codes column — at 100 TB that is the entire point: encode once
+    (pq_encode, map-only, ~50x smaller than the vectors), then every
+    query is a lookup-fold over the codes table, re-ranking optional."""
+    emb = nonzero(emb, vec_col)
+    books = codebooks or pq_train(emb, m, k_codes, iters, id_col, vec_col)
+    q = emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not books or not q:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, approx_dist double"
+        )
+    qv = [float(x) for x in q[0][vec_col]]
+    m = len(books)
+    sub = len(books[0][0])
+    lut = [
+        [
+            sum((qv[j * sub + i] - c[i]) ** 2 for i in range(sub))
+            for c in books[j]
+        ]
+        for j in range(m)
+    ]
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(d)) for d in row]) for row in lut]
+    )
+    codes = pq_encode(
+        emb.filter(F.col(id_col) != query_id), books, id_col, vec_col
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"), lut_lit, lambda c, l: F.element_at(l, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes.select(
+            id_col,
+            dist.cast("decimal(18,6)").cast("double").alias("approx_dist"),
+        )
+        .orderBy("approx_dist", id_col)
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list | None = None,
+) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank — the standard two-stage ANN.
+
+    Stage 1 scans only the codes (ADC fold, ~50x less bandwidth than the
+    vectors) for a `shortlist`-sized candidate set; stage 2 computes the
+    EXACT L2 distance for just those candidates (broadcast semi-join back
+    to the vector table). Recall is governed by shortlist/n, cost by the
+    codes scan — the knob a 100 TB index actually exposes."""
+    emb = nonzero(emb, vec_col)
+    books = codebooks or pq_train(emb, m, k_codes, iters, id_col, vec_col)
+    cand = pq_topk_adc(
+        emb, query_id, shortlist, m, k_codes, iters, id_col, vec_col, books
+    ).select(id_col)
+    q = emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not q:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, dist double"
+        )
+    qv = [float(x) for x in q[0][vec_col]]
+    qq = float(sum(x * x for x in qv))
+    exact = emb.join(F.broadcast(cand), id_col).select(
+        F.col(id_col),
+        # ||q - v||^2 = |q|^2 - 2<q,v> + |v|^2 (one fold per term)
+        (
+            F.lit(qq)
+            - 2.0 * _dot_lit(F.col(vec_col), qv)
+            + dot(F.col(vec_col), F.col(vec_col))
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("dist"),
+    )
+    return exact.orderBy("dist", id_col).limit(k)

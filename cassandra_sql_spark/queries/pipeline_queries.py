@@ -275,6 +275,18 @@ QUERIES: dict[str, Q] = {
         ("embeddings",),
         oracle=None,
     ),
+    # Product-quantization ANN (Jegou et al. 2011): ADC shortlist over the
+    # ~50x-compressed codes table, exact re-rank of the shortlist only.
+    # Codebook training is hash-seeded Lloyd (engine-specific): rows-only;
+    # determinism, code-roundtrip, and recall@k asserted in tests.
+    "sim_pq_topk": df_q(
+        lambda spark, sf: similarity.pq_topk_rerank(
+            load(spark, sf, "embeddings"),
+            query_id=0, k=10, shortlist=100, m=4, k_codes=16,
+        ),
+        ("embeddings",),
+        oracle=None,
+    ),
     # Text analysis battery: token counts, quality, language-ID heuristic,
     # rolling-hash fingerprint — all JVM lambdas, oracle replays the exact
     # integer/rational math.

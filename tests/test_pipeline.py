@@ -630,3 +630,108 @@ def test_bloom_decontam_no_false_negatives(spark, sf_dir):
     assert {(r.doc_id, r.n_flagged_grams, r.flagged) for r in rows} == {
         (r.doc_id, r.n_flagged_grams, r.flagged) for r in rows2
     }
+
+
+# ---- product quantization (PQ / ADC) ----
+
+
+@pytest.fixture(scope="module")
+def pq_emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def pq_books(pq_emb):
+    return similarity.pq_train(pq_emb, m=4, k_codes=16, iters=2)
+
+
+def test_pq_train_shape_and_determinism(pq_emb, pq_books):
+    assert len(pq_books) == 4
+    assert all(len(b) == 16 for b in pq_books)
+    assert all(len(c) == 16 for b in pq_books for c in b)  # 64/4 subdim
+    again = similarity.pq_train(pq_emb, m=4, k_codes=16, iters=2)
+    assert again == pq_books
+
+
+def test_pq_encode_is_map_only(pq_emb, pq_books):
+    enc = similarity.pq_encode(pq_emb, pq_books)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    row = enc.orderBy("vec_id").first()
+    assert len(row["codes"]) == 4
+    assert all(0 <= c < 16 for c in row["codes"])
+
+
+def test_pq_codeword_vectors_encode_to_themselves(spark, pq_books):
+    # vectors that ARE concatenations of codewords: code roundtrip is
+    # exact and the ADC distance to themselves is 0
+    from pyspark.sql import functions as F
+
+    vecs = [
+        (100 + c, [x for j in range(4) for x in pq_books[j][c]])
+        for c in range(16)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id bigint, embedding array<float>",
+    )
+    enc = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.pq_encode(df, pq_books).collect()
+    }
+    # float32 storage rounds the codewords; re-quantization must still
+    # pick the original codeword (it is by construction the nearest)
+    for c in range(16):
+        assert enc[100 + c] == [c, c, c, c]
+
+
+def test_pq_adc_missing_query_is_empty(pq_emb, pq_books):
+    out = similarity.pq_topk_adc(
+        pq_emb, query_id=10**9, codebooks=pq_books
+    )
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "approx_dist"]
+
+
+def test_pq_rerank_recall_vs_exact(pq_emb, pq_books):
+    # worst case for PQ (isotropic random vectors): a 20% ADC shortlist
+    # must still recover >= half of the true top-10 (measured ~0.74)
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in pq_emb.collect()
+    }
+    hits = total = 0
+    for qid in (0, 42, 333):
+        qv = rows[qid]
+        exact = {
+            i
+            for _, i in sorted(
+                (sum((a - b) ** 2 for a, b in zip(qv, v)), i)
+                for i, v in rows.items()
+                if i != qid
+            )[:10]
+        }
+        approx = {
+            r["vec_id"]
+            for r in similarity.pq_topk_rerank(
+                pq_emb, qid, k=10, shortlist=100, codebooks=pq_books
+            ).collect()
+        }
+        assert len(approx) == 10
+        hits += len(approx & exact)
+        total += 10
+    assert hits / total >= 0.5, hits / total
+
+
+def test_pq_rerank_distances_are_exact_for_returned_ids(pq_emb, pq_books):
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in pq_emb.collect()
+    }
+    qv = rows[0]
+    out = similarity.pq_topk_rerank(
+        pq_emb, 0, k=5, shortlist=50, codebooks=pq_books
+    ).collect()
+    for r in out:
+        true = sum((a - b) ** 2 for a, b in zip(qv, rows[r["vec_id"]]))
+        assert abs(r["dist"] - true) < 1e-4

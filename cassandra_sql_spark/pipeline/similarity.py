@@ -701,18 +701,8 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes array<int>) — map-only, no shuffle: each subspace's
     code is an independent argmin fold against plan-literal codewords."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     return emb.select(
-        F.col(id_col),
-        F.array(
-            *[
-                _pq_assign(
-                    F.slice(F.col(vec_col), j * sub + 1, sub), codebooks[j]
-                )
-                for j in range(m)
-            ]
-        ).alias("codes"),
+        F.col(id_col), pq_codes_col(F.col(vec_col), codebooks).alias("codes")
     )
 
 
@@ -816,5 +806,102 @@ def pq_topk_rerank(
         .cast("decimal(18,6)")
         .cast("double")
         .alias("dist"),
+    )
+    return exact.orderBy("dist", id_col).limit(k)
+
+
+def pq_codes_col(vec: Column, codebooks: list) -> Column:
+    """The codes array<int> for one vector as a pure expression (shared
+    by pq_encode and the materialized index writer)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            _pq_assign(F.slice(vec, j * sub + 1, sub), codebooks[j])
+            for j in range(m)
+        ]
+    )
+
+
+def write_pq_index(
+    emb: DataFrame,
+    path: str,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Materialize the PQ index: train, then write (id, codes, vector) as
+    one parquet table — codes and vector side by side so the ADC scan is
+    column-pruned to the tiny codes column while the re-rank stage reads
+    vectors only for the shortlist (predicate-pushed id join). Returns
+    the codebooks (deterministic — retraining reproduces them)."""
+    books = pq_train(emb, m, k_codes, iters, id_col, vec_col)
+    emb.withColumn("_codes", pq_codes_col(F.col(vec_col), books)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return books
+
+
+def pq_topk_pruned(
+    spark,
+    path: str,
+    codebooks: list,
+    query_vec: list,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a write_pq_index table. Stage 1 (the full scan) reads ONLY
+    (id, codes) — parquet column pruning keeps the big vector column on
+    disk, which at 100 TB is the entire bandwidth story (~50x less read).
+    Stage 2 reads vectors for just the broadcast shortlist ids and ranks
+    by exact L2."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qv = [float(x) for x in query_vec]
+    lut = [
+        [
+            sum((qv[j * sub + i] - c[i]) ** 2 for i in range(sub))
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(d)) for d in row]) for row in lut]
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("_codes"), lut_lit, lambda c, l: F.element_at(l, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        spark.read.parquet(path)
+        .select(id_col, "_codes")
+        .select(F.col(id_col), dist.alias("_adc"))
+        .orderBy("_adc", id_col)
+        .limit(shortlist)
+        .select(id_col)
+    )
+    qq = float(sum(x * x for x in qv))
+    exact = (
+        spark.read.parquet(path)
+        .select(id_col, vec_col)
+        .join(F.broadcast(cand), id_col)
+        .select(
+            F.col(id_col),
+            (
+                F.lit(qq)
+                - 2.0 * _dot_lit(F.col(vec_col), qv)
+                + dot(F.col(vec_col), F.col(vec_col))
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("dist"),
+        )
     )
     return exact.orderBy("dist", id_col).limit(k)

@@ -525,3 +525,16 @@ def test_optimize_zorder_unknown_column(eng):
     eng.sql("CREATE TABLE zx (id INT PRIMARY KEY)")
     with pytest.raises(Exception):
         eng.sql("OPTIMIZE zx ZORDER BY (missing)")
+
+
+def test_engine_select_qualify(eng):
+    eng.sql("CREATE TABLE ql (id INT PRIMARY KEY, k TEXT, v INT)")
+    eng.sql(
+        "INSERT INTO ql VALUES (1,'a',3),(2,'a',1),(3,'b',2),(4,'b',4)"
+    )
+    out = rows(eng.sql(
+        "SELECT k, id FROM ql "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1 "
+        "ORDER BY k"
+    ))
+    assert out == [("a", 1), ("b", 4)]

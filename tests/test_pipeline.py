@@ -735,3 +735,39 @@ def test_pq_rerank_distances_are_exact_for_returned_ids(pq_emb, pq_books):
     for r in out:
         true = sum((a - b) ** 2 for a, b in zip(qv, rows[r["vec_id"]]))
         assert abs(r["dist"] - true) < 1e-4
+
+
+def test_pq_index_probe_matches_inline_and_prunes_columns(
+    spark, pq_emb, pq_books, tmp_path
+):
+    path = str(tmp_path / "pqidx")
+    books = similarity.write_pq_index(pq_emb, path, m=4, k_codes=16)
+    assert books == pq_books  # deterministic retrain
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in pq_emb.collect()
+    }
+    out = similarity.pq_topk_pruned(
+        spark, path, books, rows[0], k=10, shortlist=50
+    )
+    # stage-1 ADC scan must be column-pruned to (id, codes): the vector
+    # column never leaves disk for the full scan (the 100 TB contract)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert any(
+        "_codes" in ln and "embedding" not in ln for ln in scans
+    ), plan
+    got = out.collect()
+    # same codebooks + same shortlist -> same ranking as the inline
+    # two-stage probe. The index probe keeps the query vector in the
+    # table (consumes one shortlist slot, ranks first at dist 0), the
+    # inline path filters it out — so compare the top-9 after dropping it
+    # from both.
+    inline = similarity.pq_topk_rerank(
+        pq_emb, 0, k=10, shortlist=50, codebooks=books
+    ).collect()
+    inline_ids = [r["vec_id"] for r in inline if r["vec_id"] != 0][:9]
+    got_ids = [r["vec_id"] for r in got if r["vec_id"] != 0][:9]
+    assert got_ids == inline_ids

@@ -1641,7 +1641,10 @@ class Engine:
         for c in sets:
             if meta.column(c).generated:
                 raise EngineError(f"cannot update generated column: {c}")
-        df = self._read(meta)
+        # alias the target to its table name so correlated subqueries in
+        # the predicate (pg `WHERE EXISTS (SELECT 1 FROM o WHERE o.id =
+        # t.id)`) resolve the outer reference
+        df = self._read(meta).alias(meta.name)
         n = df.filter(cond).count()
         out = df.withColumns(
             {
@@ -1817,7 +1820,8 @@ class Engine:
             re.IGNORECASE | re.DOTALL,
         )
         meta = self._table(m.group(1).lower())
-        df = self._read(meta)
+        # aliased so correlated subqueries can reference the target table
+        df = self._read(meta).alias(meta.name)
         if m.group(2):
             cond = F.expr(preprocess(m.group(2).strip()))
             n = df.filter(cond).count()

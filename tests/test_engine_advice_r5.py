@@ -538,3 +538,52 @@ def test_engine_select_qualify(eng):
         "ORDER BY k"
     ))
     assert out == [("a", 1), ("b", 4)]
+
+
+# ---- subquery predicates in UPDATE / DELETE ----
+
+
+def test_update_where_in_subquery(eng):
+    eng.sql("CREATE TABLE sqa (id INT PRIMARY KEY, v INT)")
+    eng.sql("CREATE TABLE sqb (id INT PRIMARY KEY)")
+    eng.sql("INSERT INTO sqa VALUES (1,10),(2,20),(3,30)")
+    eng.sql("INSERT INTO sqb VALUES (2),(3)")
+    eng.sql("UPDATE sqa SET v = v + 1 WHERE id IN (SELECT id FROM sqb)")
+    assert rows(eng.sql("SELECT id, v FROM sqa ORDER BY id")) == [
+        (1, 10), (2, 21), (3, 31),
+    ]
+
+
+def test_update_where_correlated_exists(eng):
+    eng.sql("CREATE TABLE sqc (id INT PRIMARY KEY, v INT)")
+    eng.sql("CREATE TABLE sqd (id INT PRIMARY KEY)")
+    eng.sql("INSERT INTO sqc VALUES (1,10),(2,20),(3,30)")
+    eng.sql("INSERT INTO sqd VALUES (3)")
+    eng.sql(
+        "UPDATE sqc SET v = 0 "
+        "WHERE EXISTS (SELECT 1 FROM sqd WHERE sqd.id = sqc.id)"
+    )
+    assert rows(eng.sql("SELECT id, v FROM sqc ORDER BY id")) == [
+        (1, 10), (2, 20), (3, 0),
+    ]
+
+
+def test_update_set_scalar_subquery(eng):
+    eng.sql("CREATE TABLE sqe (id INT PRIMARY KEY, v INT)")
+    eng.sql("CREATE TABLE sqf (id INT PRIMARY KEY)")
+    eng.sql("INSERT INTO sqe VALUES (1,10)")
+    eng.sql("INSERT INTO sqf VALUES (7),(9)")
+    eng.sql("UPDATE sqe SET v = (SELECT MAX(id) FROM sqf) WHERE id = 1")
+    assert rows(eng.sql("SELECT v FROM sqe")) == [(9,)]
+
+
+def test_delete_where_correlated_not_exists(eng):
+    eng.sql("CREATE TABLE sqg (id INT PRIMARY KEY, v INT)")
+    eng.sql("CREATE TABLE sqh (id INT PRIMARY KEY)")
+    eng.sql("INSERT INTO sqg VALUES (1,10),(2,20),(3,30)")
+    eng.sql("INSERT INTO sqh VALUES (1)")
+    eng.sql(
+        "DELETE FROM sqg "
+        "WHERE NOT EXISTS (SELECT 1 FROM sqh WHERE sqh.id = sqg.id)"
+    )
+    assert rows(eng.sql("SELECT id FROM sqg ORDER BY id")) == [(1,)]

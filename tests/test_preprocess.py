@@ -296,3 +296,62 @@ def test_qualify_set_operation_untouched():
         "QUALIFY ROW_NUMBER() OVER (ORDER BY id) = 1"
     )
     assert preprocess(q) == q
+
+
+# ---- QUALIFY differential battery (Spark-through-rewrite vs DuckDB
+# native QUALIFY, same parquet) -------------------------------------------
+
+QUALIFY_VARIANTS = [
+    # inline window fn, base column not in select list
+    """SELECT o_orderkey FROM orders
+       QUALIFY ROW_NUMBER() OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1""",
+    # alias reference + trailing ORDER BY ... LIMIT
+    """SELECT o_custkey, o_orderkey,
+              RANK() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS r
+       FROM orders QUALIFY r <= 2 ORDER BY o_custkey, o_orderkey LIMIT 40""",
+    # WHERE + QUALIFY together
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_orderstatus = 'F'
+       QUALIFY DENSE_RANK() OVER (ORDER BY o_totalprice DESC) <= 3""",
+    # GROUP BY + window over aggregate (COUNT: exact in both dialects —
+    # a SUM(double) here would hit the Spark-truncates/DuckDB-rounds
+    # BIGINT cast divergence, which is base.py's isum() territory)
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+       FROM orders GROUP BY o_custkey
+       QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                  o_custkey) <= 5""",
+    # DISTINCT (evaluated after QUALIFY)
+    """SELECT DISTINCT o_orderstatus FROM orders
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_orderkey) <= 2""",
+    # boolean combination of two window fns
+    """SELECT o_orderkey FROM orders
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) = 1
+           AND RANK() OVER (ORDER BY o_orderdate, o_orderkey) > 10""",
+    # OFFSET tail
+    """SELECT o_orderkey FROM orders
+       QUALIFY ROW_NUMBER() OVER (ORDER BY o_orderkey) <= 30
+       ORDER BY o_orderkey LIMIT 10 OFFSET 5""",
+]
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("i", range(len(QUALIFY_VARIANTS)))
+def test_qualify_differential_vs_duckdb(i, spark, duck, sf_dir):
+    from cassandra_sql_spark.io import register
+    from cassandra_sql_spark.testing import compare
+
+    sql = QUALIFY_VARIANTS[i]
+    register(spark, sf_dir, "orders")
+    df = spark.sql(preprocess(sql))
+    srows = [tuple(r) for r in df.collect()]
+    res = duck.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    problems = compare(srows, df.columns, orows, ocols, strict=True)
+    assert not problems, f"variant {i}: {problems}\nrewritten: {preprocess(sql)}"

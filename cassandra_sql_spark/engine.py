@@ -2270,6 +2270,19 @@ class Engine:
         )
 
     def _copy(self, s: str) -> DataFrame:
+        # pg `COPY (query) TO 'path' [opts]` — export an arbitrary query
+        # result (the standard pg export idiom). The query runs through
+        # the normal SELECT path (preprocess + catalog views).
+        qm = re.match(
+            r"COPY\s*\((.*)\)\s*TO\s+'([^']+)'(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if qm:
+            df = self.spark.sql(preprocess(qm.group(1).strip()))
+            path, opts = qm.group(2), qm.group(3).upper()
+            self._write_copy(df, path, opts)
+            return self._status(f"copy query to {path}", df.count())
         m = re.match(
             rf"COPY\s+({_IDENT})\s+(FROM|TO)\s+'([^']+)'(.*)$",
             s,
@@ -2289,9 +2302,12 @@ class Engine:
         # types).
         parquet = re.search(r"\bFORMAT\s+PARQUET\b", opts) is not None
         jsonl = re.search(r"\bFORMAT\s+JSONL?\b", opts) is not None
+        orc = re.search(r"\bFORMAT\s+ORC\b", opts) is not None
         if direction == "FROM":
             if parquet:
                 df = self.spark.read.schema(meta.spark_ddl()).parquet(path)
+            elif orc:
+                df = self.spark.read.schema(meta.spark_ddl()).orc(path)
             elif jsonl:
                 df = self.spark.read.schema(meta.spark_ddl()).option(
                     "mode", "FAILFAST"
@@ -2305,13 +2321,24 @@ class Engine:
             self._append(meta, df)
             return self._status(f"copy {meta.name} from {path}", n)
         df = self._read(meta)
-        if parquet:
+        self._write_copy(df, path, opts)
+        return self._status(f"copy {meta.name} to {path}", df.count())
+
+    def _write_copy(self, df: DataFrame, path: str, opts: str) -> None:
+        """Shared COPY TO writer: CSV (default, + HEADER), PARQUET, ORC,
+        JSONL. Columnar formats keep Spark's parallelism; the row formats
+        coalesce to one file because pg's COPY contract is a single
+        stream."""
+        if re.search(r"\bFORMAT\s+PARQUET\b", opts):
             df.write.mode("overwrite").parquet(path)
-        elif jsonl:
+        elif re.search(r"\bFORMAT\s+ORC\b", opts):
+            df.write.mode("overwrite").orc(path)
+        elif re.search(r"\bFORMAT\s+JSONL?\b", opts):
             df.coalesce(1).write.mode("overwrite").json(path)
         else:
-            df.coalesce(1).write.mode("overwrite").csv(path, header=header)
-        return self._status(f"copy {meta.name} to {path}", df.count())
+            df.coalesce(1).write.mode("overwrite").csv(
+                path, header="HEADER" in opts
+            )
 
     def _select_asof(self, s: str) -> DataFrame:
         """Time travel: `SELECT ... FROM t VERSION AS OF n` reads the

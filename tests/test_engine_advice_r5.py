@@ -587,3 +587,49 @@ def test_delete_where_correlated_not_exists(eng):
         "WHERE NOT EXISTS (SELECT 1 FROM sqh WHERE sqh.id = sqg.id)"
     )
     assert rows(eng.sql("SELECT id FROM sqg ORDER BY id")) == [(1,)]
+
+
+# ---- COPY (query) TO / ORC format ----
+
+
+def test_copy_query_to_csv(eng, tmp_path):
+    import csv, glob
+
+    eng.sql("CREATE TABLE cq (id INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO cq VALUES (1,10),(2,20),(3,30)")
+    out = str(tmp_path / "q_out")
+    eng.sql(
+        f"COPY (SELECT id, v * 2 AS v2 FROM cq WHERE v > 10) "
+        f"TO '{out}' HEADER"
+    )
+    f = glob.glob(f"{out}/*.csv")[0]
+    with open(f) as fh:
+        got = list(csv.reader(fh))
+    assert got[0] == ["id", "v2"]
+    assert sorted(got[1:]) == [["2", "40"], ["3", "60"]]
+
+
+def test_copy_orc_roundtrip(eng, tmp_path):
+    eng.sql("CREATE TABLE co (id INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO co VALUES (1,10),(2,20)")
+    p = str(tmp_path / "orc_out")
+    eng.sql(f"COPY co TO '{p}' FORMAT ORC")
+    eng.sql("CREATE TABLE co2 (id INT PRIMARY KEY, v INT)")
+    eng.sql(f"COPY co2 FROM '{p}' FORMAT ORC")
+    assert rows(eng.sql("SELECT id, v FROM co2 ORDER BY id")) == [
+        (1, 10), (2, 20),
+    ]
+
+
+def test_copy_query_with_qualify_to_parquet(eng, tmp_path):
+    eng.sql("CREATE TABLE cw (id INT PRIMARY KEY, k TEXT, v INT)")
+    eng.sql("INSERT INTO cw VALUES (1,'a',3),(2,'a',1),(3,'b',2)")
+    p = str(tmp_path / "pq_out")
+    eng.sql(
+        f"COPY (SELECT k, id FROM cw QUALIFY ROW_NUMBER() OVER "
+        f"(PARTITION BY k ORDER BY v DESC) = 1) TO '{p}' FORMAT PARQUET"
+    )
+    got = sorted(
+        tuple(r) for r in eng.spark.read.parquet(p).collect()
+    )
+    assert got == [("a", 1), ("b", 3)]

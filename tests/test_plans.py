@@ -335,3 +335,25 @@ def test_label_dispersion_partial_aggs(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "emb_label_dispersion")
     assert "partial_" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- QUALIFY rewrite plan shape --------------------------------------------
+
+def test_qualify_rank_predicate_gets_window_group_limit(spark, sf_dir):
+    """The QUALIFY rewrite projects the predicate as a boolean and
+    filters it outside; Catalyst must still collapse that into a direct
+    rank filter and insert the Partial WindowGroupLimit BELOW the
+    exchange — per-partition top-k before any shuffle, the shape that
+    makes QUALIFY-top-n survive a 1000-executor fan-in. If this pin
+    breaks, rewrite _rewrite_qualify to extract window expressions into
+    named columns and filter those directly."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "qualify_topn")
+    # formatted explain numbers children lower than parents: a partial
+    # (pre-shuffle) group limit is a WindowGroupLimit node numbered
+    # BELOW some Exchange node
+    wgl = [int(n) for n in re.findall(r"\((\d+)\) WindowGroupLimit", plan)]
+    exch = [int(n) for n in re.findall(r"\((\d+)\) Exchange", plan)]
+    assert len(wgl) >= 2, plan  # Partial + Final pair
+    assert exch and min(wgl) < max(exch), plan

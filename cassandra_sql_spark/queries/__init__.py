@@ -130,6 +130,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "agg_within_group",
     "agg_bool_countif",
     "agg_listagg",
+    "sketch_shard_merge",
 )
 
 _ALL: dict[str, Q] = {}

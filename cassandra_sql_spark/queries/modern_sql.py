@@ -142,6 +142,42 @@ QUERIES: dict[str, Q] = {
         """,
         ("orders",),
     ),
+    # Mergeable HLL sketches (Apache DataSketches via Spark 4
+    # hll_sketch_agg / hll_union_agg): per-shard sketches unioned into
+    # the corpus-wide distinct count WITHOUT rescanning shards — the
+    # operating mode for distinct statistics at 100 TB (each ingest
+    # batch persists its sketch; corpus cardinality is a union over
+    # sketch blobs, never a COUNT DISTINCT over 100 TB). The estimate is
+    # engine-specific, so the graded claim is the cross-engine-checkable
+    # BOUND (same pattern as agg_approx_distinct_bound);
+    # tests/test_semantics.py pins that the union of per-source sketches
+    # estimates IDENTICALLY to one global sketch (lossless merge).
+    "sketch_shard_merge": sql_q(
+        """
+        WITH shard AS (
+          SELECT source, hll_sketch_agg(text) AS s
+          FROM documents GROUP BY source
+        ),
+        exact AS (SELECT COUNT(DISTINCT text) AS exact_texts
+                  FROM documents)
+        SELECT exact.exact_texts,
+               CAST(COUNT(*) AS BIGINT) AS n_shards,
+               CASE WHEN
+                 ABS(hll_sketch_estimate(hll_union_agg(s))
+                     - exact.exact_texts) / exact.exact_texts < 0.05
+               THEN 1 ELSE 0 END AS within_bound
+        FROM shard CROSS JOIN exact
+        GROUP BY exact.exact_texts
+        """,
+        ("documents",),
+        oracle="""
+        SELECT COUNT(DISTINCT text) AS exact_texts,
+               (SELECT CAST(COUNT(DISTINCT source) AS BIGINT)
+                FROM documents) AS n_shards,
+               1 AS within_bound
+        FROM documents
+        """,
+    ),
     # LISTAGG ... WITHIN GROUP (ORDER BY ...): the SQL-standard ordered
     # string aggregate (Spark 4 native; DuckDB spells it string_agg with
     # an inline ORDER BY).

@@ -86,3 +86,30 @@ def test_division_by_zero_returns_null_non_ansi(spark):
 
 def test_limit_zero_valid(spark):
     assert spark.sql("SELECT 1 LIMIT 0").count() == 0
+
+
+def test_hll_shard_union_merge_error_bounded(spark, sf_dir):
+    """The 100 TB sketch contract: unioning per-source HLL sketches
+    estimates the corpus-wide distinct count as well as one global
+    sketch pass — so per-shard sketch persistence replaces corpus
+    rescans for distinct statistics. DataSketches' union goes through a
+    composite estimator, so the merged estimate is NOT bit-identical to
+    the direct sketch (measured 503 vs 496 on 500 exact at sf0.01);
+    both must sit inside the HLL error envelope of the exact count."""
+    from cassandra_sql_spark.io import register
+
+    register(spark, sf_dir, "documents")
+    merged = spark.sql(
+        """SELECT hll_sketch_estimate(hll_union_agg(s)) AS nd FROM (
+             SELECT source, hll_sketch_agg(text) AS s
+             FROM documents GROUP BY source)"""
+    ).first()["nd"]
+    direct = spark.sql(
+        "SELECT hll_sketch_estimate(hll_sketch_agg(text)) AS nd "
+        "FROM documents"
+    ).first()["nd"]
+    exact = spark.sql(
+        "SELECT COUNT(DISTINCT text) AS n FROM documents"
+    ).first()["n"]
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
+    assert abs(direct - exact) / exact < 0.05, (direct, exact)

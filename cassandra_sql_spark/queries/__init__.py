@@ -131,6 +131,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "agg_bool_countif",
     "agg_listagg",
     "sketch_shard_merge",
+    "event_anomaly_batch",
 )
 
 _ALL: dict[str, Q] = {}

@@ -72,6 +72,60 @@ QUERIES: dict[str, Q] = {
     # new-session flag -> running sum -> per-session rollup. The exact
     # batch complement of the rows-only streaming applyInPandasWithState
     # sessionizer; one shuffle on user_id, window + agg share it.
+    # Batch complement of streaming/events.anomalies (same prior-window
+    # z-score semantics, expressed as running window aggregates — the
+    # cross-engine-checkable form of the stateful operator; the Welford
+    # fold in the streaming path computes the identical prior-statistics
+    # sequence). The z-score lands as DECIMAL(18,4) so the comparison is
+    # immune to var_samp's last-ulp differences between engines; the
+    # >3 cut runs on the raw value in both.
+    "event_anomaly_batch": df_q(
+        lambda spark, sf: (
+            lambda _: spark.sql(
+                """
+                WITH stats AS (
+                  SELECT user_id, ts, event_id, value,
+                         COUNT(value) OVER wprev AS n_prev,
+                         AVG(value) OVER wprev AS mean_prev,
+                         VAR_SAMP(value) OVER wprev AS var_prev
+                  FROM events_anom
+                  WHERE value IS NOT NULL
+                  WINDOW wprev AS (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                )
+                SELECT user_id, ts, value,
+                       CAST(CAST((value - mean_prev) / SQRT(var_prev)
+                            AS DECIMAL(18,4)) AS DOUBLE) AS zscore
+                FROM stats
+                WHERE n_prev >= 10 AND var_prev > 0
+                  AND ABS((value - mean_prev) / SQRT(var_prev)) > 3.0
+                """
+            )
+        )(
+            load(spark, sf, "events").createOrReplaceTempView("events_anom")
+        ),
+        ("events",),
+        oracle="""
+                WITH stats AS (
+                  SELECT user_id, ts, event_id, value,
+                         COUNT(value) OVER wprev AS n_prev,
+                         AVG(value) OVER wprev AS mean_prev,
+                         VAR_SAMP(value) OVER wprev AS var_prev
+                  FROM events
+                  WHERE value IS NOT NULL
+                  WINDOW wprev AS (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                )
+                SELECT user_id, ts, value,
+                       CAST(CAST((value - mean_prev) / SQRT(var_prev)
+                            AS DECIMAL(18,4)) AS DOUBLE) AS zscore
+                FROM stats
+                WHERE n_prev >= 10 AND var_prev > 0
+                  AND ABS((value - mean_prev) / SQRT(var_prev)) > 3.0
+        """,
+    ),
     "event_sessionize_batch": df_q(
         lambda spark, sf: (
             lambda ev: spark.sql(

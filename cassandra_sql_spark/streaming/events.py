@@ -466,3 +466,109 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+ANOMALY_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_WELFORD_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def anomalies(
+    events: DataFrame,
+    threshold: float = 3.0,
+    min_n: int = 10,
+    watermark: str = "2 hours",
+    idle_minutes: int = 24 * 60,
+) -> DataFrame:
+    """Streaming per-user anomaly detection: emit events whose value is
+    more than ``threshold`` sample standard deviations from that user's
+    running mean (Welford online mean/variance as the per-key state).
+
+    A second custom stateful operator beside ``sessionize`` — numeric
+    state that EVOLVES per event rather than segmenting time. Each event
+    is judged against the statistics of the events BEFORE it (in
+    event-time order within the batch), then folded in; the first
+    ``min_n`` events per user only warm the state. Idle keys are evicted
+    by event-time timeout past the watermark, so state is bounded by the
+    active-user set — the 100 TB/continuous operating concern.
+
+    NOTE (Spark 4 API): ``transformWithStateInPandas`` is the successor
+    API (ValueState + timers); its state-server protocol needs the
+    protobuf package, absent in this environment, so the operator uses
+    the stable ``applyInPandasWithState`` — the semantics and the state
+    layout would carry over unchanged.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = []
+        for pdf in batches:
+            for t, v in zip(pdf["ts"], pdf["value"]):
+                if v is not None and not pd.isna(v):
+                    rows.append((int(t.value // 1000), float(v)))
+        if not rows:
+            return
+        rows.sort()
+        if state.exists:
+            n, mean, m2, last_us = state.get
+        else:
+            n, mean, m2, last_us = 0, 0.0, 0.0, 0
+        out = []
+        for t_us, v in rows:
+            if n >= min_n and m2 > 0.0:
+                std = (m2 / (n - 1)) ** 0.5
+                z = (v - mean) / std if std > 0 else 0.0
+                if abs(z) > threshold:
+                    out.append((user_id, t_us, v, z, n))
+            # Welford fold (numerically stable online mean/variance)
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+            last_us = max(last_us, t_us)
+        state.update((n, mean, m2, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + idle_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "ts": [pd.Timestamp(r[1], unit="us") for r in out],
+                    "value": [r[2] for r in out],
+                    "zscore": [r[3] for r in out],
+                    "n_seen": [r[4] for r in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ANOMALY_SCHEMA,
+            stateStructType=_WELFORD_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -262,3 +262,51 @@ def test_session_window_gap_merges(spark, tmp_path):
             1,
         ),
     }
+
+
+def test_anomalies_welford_state_and_order(spark, tmp_path):
+    """Per-user running z-score: 20 calm events warm the state, then a
+    wild spike is flagged against the PRIOR statistics; a second batch
+    continues from checkpointed state (the incremental contract)."""
+    from cassandra_sql_spark.streaming import events as ev
+
+    calm = [
+        (i, f"2024-01-01 10:{i:02d}:00", 7, "m", 100.0 + (i % 3), "{}")
+        for i in range(20)
+    ]
+    spike = [(90, "2024-01-01 10:40:00", 7, "m", 500.0, "{}")]
+    other = [(91, "2024-01-01 10:41:00", 8, "m", 1.0, "{}")]  # too few: never flagged
+    src = tmp_path / "anom_src"
+    src.mkdir()
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        df.coalesce(1).write.mode("append").parquet(str(src / "e.parquet"))
+
+    write(calm + other, "b0")
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, ts timestamp"
+    ).parquet(str(src / "e.parquet"))
+    out = ev.anomalies(stream, threshold=3.0, min_n=10, watermark="1 minute")
+    ckpt = str(tmp_path / "anom_ckpt")
+    ev.run_available_now(out, "anomalies_out", ckpt, mode="append")
+    assert spark.table("anomalies_out").count() == 0  # calm data: nothing
+
+    # second batch: the spike arrives; state carried over the checkpoint
+    write(spike, "b1")
+    stream2 = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, ts timestamp"
+    ).parquet(str(src / "e.parquet"))
+    out2 = ev.anomalies(stream2, threshold=3.0, min_n=10, watermark="1 minute")
+    ev.run_available_now(out2, "anomalies_out2", ckpt, mode="append")
+    got = spark.table("anomalies_out2").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.user_id == 7 and r.value == 500.0 and r.n_seen == 20
+    assert r.zscore > 3.0

@@ -132,6 +132,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "agg_listagg",
     "sketch_shard_merge",
     "event_anomaly_batch",
+    "agg_stats_regression",
 )
 
 _ALL: dict[str, Q] = {}

@@ -142,6 +142,29 @@ QUERIES: dict[str, Q] = {
         """,
         ("orders",),
     ),
+    # Statistical aggregates (CORR / REGR_* / STDDEV): the bivariate
+    # statistics family the reference's aggregate set lacks entirely.
+    # Both engines accumulate co-moments whose final ulps depend on the
+    # partial-merge order, so every statistic lands as DECIMAL(18,6) ->
+    # DOUBLE (the dedup_embedding_cosine convention).
+    "agg_stats_regression": sql_q(
+        """
+        SELECT l_returnflag,
+               CAST(CAST(corr(l_extendedprice, l_quantity)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS price_qty_corr,
+               CAST(CAST(regr_slope(l_extendedprice, l_quantity)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS slope,
+               CAST(CAST(regr_intercept(l_extendedprice, l_quantity)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS intercept,
+               CAST(CAST(regr_r2(l_extendedprice, l_quantity)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS r2,
+               CAST(CAST(stddev_samp(l_quantity)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS qty_stddev
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+        ("lineitem",),
+    ),
     # Mergeable HLL sketches (Apache DataSketches via Spark 4
     # hll_sketch_agg / hll_union_agg): per-shard sketches unioned into
     # the corpus-wide distinct count WITHOUT rescanning shards — the

@@ -133,6 +133,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "sketch_shard_merge",
     "event_anomaly_batch",
     "agg_stats_regression",
+    "expr_bitwise",
+    "agg_bitwise",
 )
 
 _ALL: dict[str, Q] = {}

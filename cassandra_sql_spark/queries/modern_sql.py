@@ -142,6 +142,44 @@ QUERIES: dict[str, Q] = {
         """,
         ("orders",),
     ),
+    # Bitwise expression + aggregate family (absent from the reference's
+    # expression set): operators &, |, xor, shifts, popcount, and the
+    # bit_and/bit_or/bit_xor reduction aggregates. Dialect split on xor
+    # (Spark infix ^, DuckDB xor()) and shifts (Spark shiftleft/right
+    # functions, DuckDB << >>).
+    "expr_bitwise": sql_q(
+        """
+        SELECT o_orderkey,
+               CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+               CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+               CAST(o_orderkey ^ 170 AS BIGINT) AS xored,
+               CAST(shiftleft(o_orderkey, 3) AS BIGINT) AS shl3,
+               CAST(shiftright(o_orderkey, 2) AS BIGINT) AS shr2,
+               CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+        FROM orders WHERE o_orderkey < 2000
+        """,
+        ("orders",),
+        oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+               CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+               CAST(xor(o_orderkey, 170) AS BIGINT) AS xored,
+               CAST(o_orderkey << 3 AS BIGINT) AS shl3,
+               CAST(o_orderkey >> 2 AS BIGINT) AS shr2,
+               CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+        FROM orders WHERE o_orderkey < 2000
+        """,
+    ),
+    "agg_bitwise": sql_q(
+        """
+        SELECT o_orderpriority,
+               CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+               CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+               CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
+        FROM orders GROUP BY o_orderpriority
+        """,
+        ("orders",),
+    ),
     # Statistical aggregates (CORR / REGR_* / STDDEV): the bivariate
     # statistics family the reference's aggregate set lacks entirely.
     # Both engines accumulate co-moments whose final ulps depend on the

@@ -135,6 +135,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "agg_stats_regression",
     "expr_bitwise",
     "agg_bitwise",
+    "expr_try_cast",
 )
 
 _ALL: dict[str, Q] = {}

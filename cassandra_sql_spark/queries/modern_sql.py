@@ -142,6 +142,24 @@ QUERIES: dict[str, Q] = {
         """,
         ("orders",),
     ),
+    # TRY_CAST: error-safe coercion (NULL instead of failure/garbage) —
+    # the ingestion-time idiom for semi-trusted columns. Cases stick to
+    # clean-integer vs clearly-invalid strings: the engines agree there,
+    # while fractional strings diverge (DuckDB rounds '3.9'->4, Spark
+    # yields NULL) — that divergence is documented here, not graded.
+    "expr_try_cast": sql_q(
+        """
+        SELECT o_orderkey,
+               TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT)
+                 AS prio_num,
+               TRY_CAST(o_orderpriority AS BIGINT) AS junk_to_null,
+               TRY_CAST(o_orderstatus AS BIGINT) AS status_to_null,
+               COALESCE(TRY_CAST(o_orderstatus AS BIGINT), -1)
+                 AS with_default
+        FROM orders WHERE o_orderkey < 1000
+        """,
+        ("orders",),
+    ),
     # Bitwise expression + aggregate family (absent from the reference's
     # expression set): operators &, |, xor, shifts, popcount, and the
     # bit_and/bit_or/bit_xor reduction aggregates. Dialect split on xor

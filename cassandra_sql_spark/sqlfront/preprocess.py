@@ -412,6 +412,34 @@ def _rewrite_qualify(sql: str) -> str:
     return out + (" " + tail if tail else "")
 
 
+def _rewrite_qualify_recursive(sql: str) -> str:
+    """Apply ``_rewrite_qualify`` at every nesting level, innermost
+    first: QUALIFY inside a derived table or a CTE body sits at relative
+    depth 0 of some parenthesized SELECT, so rewriting parenthesized
+    SELECT bodies until fixpoint, then the top level, covers all of
+    them."""
+    while re.search(r"(?i)\bQUALIFY\b", sql):
+        changed = False
+        stack: list = []
+        for i, ch in enumerate(sql):
+            if ch == "(":
+                stack.append(i)
+            elif ch == ")" and stack:
+                start = stack.pop()
+                inner = sql[start + 1 : i]
+                if re.match(r"(?is)\s*SELECT\b", inner) and re.search(
+                    r"(?i)\bQUALIFY\b", inner
+                ):
+                    new_inner = _rewrite_qualify(inner)
+                    if new_inner != inner:
+                        sql = sql[: start + 1] + new_inner + sql[i:]
+                        changed = True
+                        break
+        if not changed:
+            break
+    return _rewrite_qualify(sql)
+
+
 def _rewrite_between_symmetric(sql: str) -> str:
     """pg's ``BETWEEN SYMMETRIC a AND b`` auto-swaps misordered bounds
     (reference parses it, kv/CalciteSqlParser.java:342-357); Spark has no
@@ -461,7 +489,7 @@ def preprocess(sql: str) -> str:
     masked = _rewrite_fetch_first(masked)
     masked = _rewrite_tablesample(masked)
     masked = _rewrite_distinct_on(masked)
-    masked = _rewrite_qualify(masked)
+    masked = _rewrite_qualify_recursive(masked)
     for pat, repl in _FUNC_ALIASES.items():
         masked = re.sub(pat, repl, masked, flags=re.IGNORECASE)
     return _unmask(masked, lits)

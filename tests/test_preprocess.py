@@ -278,14 +278,27 @@ def test_qualify_distinct_moves_outside():
     assert out.startswith("SELECT DISTINCT * EXCEPT (__qualify) FROM (SELECT k,")
 
 
-def test_qualify_only_top_level():
-    # QUALIFY inside a subquery is the subquery's business; a string
-    # literal containing the word is never touched
+def test_qualify_in_subquery_and_cte():
+    # QUALIFY nested inside a derived table or a CTE body is rewritten
+    # at its own level; a string literal containing the word is never
+    # touched
     q = (
         "SELECT * FROM (SELECT id FROM t "
         "QUALIFY ROW_NUMBER() OVER (ORDER BY id) = 1) s"
     )
-    assert preprocess(q) == q
+    import re as _re
+
+    out = preprocess(q)
+    assert not _re.search(r"\bQUALIFY\b", out, _re.I)
+    assert out.startswith("SELECT * FROM (SELECT * EXCEPT (__qualify)")
+    cte = (
+        "WITH w AS (SELECT id FROM t "
+        "QUALIFY RANK() OVER (ORDER BY id) <= 2) "
+        "SELECT COUNT(*) AS n FROM w"
+    )
+    outc = preprocess(cte)
+    assert not _re.search(r"\bQUALIFY\b", outc, _re.I)
+    assert outc.startswith("WITH w AS (SELECT * EXCEPT (__qualify)")
     lit = "SELECT 'we qualify for this' AS s FROM t"
     assert preprocess(lit) == lit
 
@@ -335,6 +348,18 @@ QUALIFY_VARIANTS = [
     """SELECT o_orderkey FROM orders
        QUALIFY ROW_NUMBER() OVER (ORDER BY o_orderkey) <= 30
        ORDER BY o_orderkey LIMIT 10 OFFSET 5""",
+    # QUALIFY inside a derived table, aggregated outside
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+         SELECT o_custkey FROM orders
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderkey) = 1) d""",
+    # QUALIFY inside a CTE body
+    """WITH tops AS (
+         SELECT o_custkey, o_orderkey FROM orders
+         QUALIFY RANK() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) = 1)
+       SELECT o_custkey, o_orderkey FROM tops
+       ORDER BY o_custkey LIMIT 25""",
 ]
 
 

@@ -136,6 +136,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "expr_bitwise",
     "agg_bitwise",
     "expr_try_cast",
+    "win_filter_clause",
 )
 
 _ALL: dict[str, Q] = {}

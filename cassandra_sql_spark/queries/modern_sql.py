@@ -142,6 +142,40 @@ QUERIES: dict[str, Q] = {
         """,
         ("orders",),
     ),
+    # FILTER (WHERE ...) on WINDOW aggregates: pg/DuckDB surface Spark
+    # rejects outright ("filter predicate not supported yet") —
+    # _rewrite_window_filter turns the predicate into the CASE argument
+    # (exact equivalent: aggregates skip NULLs). The Spark side runs
+    # THROUGH the preprocessor; DuckDB executes the native spelling.
+    "win_filter_clause": pg_q(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+                 OVER w AS BIGINT) AS n_finished_so_far,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+                 FILTER (WHERE o_totalprice > 100000.0)
+                 OVER w AS DOUBLE) AS big_total_so_far
+        FROM orders
+        WHERE o_custkey < 300
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        ("orders",),
+        oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+                 OVER w AS BIGINT) AS n_finished_so_far,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+                 FILTER (WHERE o_totalprice > 100000.0)
+                 OVER w AS DOUBLE) AS big_total_so_far
+        FROM orders
+        WHERE o_custkey < 300
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+    ),
     # TRY_CAST: error-safe coercion (NULL instead of failure/garbage) —
     # the ingestion-time idiom for semi-trusted columns. Cases stick to
     # clean-integer vs clearly-invalid strings: the engines agree there,

@@ -412,6 +412,68 @@ def _rewrite_qualify(sql: str) -> str:
     return out + (" " + tail if tail else "")
 
 
+def _rewrite_window_filter(sql: str) -> str:
+    """``agg(args) FILTER (WHERE pred) OVER ...`` ->
+    ``agg(CASE WHEN pred THEN args END) OVER ...`` — pg/DuckDB allow
+    FILTER on window aggregates, Spark rejects it ("Window aggregate
+    function with filter predicate is not supported yet"); the CASE
+    argument is the exact equivalent (aggregates skip NULLs).
+    ``COUNT(*)`` maps to ``COUNT(CASE WHEN pred THEN 1 END)``; DISTINCT
+    stays outside the CASE. Group-by FILTER (no OVER after it) is left
+    alone — Spark supports that natively."""
+    filter_re = re.compile(r"\bFILTER\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = filter_re.search(sql, pos)
+        if not m:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return sql
+        wm = re.match(r"(?is)^WHERE\s+(.*)$", sql[m.end() : i - 1].strip())
+        after = sql[i:]
+        if not wm or not re.match(r"\s*OVER\b", after, re.IGNORECASE):
+            pos = m.end()
+            continue
+        pred = wm.group(1).strip()
+        j = m.start() - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j < 0 or sql[j] != ")":
+            pos = m.end()
+            continue
+        depth, k = 0, j
+        while k >= 0:
+            if sql[k] == ")":
+                depth += 1
+            elif sql[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        fm = _IDENT_TAIL.search(sql, 0, k)
+        if k < 0 or not fm or fm.end() != k:
+            pos = m.end()
+            continue
+        fn = sql[fm.start() : k]
+        args = sql[k + 1 : j].strip()
+        dm = re.match(r"(?is)^DISTINCT\s+(.*)$", args)
+        if args == "*":
+            body = f"CASE WHEN {pred} THEN 1 END"
+        elif dm:
+            body = f"DISTINCT CASE WHEN {pred} THEN {dm.group(1).strip()} END"
+        else:
+            body = f"CASE WHEN {pred} THEN {args} END"
+        sql = sql[: fm.start()] + f"{fn}({body}) " + after.lstrip()
+        pos = fm.start()
+
+
 def _rewrite_qualify_recursive(sql: str) -> str:
     """Apply ``_rewrite_qualify`` at every nesting level, innermost
     first: QUALIFY inside a derived table or a CTE body sits at relative
@@ -489,6 +551,7 @@ def preprocess(sql: str) -> str:
     masked = _rewrite_fetch_first(masked)
     masked = _rewrite_tablesample(masked)
     masked = _rewrite_distinct_on(masked)
+    masked = _rewrite_window_filter(masked)
     masked = _rewrite_qualify_recursive(masked)
     for pat, repl in _FUNC_ALIASES.items():
         masked = re.sub(pat, repl, masked, flags=re.IGNORECASE)

@@ -380,3 +380,31 @@ def test_qualify_differential_vs_duckdb(i, spark, duck, sf_dir):
     orows = res.fetchall()
     problems = compare(srows, df.columns, orows, ocols, strict=True)
     assert not problems, f"variant {i}: {problems}\nrewritten: {preprocess(sql)}"
+
+
+def test_window_filter_rewrite():
+    out = preprocess(
+        "SELECT SUM(v) FILTER (WHERE v > 1) OVER (PARTITION BY k) AS s "
+        "FROM t"
+    )
+    assert out == (
+        "SELECT SUM(CASE WHEN v > 1 THEN v END) OVER (PARTITION BY k) "
+        "AS s FROM t"
+    )
+    # COUNT(*) form, parenthesized predicate
+    out = preprocess(
+        "SELECT COUNT(*) FILTER (WHERE (a OR b)) OVER w AS n FROM t "
+        "WINDOW w AS (ORDER BY id)"
+    )
+    assert "COUNT(CASE WHEN (a OR b) THEN 1 END) OVER w" in out
+    # DISTINCT stays outside the CASE
+    out = preprocess(
+        "SELECT COUNT(DISTINCT x) FILTER (WHERE y = 1) OVER () FROM t"
+    )
+    assert "COUNT(DISTINCT CASE WHEN y = 1 THEN x END) OVER ()" in out
+    # group-by FILTER (no OVER): untouched — Spark supports it natively
+    q = "SELECT SUM(v) FILTER (WHERE v > 1) AS s FROM t GROUP BY k"
+    assert preprocess(q) == q
+    # literal containing the keyword: untouched
+    lit = "SELECT 'FILTER (WHERE x) OVER' AS s FROM t"
+    assert preprocess(lit) == lit

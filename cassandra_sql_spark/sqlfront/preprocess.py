@@ -12,6 +12,13 @@ not accept, with targeted regexes over a literal-masked text:
 - ``j -> 0``                     -> get_json_object(j, '$[0]')
 - ``x ~ 'pat'`` / ``!~``         -> RLIKE / NOT RLIKE
 - type-name spellings (TEXT, BYTEA, INT4/8, SERIAL...) inside CAST
+- ``BETWEEN SYMMETRIC`` -> least/greatest; ``FETCH FIRST``/``OFFSET n
+  ROWS`` -> LIMIT/OFFSET; ``TABLESAMPLE BERNOULLI|SYSTEM(p)`` -> Spark
+  TABLESAMPLE; ``DISTINCT ON`` -> ROW_NUMBER peel
+- ``QUALIFY pred`` (any nesting depth, incl. CTE bodies) -> projected
+  predicate + outer filter peeled with ``* EXCEPT``
+- ``agg(x) FILTER (WHERE p) OVER`` -> ``agg(CASE WHEN p THEN x END)
+  OVER`` (Spark rejects window-aggregate filters)
 
 String literals (including doubled-quote escapes) are masked to opaque
 placeholders before any rewrite and restored afterwards, so ``::``, ``->``

@@ -137,6 +137,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "agg_bitwise",
     "expr_try_cast",
     "win_filter_clause",
+    "pred_like_any_all",
 )
 
 _ALL: dict[str, Q] = {}

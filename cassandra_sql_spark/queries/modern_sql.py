@@ -142,6 +142,25 @@ QUERIES: dict[str, Q] = {
         """,
         ("orders",),
     ),
+    # LIKE ANY / NOT LIKE ALL multi-pattern predicates (Spark-native
+    # spelling; DuckDB has no LIKE ANY over a literal list, so the
+    # oracle expands to the equivalent OR / AND-of-negations — which is
+    # exactly what Catalyst rewrites the predicate into).
+    "pred_like_any_all": sql_q(
+        """
+        SELECT p_partkey, p_type
+        FROM part
+        WHERE p_type LIKE ANY ('%BRASS%', '%STEEL%')
+          AND p_name NOT LIKE ALL ('%green%', '%olive%')
+        """,
+        ("part",),
+        oracle="""
+        SELECT p_partkey, p_type
+        FROM part
+        WHERE (p_type LIKE '%BRASS%' OR p_type LIKE '%STEEL%')
+          AND (p_name NOT LIKE '%green%' AND p_name NOT LIKE '%olive%')
+        """,
+    ),
     # FILTER (WHERE ...) on WINDOW aggregates: pg/DuckDB surface Spark
     # rejects outright ("filter predicate not supported yet") —
     # _rewrite_window_filter turns the predicate into the CASE argument

@@ -1112,6 +1112,17 @@ class Engine:
             meta.unique = [
                 [new_c if k == old_c else k for k in u] for u in meta.unique
             ]
+            if col.identity:
+                # keep the backing sequence addressable: INSERT looks up
+                # nextval(f"{table}_{col}_seq") by the NEW column name
+                oseq = f"{meta.name}_{old_c}_seq"
+                if oseq in self.catalog.sequences:
+                    self.catalog.sequences[f"{meta.name}_{new_c}_seq"] = (
+                        self.catalog.sequences.pop(oseq)
+                    )
+            meta.partition_by = [
+                new_c if k == old_c else k for k in meta.partition_by
+            ]
             for fk in meta.foreign_keys:
                 fk[0] = [new_c if k == old_c else k for k in fk[0]]
             for t in self.catalog.tables.values():
@@ -1146,6 +1157,12 @@ class Engine:
             cname = re.match(
                 rf"DROP\s+COLUMN\s+({_IDENT})", action, re.IGNORECASE
             ).group(1)
+            if cname.lower() in [p.lower() for p in meta.partition_by]:
+                # pg rejects dropping a partition-key column; allowing it
+                # would strand partition metadata mid-DDL
+                raise EngineError(
+                    f"cannot drop partition column: {cname}"
+                )
             df = self._read_old_schema(meta, drop=cname)
             meta.columns = [c for c in meta.columns if c.name != cname]
             self._rewrite(meta, df)
@@ -1623,20 +1640,24 @@ class Engine:
                 cond_sql,
                 returning,
             )
-        m = re.match(
-            rf"UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
-            _unmask(masked, lits),
-            re.IGNORECASE | re.DOTALL,
-        )
-        meta = self._table(m.group(1).lower())
+        # plain single-table path: parse from the MASKED split above —
+        # `body` is the SET list (WHERE/FROM already peeled off at
+        # paren depth 0), so a SET literal containing ' where ' cannot
+        # corrupt the predicate
+        sets_sql = _unmask(body.strip(), lits)
+        if not sets_sql:
+            raise EngineError(f"bad UPDATE: {s[:80]}")
+        meta = self._table(tname)
         sets = {}
-        for part in self._split_defs(m.group(2)):
+        for part in self._split_defs(sets_sql):
             sm = re.match(rf"({_IDENT})\s*=\s*(.*)$", part, re.DOTALL)
+            if not sm:
+                raise EngineError(f"bad SET clause: {part[:60]}")
             sets[sm.group(1)] = preprocess(
                 self._substitute_sequences(sm.group(2).strip())
             )
         cond = (
-            F.expr(preprocess(m.group(3).strip())) if m.group(3) else F.lit(True)
+            F.expr(preprocess(cond_sql)) if cond_sql else F.lit(True)
         )
         for c in sets:
             if meta.column(c).generated:
@@ -2238,12 +2259,14 @@ class Engine:
                         for cc, rc in zip(cols, ref_cols)
                     ]
                 )
+                # MATCH SIMPLE (pg default, mirrored by _validate's
+                # na.drop): a row with ANY null fk column satisfies the
+                # constraint — audit only rows where ALL are non-null
+                all_set = F.lit(True)
+                for c in cols:
+                    all_set = all_set & F.col(c).isNotNull()
                 orphans = (
-                    df.filter(
-                        F.greatest(
-                            *[F.col(c).isNotNull() for c in cols]
-                        ) if len(cols) > 1 else F.col(cols[0]).isNotNull()
-                    )
+                    df.filter(all_set)
                     .join(parent, cols, "left_anti")
                     .count()
                 )

@@ -157,6 +157,12 @@ def zorder_column(
     """
     from pyspark.sql import functions as F
 
+    # the interleave's top exponent is bits*len(cols)-1 and must stay in
+    # a signed long, else z-values wrap negative and the clustering is
+    # silently destroyed (e.g. 6+ cols at the default bits=12)
+    bits = min(bits, 63 // max(len(cols), 1))
+    if bits < 1:
+        raise ValueError(f"too many z-order columns: {len(cols)}")
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_mn_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"_mx_{i}") for i, c in enumerate(cols)],

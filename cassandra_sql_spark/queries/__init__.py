@@ -47,82 +47,17 @@ _MODULES = (
 
 # The correctness driver grades only the FIRST 50 registry entries. The
 # window ROTATES per round so every oracle-checked entry eventually gets a
-# hard-signal driver row (r1-r4 graded 135 distinct entries; see
-# CORRECTNESS_r0*.json). Round-5 window = the three r4 hash-boundary red
-# rows, now fixed (regression canaries) + all 31 oracle-checked entries
-# never graded in any prior round + 16 regression picks spread across the
-# SURVEY families. This CLOSES the oracle-checked tail: every
-# oracle-checked entry present at the start of round 5 has a driver row
-# by end of round. ``tests/test_registry.py`` pins this composition.
+# hard-signal driver row (r1-r5 graded 166 distinct entries, all green at
+# latest grading; see CORRECTNESS_r0*.json). Round-6 window = the 15
+# round-5 additions staged in the r5 NEXT_WINDOW (never driver-graded) +
+# the 3 r5 hash-boundary canaries re-graded + the 4 fixtures de-vacuated
+# this round (output changed -> must re-grade) + 28 regression picks
+# drawn from the entries whose latest driver row is OLDEST (all last
+# graded in r2 — oldest evidence first). After this round the driver-
+# graded union covers every oracle-checked entry that existed at round-6
+# start. ``tests/test_registry.py`` pins this composition.
 PRIORITY: tuple[str, ...] = (
-    # Canaries: the r4 hash-boundary reds, fixed this round (ARRAY outputs
-    # serialized via array_join/array_to_string; oracle HUGEINT cast back
-    # to BIGINT); must re-grade green.
-    "array_agg_per_group",
-    "emb_quantize_int8",
-    "stream_static_join",
-    # Never graded in r1-r4 (the round-4 additions + r3 deferrals):
-    # dedup / corpus diagnostics
-    "dedup_ngram_jaccard_uncapped",
-    "dedup_clusters_bigstar",
-    "dedup_survivor_selection",
-    "dedup_cross_source_audit",
-    "dedup_repeated_chunks",
-    "dedup_semantic",
-    "corpus_curation_pipeline",
-    # selection / mixing family
-    "text_unigram_lm",
-    "dsir_importance",
-    "sample_unimax",
-    "sample_temperature",
-    "sample_source_quota",
-    "sample_global_shuffle",
-    "text_quality_classifier",
-    "text_gopher_filters",
-    "mix_source_kl",
-    "text_novelty",
-    "text_length_histogram",
-    # embeddings
-    "emb_label_dispersion",
-    # SQL surface stragglers
-    "values_table",
-    "agg_over_derived",
-    "agg_where_then_group",
-    "agg_string_agg",
-    "agg_filter_clause",
-    "setop_union_orderby",
-    "sort_explicit_null_order",
-    "expr_string_extras",
-    "expr_datetime_extras",
-    "lateral_topn_per_key",
-    "win_named_window",
-    "win_time_range_frame",
-    # Regression picks (already graded green in r1-r4; re-grade to catch
-    # drift while the tail closes).
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "scan_filter_project",
-    "join_full_outer",
-    "agg_rollup",
-    "win_ranking",
-    "setop_union_all",
-    "subq_correlated",
-    "recursive_cte",
-    "expr_datetime",
-    "json_filter_agg",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "asof_join_purchases",
-)
-
-# Oracle-checked entries queued for the ROUND-6 window: entries ADDED
-# during round 5 (they postdate the r5 window composition). Keep this in
-# sync as round-5 work lands; tests/test_registry.py enforces that
-# window + NEXT_WINDOW + graded union covers every oracle-checked entry.
-NEXT_WINDOW: tuple[str, ...] = (
-    # added during round 5
+    # The 15 round-5 additions — first driver grading.
     "stream_session_window",
     "qualify_topn",
     "qualify_alias_filter",
@@ -138,6 +73,64 @@ NEXT_WINDOW: tuple[str, ...] = (
     "expr_try_cast",
     "win_filter_clause",
     "pred_like_any_all",
+    # r5 hash-boundary canaries, re-graded once more.
+    "array_agg_per_group",
+    "emb_quantize_int8",
+    "stream_static_join",
+    # De-vacuated this round (predicates moved onto the fixture's real
+    # value domain so the result is non-empty — output changed).
+    "pred_like",
+    "join_anti",
+    "setop_except",
+    "subq_scalar_where",
+    # Regression picks: oldest-evidence entries (last graded r2).
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q11_important_parts",
+    "q12_ship_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q19_discounted_revenue",
+    "q20_volume_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "agg_count_distinct",
+    "agg_groupby_multi",
+    "agg_having",
+    "join_inner",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "join_multiway",
+    "pred_between",
+    "pred_comparisons",
+    "pred_in",
+    "pred_null",
+    "sort_limit_offset",
+)
+
+# Oracle-checked entries queued for the ROUND-7 window: the remaining
+# oldest-evidence (r2-graded) entries that did not fit the 50-slot r6
+# window, plus any entries ADDED during round 6. Keep in sync as round-6
+# work lands; tests/test_registry.py enforces that window + NEXT_WINDOW
+# + graded union covers every oracle-checked entry.
+NEXT_WINDOW: tuple[str, ...] = (
+    # r2-graded, deferred from the r6 window
+    "agg_expr",
+    "agg_global",
+    "join_cross",
+    "join_orderby_limit",
+    "join_self",
+    "limit_zero",
+    "literal_select",
+    "point_lookup",
+    "pred_or_not",
+    "sort_multicol",
 )
 
 _ALL: dict[str, Q] = {}

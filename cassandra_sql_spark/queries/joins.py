@@ -137,7 +137,8 @@ QUERIES: dict[str, Q] = {
         SELECT c_custkey, c_name
         FROM customer
         WHERE NOT EXISTS (
-          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 250000
         )
         """,
         ("customer", "orders"),

@@ -146,19 +146,23 @@ QUERIES: dict[str, Q] = {
     # spelling; DuckDB has no LIKE ANY over a literal list, so the
     # oracle expands to the equivalent OR / AND-of-negations — which is
     # exactly what Catalyst rewrites the predicate into).
+    # Patterns drawn from the fixture's actual domain (p_type in
+    # ECONOMY/STANDARD/..., p_name 'red bolt'-style) so every predicate
+    # arm both matches and prunes rows — tests/test_registry.py audits
+    # the whole registry against 0-row fixtures.
     "pred_like_any_all": sql_q(
         """
         SELECT p_partkey, p_type
         FROM part
-        WHERE p_type LIKE ANY ('%BRASS%', '%STEEL%')
-          AND p_name NOT LIKE ALL ('%green%', '%olive%')
+        WHERE p_type LIKE ANY ('ECO%', 'STA%')
+          AND p_name NOT LIKE ALL ('%red%', '%blue%')
         """,
         ("part",),
         oracle="""
         SELECT p_partkey, p_type
         FROM part
-        WHERE (p_type LIKE '%BRASS%' OR p_type LIKE '%STEEL%')
-          AND (p_name NOT LIKE '%green%' AND p_name NOT LIKE '%olive%')
+        WHERE (p_type LIKE 'ECO%' OR p_type LIKE 'STA%')
+          AND (p_name NOT LIKE '%red%' AND p_name NOT LIKE '%blue%')
         """,
     ),
     # FILTER (WHERE ...) on WINDOW aggregates: pg/DuckDB surface Spark

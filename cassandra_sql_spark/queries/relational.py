@@ -64,7 +64,7 @@ QUERIES: dict[str, Q] = {
         """
         SELECT p_partkey, p_name
         FROM part
-        WHERE p_name LIKE '%gre%' AND p_type NOT LIKE '%BRASS%'
+        WHERE p_name LIKE '%ol%' AND p_type NOT LIKE 'PROMO%'
           AND p_brand LIKE 'Brand#_3'
         """,
         ("part",),

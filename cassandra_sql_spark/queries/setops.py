@@ -58,7 +58,7 @@ QUERIES: dict[str, Q] = {
         """
         SELECT n_nationkey AS nk FROM nation
         EXCEPT
-        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < 0
+        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < -900
         """,
         ("nation", "customer"),
     ),

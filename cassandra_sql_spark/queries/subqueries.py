@@ -43,7 +43,7 @@ QUERIES: dict[str, Q] = {
         """
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > 1.9 * (
           SELECT AVG(o_totalprice) FROM orders
         )
         """,

@@ -27,13 +27,18 @@ from cassandra_sql_spark.queries import NEXT_WINDOW, PRIORITY, REGISTRY
 
 _REPO = Path(__file__).resolve().parent.parent
 
-# Output representation changed in round 5 (ARRAY outputs serialized to
-# scalar CSV; oracle HUGEINT cast back to BIGINT) — the r4 hash-boundary
-# red rows, which must re-grade green.
+# Entries whose output changed in round 6 (the 4 de-vacuated fixtures:
+# predicates moved onto the fixture's real value domain) plus the r5
+# hash-boundary canaries re-graded once more — all must be in the window.
 _CANARIES = {
     "array_agg_per_group",
     "emb_quantize_int8",
     "stream_static_join",
+    "pred_like",
+    "join_anti",
+    "setop_except",
+    "subq_scalar_where",
+    "pred_like_any_all",
 }
 
 # One-or-more graded representatives required per SURVEY §2 / pipeline
@@ -126,28 +131,23 @@ def test_canaries_in_window():
     assert not missing, f"representation-changed canaries not graded: {missing}"
 
 
-# The 31 oracle-checked entries that had no driver row through r4 (the
-# r4 verdict's staged set) — the r5 window must grade every one of them.
-_R4_UNGRADED = {
-    "dedup_ngram_jaccard_uncapped", "values_table", "agg_over_derived",
-    "agg_where_then_group", "setop_union_orderby", "expr_string_extras",
-    "expr_datetime_extras", "text_length_histogram", "sample_source_quota",
-    "dedup_clusters_bigstar", "dedup_survivor_selection",
-    "text_quality_classifier", "sample_temperature",
-    "dedup_cross_source_audit", "text_gopher_filters",
-    "dedup_repeated_chunks", "sample_global_shuffle", "dedup_semantic",
-    "corpus_curation_pipeline", "text_unigram_lm", "dsir_importance",
-    "sample_unimax", "emb_label_dispersion", "lateral_topn_per_key",
-    "agg_string_agg", "win_named_window", "mix_source_kl", "text_novelty",
-    "win_time_range_frame", "agg_filter_clause", "sort_explicit_null_order",
+# The 15 oracle-checked entries added during round 5 (staged in the r5
+# NEXT_WINDOW, no driver row through r5) — the r6 window must grade
+# every one of them.
+_R5_STAGED = {
+    "stream_session_window", "qualify_topn", "qualify_alias_filter",
+    "win_ignore_nulls_fill", "agg_within_group", "agg_bool_countif",
+    "agg_listagg", "sketch_shard_merge", "event_anomaly_batch",
+    "agg_stats_regression", "expr_bitwise", "agg_bitwise",
+    "expr_try_cast", "win_filter_clause", "pred_like_any_all",
 }
 
 
 def test_window_contains_every_never_graded_entry():
-    # The r5 window closes the oracle-checked tail staged in r4.
-    graded = _graded_union(through=4)
-    assert not (_R4_UNGRADED & graded), "staged set drifted: already graded"
-    missing = _R4_UNGRADED - set(PRIORITY)
+    # The r6 window closes the oracle-checked tail staged in r5.
+    graded = _graded_union(through=5)
+    assert not (_R5_STAGED & graded), "staged set drifted: already graded"
+    missing = _R5_STAGED - set(PRIORITY)
     assert not missing, f"never-graded entries left out of the window: {missing}"
 
 
@@ -177,6 +177,40 @@ def test_next_window_closes_oracle_checked_tail():
     assert not ungraded_after_r5, sorted(ungraded_after_r5)
     for n in NEXT_WINDOW:
         assert n in REGISTRY and REGISTRY[n].oracle is not None, n
+
+
+# Entries whose EMPTY result is the point of the test (everything else
+# returning 0 rows is a vacuous fixture — a green driver row that
+# verifies nothing, the r5 `pred_like_any_all` failure class).
+_INTENTIONALLY_EMPTY = {"limit_zero"}
+
+
+def test_no_vacuous_fixtures_at_driver_sf():
+    """Every oracle-checked entry must yield >=1 row at sf0.01 — the
+    scale the correctness driver grades at. A predicate stack that
+    matches nothing (e.g. LIKE patterns outside the fixture's value
+    domain) hash-matches trivially and proves nothing. DuckDB-only:
+    the Spark side is value-identical by the oracle gate, so auditing
+    the oracle audits both."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.01"
+    from cassandra_sql_spark.io import TABLES
+
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    vacuous = []
+    for name, q in REGISTRY.items():
+        if q.oracle is None or name in _INTENTIONALLY_EMPTY:
+            continue
+        nonempty = con.sql(
+            f"SELECT EXISTS (SELECT 1 FROM ({q.oracle}) _t)"
+        ).fetchone()[0]
+        if not nonempty:
+            vacuous.append(name)
+    con.close()
+    assert not vacuous, f"vacuous 0-row fixtures: {vacuous}"
 
 
 def test_oracle_checked_outputs_respect_hash_boundary(spark, duck, sf_dir):

@@ -56,20 +56,34 @@ def topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k vs one stored vector; broadcast 1-row query side."""
+    """Exact cosine top-k vs one stored vector, query inlined as a literal.
+
+    The query vector is a bounded 1-row fetch (same model-sized collect
+    policy as the IVF centroids); its norm is a CONSTANT, so both are
+    inlined driver-side. The scan then does exactly two array folds per
+    corpus row (dot(v,q) and dot(v,v)) instead of three — the broadcast
+    join and the per-row recomputation of the query's own norm are gone
+    entirely. At 100 TB this is a map-only scan + TakeOrdered(k)."""
+    import math
+
     emb = nonzero(emb, vec_col)
-    q = emb.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qv")
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != query_id)
-        .select(
-            id_col,
-            cosine(F.col(vec_col), F.col("_qv"))
-            .cast("decimal(18,6)").cast("double")
-            .alias("score"),
-        )
+    qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).first()
+    empty = emb.select(
+        id_col, F.lit(0.0).alias("score")
+    ).limit(0)
+    if qrow is None or qrow[0] is None:
+        return empty
+    qv = [float(x) for x in qrow[0]]
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    if qnorm == 0.0:
+        return empty
+    qlit = F.array(*[F.lit(x) for x in qv])
+    scored = emb.filter(F.col(id_col) != query_id).select(
+        id_col,
+        (dot(F.col(vec_col), qlit)
+         / (F.sqrt(dot(F.col(vec_col), F.col(vec_col))) * F.lit(qnorm)))
+        .cast("decimal(18,6)").cast("double")
+        .alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 

@@ -215,8 +215,8 @@ QUERIES: dict[str, Q] = {
         """
         SELECT DATE_TRUNC('month', o_orderdate) AS month,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
-                 AS revenue
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 AS revenue
         FROM orders
         GROUP BY DATE_TRUNC('month', o_orderdate)
         """,
@@ -224,8 +224,8 @@ QUERIES: dict[str, Q] = {
         oracle="""
         SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
-                 AS revenue
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 AS revenue
         FROM orders
         GROUP BY DATE_TRUNC('month', o_orderdate)
         """,

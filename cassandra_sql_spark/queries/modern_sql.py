@@ -175,9 +175,9 @@ QUERIES: dict[str, Q] = {
         SELECT o_orderkey, o_custkey,
                CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F')
                  OVER w AS BIGINT) AS n_finished_so_far,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                  FILTER (WHERE o_totalprice > 100000.0)
-                 OVER w AS DOUBLE) AS big_total_so_far
+                 OVER w AS DOUBLE) / 100 AS big_total_so_far
         FROM orders
         WHERE o_custkey < 300
         WINDOW w AS (PARTITION BY o_custkey
@@ -189,9 +189,9 @@ QUERIES: dict[str, Q] = {
         SELECT o_orderkey, o_custkey,
                CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F')
                  OVER w AS BIGINT) AS n_finished_so_far,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                  FILTER (WHERE o_totalprice > 100000.0)
-                 OVER w AS DOUBLE) AS big_total_so_far
+                 OVER w AS DOUBLE) / 100 AS big_total_so_far
         FROM orders
         WHERE o_custkey < 300
         WINDOW w AS (PARTITION BY o_custkey

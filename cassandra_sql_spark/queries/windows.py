@@ -39,10 +39,10 @@ QUERIES: dict[str, Q] = {
     "win_running_agg": sql_q(
         """
         SELECT c_custkey, c_nationkey,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) OVER (
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) OVER (
                  PARTITION BY c_nationkey ORDER BY c_custkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS running_bal,
+               ) AS DOUBLE) / 100 AS running_bal,
                COUNT(*) OVER (
                  PARTITION BY c_nationkey ORDER BY c_custkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW

@@ -821,6 +821,14 @@ class Engine:
         return self._status(f"create table {name} as select", n)
 
     def _create_table(self, s: str) -> DataFrame:
+        # ALL structural parsing (constraint dispatch, DEFAULT/NOT NULL/
+        # PRIMARY KEY/CHECK detection) runs on a literal-MASKED copy: a
+        # DEFAULT 'where check' literal must not truncate at the CHECK
+        # keyword, and 'not null' inside a string must not flip
+        # nullability (round-6 fuzz finding). Stored EXPRESSIONS
+        # (defaults, checks, generated) are unmasked before persisting.
+        orig = s
+        s, lits = _mask_literals(s)
         ctas = re.match(
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+AS\s+"
             r"(\(\s*(?:SELECT|WITH|VALUES|TABLE)\b.*"  # pg: AS (SELECT ...)
@@ -830,7 +838,9 @@ class Engine:
         )
         if ctas:
             return self._create_table_as(
-                bool(ctas.group(1)), ctas.group(2).lower(), ctas.group(3)
+                bool(ctas.group(1)),
+                ctas.group(2).lower(),
+                _unmask(ctas.group(3), lits),
             )
         # pg declarative partitioning suffix -> hive-style directory
         # layout (value partitioning; LIST semantics — RANGE/HASH degrade
@@ -853,7 +863,7 @@ class Engine:
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
-            raise EngineError(f"bad CREATE TABLE: {s[:80]}")
+            raise EngineError(f"bad CREATE TABLE: {orig[:80]}")
         if_not_exists, name, body = bool(m.group(1)), m.group(2).lower(), m.group(3)
         if name in self.catalog.tables:
             if if_not_exists:
@@ -889,7 +899,7 @@ class Engine:
             if re.match(r"CHECK\s*\(", cu):
                 expr = _extract_check(cd)
                 if expr:
-                    meta.checks.append(expr)
+                    meta.checks.append(_unmask(expr, lits))
                 continue
             if cu.startswith("FOREIGN KEY"):
                 fk = re.search(
@@ -933,7 +943,7 @@ class Engine:
                 re.IGNORECASE | re.DOTALL,
             )
             if dm:
-                default = dm.group(1).strip().rstrip(",")
+                default = _unmask(dm.group(1).strip().rstrip(","), lits)
             generated = None
             gm = re.search(
                 r"GENERATED\s+ALWAYS\s+AS\s*\(", cm.group(4), re.IGNORECASE
@@ -947,7 +957,7 @@ class Engine:
                     elif body[gi] == ")":
                         depth -= 1
                         if depth == 0:
-                            generated = body[start:gi].strip()
+                            generated = _unmask(body[start:gi].strip(), lits)
                             break
             enum_type = (
                 ctype.strip().lower()
@@ -973,7 +983,7 @@ class Engine:
                 )
             inline_check = _extract_check(cm.group(4))
             if inline_check:
-                meta.checks.append(inline_check)
+                meta.checks.append(_unmask(inline_check, lits))
             meta.columns.append(
                 ColumnMeta(
                     name=cname,
@@ -1921,10 +1931,16 @@ class Engine:
         rewrite materializes one new table version (lakehouse
         copy-on-write semantics).
         """
+        # All clause splitting runs on a literal-MASKED copy: a string
+        # literal containing '(' / ')' would corrupt the USING-subquery
+        # paren scan, and one containing ' when matched ' would corrupt
+        # the ON/WHEN split (round-6 fuzz finding). Extracted SQL pieces
+        # are unmasked at their point of use.
+        masked, lits = _mask_literals(s)
         m = re.match(
             rf"MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?(?!USING\b)({_IDENT}))?"
             rf"\s+USING\s+(.*)$",
-            s,
+            masked,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
@@ -1940,7 +1956,7 @@ class Engine:
                 if depth == 0:
                     idx = i
                     break
-            src_df = self.spark.sql(preprocess(rest[1:idx]))
+            src_df = self.spark.sql(preprocess(_unmask(rest[1:idx], lits)))
             rest = rest[idx + 1:].strip()
         else:
             mm = re.match(rf"({_IDENT})\s*(.*)$", rest, re.DOTALL)
@@ -1953,9 +1969,9 @@ class Engine:
             re.IGNORECASE | re.DOTALL,
         )
         if not mm:
-            raise EngineError(f"bad MERGE tail: {rest[:80]}")
+            raise EngineError(f"bad MERGE tail: {_unmask(rest, lits)[:80]}")
         s_alias = (mm.group(1) or src_name or "_src").lower()
-        on_cond = preprocess(mm.group(2).strip())
+        on_cond = preprocess(_unmask(mm.group(2).strip(), lits))
         clauses = self._WHEN_RE.findall(mm.group(3))
         if not clauses:
             raise EngineError("MERGE without WHEN clauses")
@@ -1983,17 +1999,23 @@ class Engine:
             )
 
         def _guard(cond_sql: str) -> F.Column:
+            # cond_sql arrives MASKED (from the WHEN split)
             if not cond_sql or not cond_sql.strip():
                 return F.lit(True)
-            return F.coalesce(F.expr(preprocess(cond_sql)), F.lit(False))
+            return F.coalesce(
+                F.expr(preprocess(_unmask(cond_sql, lits))), F.lit(False)
+            )
 
         def _sets(body: str) -> dict[str, str]:
+            # body arrives MASKED; split on the masked text (placeholders
+            # carry no commas/quotes), unmask each piece
             if body.strip() == "*":
                 return {
                     c: f"{s_alias}.{c}" for c in tcols if c in src_df.columns
                 }
             out = {}
             for part in self._split_defs(body):
+                part = _unmask(part, lits)
                 sm = re.match(rf"({_IDENT})\s*=\s*(.*)$", part, re.DOTALL)
                 if not sm:
                     raise EngineError(f"bad MERGE SET: {part[:60]}")
@@ -2059,7 +2081,8 @@ class Engine:
                         else [c.name for c in meta.columns if not c.hidden]
                     )
                     exprs = [
-                        preprocess(e) for e in self._split_defs(im.group(2))
+                        preprocess(_unmask(e, lits))
+                        for e in self._split_defs(im.group(2))
                     ]
                     if len(names) != len(exprs):
                         raise EngineError("MERGE INSERT arity mismatch")

@@ -1,0 +1,120 @@
+"""Coverage batch 6 (round 6): modern-SQL surface upgrades — GROUP BY
+ALL, SELECT * EXCEPT/EXCLUDE, UNPIVOT, quantified comparison
+subqueries (ALL/ANY/SOME through the preprocessor: Spark has no
+quantified comparisons, so ``x > ALL (sub)`` rewrites to a scalar
+MIN/MAX subquery — `_rewrite_quantified`), and the string-function
+tail (split_part / levenshtein / translate, regexp extract/replace).
+
+The reference's Calcite grammar (kv/CalciteSqlParser.java) has none of
+these; they are the everyday idioms of analyst SQL and training-data
+wrangling (UNPIVOT for metric long-format, regexp for field
+extraction, quantified subqueries for threshold screens).
+"""
+
+from __future__ import annotations
+
+from cassandra_sql_spark.queries.base import Q, sql_q
+from cassandra_sql_spark.queries.modern_sql import pg_q
+
+QUERIES: dict[str, Q] = {
+    # GROUP BY ALL: every non-aggregate select item becomes a grouping
+    # key (identical semantics both engines).
+    "agg_group_by_all": sql_q(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 AS DOUBLE) / 100 AS revenue
+        FROM orders
+        GROUP BY ALL
+        """,
+        ("orders",),
+    ),
+    # SELECT * minus named columns — dialect split: Spark spells it
+    # `* EXCEPT (...)`, DuckDB `* EXCLUDE (...)`.
+    "select_star_except": sql_q(
+        """
+        SELECT * EXCEPT (o_orderdate, o_orderpriority)
+        FROM orders
+        WHERE o_orderkey < 500
+        """,
+        ("orders",),
+        oracle="""
+        SELECT * EXCLUDE (o_orderdate, o_orderpriority)
+        FROM orders
+        WHERE o_orderkey < 500
+        """,
+    ),
+    # UNPIVOT to long format (same syntax both engines). Metric labels
+    # are the source column names on both sides.
+    "unpivot_measures": sql_q(
+        """
+        SELECT o_orderkey, metric, val
+        FROM (
+          SELECT o_orderkey,
+                 o_totalprice AS price,
+                 CAST(o_orderkey % 97 AS DOUBLE) AS checksum
+          FROM orders WHERE o_orderkey < 400
+        ) UNPIVOT (val FOR metric IN (price, checksum))
+        """,
+        ("orders",),
+    ),
+    # Quantified comparison subqueries: Spark side runs THROUGH the
+    # preprocessor (`> ALL` -> scalar MAX subquery, `< ANY` -> scalar
+    # MAX subquery, `= ANY` -> IN); DuckDB executes the native
+    # quantified spelling. Fixture subqueries are non-empty and
+    # NULL-free, where the rewrite is exact (divergence on empty/NULL
+    # sets documented at `_rewrite_quantified`).
+    "subq_quantified": pg_q(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > ALL (
+                SELECT s_acctbal FROM supplier WHERE s_nationkey = 3
+              )
+          AND c_nationkey = ANY (
+                SELECT n_nationkey FROM nation WHERE n_regionkey <= 2
+              )
+        """,
+        ("customer", "supplier", "nation"),
+        oracle="""
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > ALL (
+                SELECT s_acctbal FROM supplier WHERE s_nationkey = 3
+              )
+          AND c_nationkey = ANY (
+                SELECT n_nationkey FROM nation WHERE n_regionkey <= 2
+              )
+        """,
+    ),
+    # String-function tail: split_part / levenshtein / translate agree
+    # byte-for-byte across engines.
+    "expr_string_funcs2": sql_q(
+        """
+        SELECT o_orderkey,
+               split_part(o_orderpriority, '-', 2) AS prio_word,
+               CAST(levenshtein(o_orderstatus, 'OF') AS BIGINT) AS lev,
+               translate(o_orderpriority, '12345', 'abcde') AS trans
+        FROM orders WHERE o_orderkey < 600
+        """,
+        ("orders",),
+    ),
+    # Regexp extraction/replacement. Spark's regexp_replace is global
+    # by default; DuckDB needs the explicit 'g' flag.
+    "expr_regexp_funcs": sql_q(
+        """
+        SELECT p_partkey,
+               regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+               regexp_replace(p_name, '[aeiou]', '_') AS devoweled
+        FROM part WHERE p_partkey < 700
+        """,
+        ("part",),
+        oracle="""
+        SELECT p_partkey,
+               regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+        FROM part WHERE p_partkey < 700
+        """,
+    ),
+}

@@ -548,6 +548,72 @@ def _rewrite_fetch_first(sql: str) -> str:
     )
 
 
+_QUANT_RE = re.compile(
+    r"(!=|<>|<=|>=|=|<|>)\s*(ALL|ANY|SOME)\s*\(\s*(?=SELECT\b|WITH\b)",
+    re.IGNORECASE,
+)
+
+# (op, quantifier) -> aggregate that decides the comparison with ONE
+# scalar instead of a per-row quantified loop (Spark has no ALL/ANY
+# subquery comparisons). Exact when the subquery is non-empty and
+# NULL-free: pg defines `op ALL (empty)` as TRUE and NULL elements as
+# UNKNOWN-propagating, while the MIN/MAX rewrite yields NULL for both —
+# same class of documented edge divergence as TRY_CAST's fractional
+# strings. `= ANY` / `<> ALL` use IN / NOT IN (exact, incl. NULLs).
+_QUANT_AGG = {
+    (">", "ALL"): "MAX", (">=", "ALL"): "MAX",
+    ("<", "ALL"): "MIN", ("<=", "ALL"): "MIN",
+    (">", "ANY"): "MIN", (">=", "ANY"): "MIN",
+    ("<", "ANY"): "MAX", ("<=", "ANY"): "MAX",
+}
+
+
+def _rewrite_quantified(sql: str) -> str:
+    """pg/standard quantified comparison subqueries -> Spark spellings:
+    ``x > ALL (SELECT e ...)`` -> ``x > (SELECT MAX(__qv) FROM
+    (SELECT e ...) __q(__qv))`` (and the 7 other op x ALL/ANY combos),
+    ``x = ANY (sub)`` -> ``x IN (sub)``, ``x <> ALL (sub)`` ->
+    ``x NOT IN (sub)``. SOME is ANY's standard synonym. Runs on the
+    MASKED statement; only fires when '(' opens a SELECT/WITH, so pg's
+    ``= ANY('{array literal}')`` (a masked placeholder) never matches."""
+    out, pos = [], 0
+    while True:
+        m = _QUANT_RE.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        op = {"<>": "!="}.get(m.group(1), m.group(1))
+        quant = "ANY" if m.group(2).upper() == "SOME" else m.group(2).upper()
+        # balanced-paren extraction of the subquery body
+        open_i = sql.index("(", m.end(2))
+        depth, i = 0, open_i
+        for i in range(open_i, len(sql)):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            raise ValueError(f"unbalanced quantified subquery: {sql[m.start():m.start()+60]}")
+        sub = sql[open_i + 1:i]
+        out.append(sql[pos:m.start()])
+        if (op, quant) in _QUANT_AGG:
+            agg = _QUANT_AGG[(op, quant)]
+            out.append(
+                f"{m.group(1)} (SELECT {agg}(__qv) FROM ({sub}) __q(__qv))"
+            )
+        elif (op, quant) == ("=", "ANY"):
+            out.append(f"IN ({sub})")
+        elif (op, quant) == ("!=", "ALL"):
+            out.append(f"NOT IN ({sub})")
+        else:
+            raise ValueError(
+                f"unsupported quantified comparison: {op} {quant}"
+            )
+        pos = i + 1
+
+
 def preprocess(sql: str) -> str:
     """Rewrite pg-flavored SQL into Spark SQL (queries & expressions)."""
     masked, lits = _mask_literals(sql)
@@ -558,6 +624,7 @@ def preprocess(sql: str) -> str:
     masked = _rewrite_fetch_first(masked)
     masked = _rewrite_tablesample(masked)
     masked = _rewrite_distinct_on(masked)
+    masked = _rewrite_quantified(masked)
     masked = _rewrite_window_filter(masked)
     masked = _rewrite_qualify_recursive(masked)
     for pat, repl in _FUNC_ALIASES.items():

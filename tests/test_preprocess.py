@@ -408,3 +408,36 @@ def test_window_filter_rewrite():
     # literal containing the keyword: untouched
     lit = "SELECT 'FILTER (WHERE x) OVER' AS s FROM t"
     assert preprocess(lit) == lit
+
+
+def test_quantified_rewrite():
+    # > ALL -> scalar MAX subquery
+    out = preprocess("SELECT a FROM t WHERE x > ALL (SELECT v FROM u)")
+    assert "> (SELECT MAX(__qv) FROM (SELECT v FROM u) __q(__qv))" in out
+    # < ANY -> scalar MAX; >= ANY -> MIN
+    out = preprocess("SELECT a FROM t WHERE x < ANY (SELECT v FROM u)")
+    assert "< (SELECT MAX(__qv)" in out
+    out = preprocess("SELECT a FROM t WHERE x >= SOME (SELECT v FROM u)")
+    assert ">= (SELECT MIN(__qv)" in out
+    # = ANY -> IN, <> ALL -> NOT IN
+    out = preprocess("SELECT a FROM t WHERE x = ANY (SELECT v FROM u)")
+    assert "x IN (SELECT v FROM u)" in out
+    out = preprocess("SELECT a FROM t WHERE x <> ALL (SELECT v FROM u)")
+    assert "x NOT IN (SELECT v FROM u)" in out
+    # nested parens inside subquery survive balanced extraction
+    out = preprocess(
+        "SELECT a FROM t WHERE x > ALL (SELECT max(v) FROM u WHERE f(v, 2) > 0)"
+    )
+    assert "FROM (SELECT max(v) FROM u WHERE f(v, 2) > 0) __q(__qv)" in out
+    # two quantified predicates in one statement
+    out = preprocess(
+        "SELECT a FROM t WHERE x > ALL (SELECT v FROM u) "
+        "AND y = ANY (SELECT w FROM z)"
+    )
+    assert "MAX(__qv)" in out and "y IN (SELECT w FROM z)" in out
+    # literal containing the keyword: untouched
+    lit = "SELECT '> ALL (SELECT v FROM u)' AS s FROM t"
+    assert preprocess(lit) == lit
+    # pg array form `= ANY('{1,2}')` does not match (no subquery paren)
+    arr = "SELECT a FROM t WHERE x = ANY('{1,2}')"
+    assert preprocess(arr) == arr

@@ -10,7 +10,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from cassandra_sql_spark.io import load
-from cassandra_sql_spark.pipeline import dedup, multimodal, similarity, text
+from cassandra_sql_spark.pipeline import (
+    dedup,
+    multimodal,
+    similarity,
+    sketches,
+    text,
+)
 from cassandra_sql_spark.queries.base import Q, df_q
 
 # Brute-force shingle-Jaccard oracle (DuckDB list lambdas). Complete
@@ -127,6 +133,38 @@ SELECT doc_id,
          (h, c) -> (h * 131 + c) % 1000000007) AS fp
 FROM m
 """
+
+def _countmin_hh(ev):
+    """Exact top-10 users probed against the shard-merged count-min grid;
+    emits within_bound folding in the sketch guarantees (see the
+    sketch_countmin_hh registry comment)."""
+    exact = (
+        ev.groupBy("user_id").count()
+        .orderBy(F.desc("count"), "user_id").limit(10)
+    )
+    merged = sketches.countmin_merge(
+        sketches.countmin_build(ev, "user_id", shard_col="event_type"),
+        "event_type",
+    )
+    slack = ev.agg(
+        F.ceil(F.lit(2.718281828459045) * F.count(F.lit(1)) / 1024)
+        .alias("_slack")
+    )
+    return (
+        sketches.countmin_estimate(merged, exact, "user_id")
+        .crossJoin(slack)
+        .select(
+            "user_id",
+            F.col("count").alias("n"),
+            F.when(
+                (F.col("est_count") >= F.col("count"))
+                & (F.col("est_count") <= F.col("count") + F.col("_slack")),
+                1,
+            ).otherwise(0).alias("within_bound"),
+        )
+    )
+
+
 
 QUERIES: dict[str, Q] = {
     # Exact dedup: hash-groupBy on normalized text
@@ -1436,6 +1474,29 @@ QUERIES: dict[str, Q] = {
         JOIN q ON q.doc_id = d.doc_id
         WHERE q.p_quality >= 0.7
         GROUP BY d.source, d.lang
+        """,
+    ),
+    # Count-min sketch heavy-hitter screen (pipeline/sketches.py): the
+    # frequency complement of the HLL cardinality sketch. Per-event-type
+    # SHARD grids built map-side, merged by cell-wise SUM (pinned equal
+    # to the global grid in tests/test_sketches.py), then the exact
+    # top-10 users' counts are probed against the merged grid. The
+    # graded claim folds in the sketch's guarantees: est >= exact always
+    # (counters only over-count) and est <= exact + ceil(e*N/width)
+    # (the standard eps*N bound; deterministic here — fixed hash seeds,
+    # fixed fixture). Oracle = exact top-10 with within_bound = 1.
+    "sketch_countmin_hh": df_q(
+        lambda spark, sf: _countmin_hh(load(spark, sf, "events")),
+        ("events",),
+        oracle="""
+        SELECT user_id, CAST(n AS BIGINT) AS n, 1 AS within_bound
+        FROM (
+          SELECT user_id, COUNT(*) AS n
+          FROM events
+          GROUP BY user_id
+          ORDER BY n DESC, user_id
+          LIMIT 10
+        )
         """,
     ),
 }

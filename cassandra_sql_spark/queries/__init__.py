@@ -130,6 +130,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "expr_string_funcs2",
     "expr_regexp_funcs",
     "sketch_countmin_hh",
+    "stream_countmin_hh",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

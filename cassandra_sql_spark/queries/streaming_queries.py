@@ -92,6 +92,43 @@ def _static_enrich(spark, sf_dir):
     return spark.table("stream_static_q")
 
 
+def _countmin_stream(spark, sf_dir):
+    """Drain the streaming count-min grid (state = the fixed grid), then
+    probe the batch-exact top-10 users against it with the sketch bounds
+    folded in — the streaming twin of sketch_countmin_hh."""
+    import pyspark.sql.functions as F
+
+    from cassandra_sql_spark.io import load
+    from cassandra_sql_spark.pipeline import sketches
+
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-cm-")
+    stream = ev.read_events_stream(spark, sf_dir)
+    grid = ev.countmin_stream(stream, "user_id")
+    ev.run_available_now(grid, "cm_grid_q", ckpt, mode="complete")
+    batch = load(spark, sf_dir, "events")
+    exact = (
+        batch.groupBy("user_id").count()
+        .orderBy(F.desc("count"), "user_id").limit(10)
+    )
+    slack = batch.agg(
+        F.ceil(F.lit(2.718281828459045) * F.count(F.lit(1)) / 1024)
+        .alias("_slack")
+    )
+    return (
+        sketches.countmin_estimate(spark.table("cm_grid_q"), exact, "user_id")
+        .crossJoin(slack)
+        .select(
+            "user_id",
+            F.col("count").alias("n"),
+            F.when(
+                (F.col("est_count") >= F.col("count"))
+                & (F.col("est_count") <= F.col("count") + F.col("_slack")),
+                1,
+            ).otherwise(0).alias("within_bound"),
+        )
+    )
+
+
 QUERIES: dict[str, Q] = {
     # Stream-stream interval self-join (click -> purchase attribution);
     # drained result equals the batch interval join the oracle runs.
@@ -119,6 +156,23 @@ QUERIES: dict[str, Q] = {
         SELECT DISTINCT user_id, event_type,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket
         FROM events
+        """,
+    ),
+    # Streaming count-min: the state store IS the fixed grid (depth x
+    # width cells), so a year of stream costs the same state as an hour;
+    # the drained grid equals the batch grid exactly and the probe
+    # carries the sketch bounds. Oracle = batch-exact top-10 users.
+    "stream_countmin_hh": Q(
+        _countmin_stream,
+        """
+        SELECT user_id, CAST(n AS BIGINT) AS n, 1 AS within_bound
+        FROM (
+          SELECT user_id, COUNT(*) AS n
+          FROM events
+          GROUP BY user_id
+          ORDER BY n DESC, user_id
+          LIMIT 10
+        )
         """,
     ),
     "stream_window_agg": Q(

@@ -165,6 +165,37 @@ def run_available_now(
     q.awaitTermination()
 
 
+def countmin_stream(
+    stream: DataFrame,
+    value_col: str = "user_id",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Streaming count-min grid: per-micro-batch counter increments via
+    a streaming aggregation keyed by (row, col).
+
+    The state store holds AT MOST depth*width counter cells — bounded by
+    CONSTRUCTION, independent of stream length or value cardinality.
+    That is the whole point of running the sketch as the streaming
+    frequency monitor instead of a per-value count (whose state grows
+    with the key space): a year of events costs the same 32 KB of state
+    as an hour. Grid values equal the batch-built grid exactly
+    (count is associative); pinned in tests/test_sketches.py."""
+    from cassandra_sql_spark.pipeline.sketches import _cm_col
+
+    ex = stream.select(
+        F.posexplode(
+            F.array(
+                *[
+                    _cm_col(F.col(value_col), r, width)
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_row", "_col")
+    )
+    return ex.groupBy("_row", "_col").agg(F.count(F.lit(1)).alias("_cnt"))
+
+
 def run_foreach_batch_parquet(
     stream_df: DataFrame,
     out_dir: str,

@@ -357,3 +357,19 @@ def test_qualify_rank_predicate_gets_window_group_limit(spark, sf_dir):
     exch = [int(n) for n in re.findall(r"\((\d+)\) Exchange", plan)]
     assert len(wgl) >= 2, plan  # Partial + Final pair
     assert exch and min(wgl) < max(exch), plan
+
+
+def test_quantified_subquery_is_scalar_agg_not_loop(spark, sf_dir):
+    """`> ALL (sub)` rewrites to ONE scalar MIN/MAX subquery (a
+    broadcast-able aggregate result), and `= ANY (sub)` to a semi join —
+    never a per-row quantified loop or cartesian product."""
+    plan = plan_of(spark, sf_dir, "subq_quantified")
+    assert "Subquery" in plan            # scalar agg subquery present
+    assert "LeftSemi" in plan            # = ANY -> IN -> semi join
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_stays_map_side(spark, sf_dir):
+    """UNPIVOT is an Expand/Generate over the scan — no shuffle."""
+    plan = plan_of(spark, sf_dir, "unpivot_measures")
+    assert "Exchange" not in plan

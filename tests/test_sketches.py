@@ -82,3 +82,33 @@ def test_grid_size_bounded(events):
         events, "user_id", width=64, depth=3
     )
     assert grid.count() <= 64 * 3
+
+
+def test_stream_grid_equals_batch_grid(spark, sf_dir, events):
+    """The streaming count-min's drained complete-mode grid must equal
+    the batch-built grid cell-for-cell (count is associative across
+    micro-batches) — and its state is the grid itself, bounded by
+    construction."""
+    import tempfile
+
+    from cassandra_sql_spark.streaming import events as ev
+
+    ckpt = tempfile.mkdtemp(prefix="cm-eq-")
+    stream = ev.read_events_stream(spark, sf_dir)
+    grid = ev.countmin_stream(stream, "user_id")
+    ev.run_available_now(grid, "cm_eq_grid", ckpt, mode="complete")
+    stream_grid = spark.table("cm_eq_grid")
+    batch_grid = sketches.countmin_build(events, "user_id")
+    diff = (
+        stream_grid.join(
+            batch_grid.withColumnRenamed("_cnt", "_b"),
+            ["_row", "_col"],
+            "full",
+        )
+        .filter(
+            F.coalesce("_cnt", F.lit(-1)) != F.coalesce("_b", F.lit(-2))
+        )
+        .count()
+    )
+    assert diff == 0
+    assert stream_grid.count() <= 1024 * 4

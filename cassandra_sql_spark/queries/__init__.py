@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from cassandra_sql_spark.queries import (
     aggregates,
+    behavior,
     expressions,
     joins,
     json_ops,
@@ -45,6 +46,7 @@ _MODULES = (
     selection_queries,
     streaming_queries,
     temporal_queries,
+    behavior,
 )
 
 # The correctness driver grades only the FIRST 50 registry entries. The
@@ -131,6 +133,10 @@ NEXT_WINDOW: tuple[str, ...] = (
     "expr_regexp_funcs",
     "sketch_countmin_hh",
     "stream_countmin_hh",
+    "event_funnel",
+    "event_retention_cohort",
+    "event_purchase_then_error",
+    "graph_pagerank",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

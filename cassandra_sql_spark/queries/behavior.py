@@ -1,0 +1,218 @@
+"""Coverage batch 7 (round 6): behavioral / sequence analytics over the
+events table — funnel conversion, cohort retention, ordered-sequence
+pattern detection, and PageRank over the click-stream page graph.
+
+The reference engine (kv/CalciteSqlParser.java grammar) can express none
+of these shapes — they need window functions and multi-stage CTE
+pipelines its executor lacks; they are the bread-and-butter of product
+analytics and of link-graph quality scoring in web-corpus curation
+(PageRank features gate document quality in Common-Crawl-scale
+pipelines). All four are pure ANSI SQL on both engines and Catalyst
+plans them as a handful of hash aggregates + one window exchange each.
+
+Scale notes (100 TB):
+- funnel: three key-partitioned aggregates over the same user_id
+  hash partitioning; each stage's output is |users|, far smaller than
+  the event log, so the stage joins broadcast or stay co-partitioned.
+- retention: one groupBy(user_id) for cohorts (|users| rows, broadcast-
+  joinable back), one DISTINCT on (user, week) — both map-side
+  combinable.
+- sequence detection: a single window pass per user ordered by time;
+  one shuffle on user_id, no self-join (the naive formulation is an
+  event×event self-join — quadratic in the hot users).
+- pagerank: the graph is |pages|² at most (page domain is small by
+  construction); each iteration is one join + one aggregate on the
+  edge list, never touching the raw event log again. Rank sums use the
+  9dp scaled-integer idiom so results are order-independent and
+  engine-exact (same idiom as mix_source_kl).
+"""
+
+from __future__ import annotations
+
+from cassandra_sql_spark.queries.base import Q, sql_q
+
+# ---------------------------------------------------------------------------
+# PageRank SQL is built programmatically: same text both engines except
+# the JSON field extraction. damping 0.85, 3 unrolled iterations, each
+# rank quantized to 9dp (FLOOR(x*1e9+0.5) — exact on both engines for
+# these magnitudes) so iteration k+1 starts from identical inputs.
+
+_SCALE = 1000000000
+
+
+def _q9(expr: str) -> str:
+    """Quantize a double expression to 9dp, staying DOUBLE-typed."""
+    return (
+        f"CAST(CAST(FLOOR(({expr}) * {_SCALE} + 0.5) AS BIGINT) AS DOUBLE)"
+        f" / {_SCALE}"
+    )
+
+
+def _pr_iter(prev: str, cur: str) -> str:
+    """One PageRank iteration: cur = (1-d)/N + d * sum_in(prev * w)."""
+    insum = (
+        f"CAST(SUM(CAST(FLOOR(r.pr * w.wt * {_SCALE} + 0.5) AS BIGINT))"
+        f" AS DOUBLE) / {_SCALE}"
+    )
+    rank = _q9("0.15 / nc.n + 0.85 * COALESCE(s.insum, 0.0)")
+    return f"""{cur} AS (
+  SELECT nodes.page, {rank} AS pr
+  FROM nodes CROSS JOIN nc
+  LEFT JOIN (
+    SELECT w.dst AS page, {insum} AS insum
+    FROM w JOIN {prev} r ON w.src = r.page
+    GROUP BY w.dst
+  ) s ON nodes.page = s.page
+)"""
+
+
+def _pagerank_sql(json_k: str) -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, {json_k} AS page
+  FROM events
+),
+seq AS (
+  SELECT page AS src,
+         LEAD(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+),
+edges AS (
+  SELECT src, dst, COUNT(*) AS cnt
+  FROM seq WHERE src IS NOT NULL AND dst IS NOT NULL
+  GROUP BY src, dst
+),
+outdeg AS (
+  SELECT src, CAST(SUM(cnt) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+w AS (
+  SELECT e.src, e.dst, e.cnt / CAST(o.deg AS DOUBLE) AS wt
+  FROM edges e JOIN outdeg o ON e.src = o.src
+),
+nodes AS (
+  SELECT DISTINCT page FROM (
+    SELECT src AS page FROM edges
+    UNION SELECT dst AS page FROM edges
+  ) np
+),
+nc AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT page, {_q9("1.0 / nc.n")} AS pr FROM nodes CROSS JOIN nc
+),
+{_pr_iter("r0", "r1")},
+{_pr_iter("r1", "r2")},
+{_pr_iter("r2", "r3")}
+SELECT page, pr FROM r3 ORDER BY pr DESC, page
+"""
+
+
+_SPARK_K = "CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT)"
+_DUCK_K = (
+    "CAST(CASE WHEN props IS NOT NULL AND json_valid(props)"
+    " THEN JSON_EXTRACT_STRING(props, '$.k') END AS BIGINT)"
+)
+
+
+QUERIES: dict[str, Q] = {
+    # Ordered conversion funnel view -> click -> purchase: each later
+    # stage must happen strictly after the user's earliest prior-stage
+    # event, and the whole journey must close within 30 days of the
+    # first view. MIN-per-user cascade: three aggregates, no window,
+    # no event x event self-join.
+    "event_funnel": sql_q(
+        """
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e
+          JOIN c ON e.user_id = c.user_id
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            AND e.ts <= v.t1 + INTERVAL 30 DAY
+          GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM v) AS stage_view,
+               (SELECT COUNT(*) FROM c) AS stage_click,
+               (SELECT COUNT(*) FROM p) AS stage_purchase
+        """,
+        ("events",),
+    ),
+    # Weekly cohort retention: cohort = ISO week of the user's first
+    # event; active_users(cohort, n) = distinct users from that cohort
+    # seen again n whole weeks later. datediff() argument order is the
+    # one dialect split.
+    "event_retention_cohort": sql_q(
+        """
+        WITH firsts AS (
+          SELECT user_id,
+                 CAST(DATE_TRUNC('WEEK', MIN(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        act AS (
+          SELECT DISTINCT e.user_id, f.cohort_week,
+                 CAST(FLOOR(DATEDIFF(CAST(e.ts AS DATE), f.cohort_week)
+                            / 7) AS BIGINT) AS week_n
+          FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT cohort_week, week_n, COUNT(*) AS active_users
+        FROM act GROUP BY cohort_week, week_n
+        ORDER BY cohort_week, week_n
+        """,
+        ("events",),
+        oracle="""
+        WITH firsts AS (
+          SELECT user_id,
+                 CAST(DATE_TRUNC('WEEK', MIN(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        act AS (
+          SELECT DISTINCT e.user_id, f.cohort_week,
+                 CAST(FLOOR(DATEDIFF('day', f.cohort_week, CAST(e.ts AS DATE))
+                            / 7) AS BIGINT) AS week_n
+          FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT cohort_week, week_n, COUNT(*) AS active_users
+        FROM act GROUP BY cohort_week, week_n
+        ORDER BY cohort_week, week_n
+        """,
+    ),
+    # Ordered-sequence pattern (the MATCH_RECOGNIZE shape): purchases
+    # whose very next event for the same user is an error within one
+    # hour. One LEAD window pass — not a self-join.
+    "event_purchase_then_error": sql_q(
+        """
+        WITH seq AS (
+          SELECT user_id, event_id, ts, event_type,
+                 LEAD(event_type) OVER w AS next_type,
+                 LEAD(ts) OVER w AS next_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, ts, next_ts
+        FROM seq
+        WHERE event_type = 'purchase' AND next_type = 'error'
+          AND next_ts <= ts + INTERVAL 1 HOUR
+        ORDER BY user_id, event_id
+        """,
+        ("events",),
+    ),
+    # PageRank (damping 0.85, 3 unrolled iterations) over the page
+    # transition graph: nodes = props.k page ids, edges = consecutive
+    # events of the same user, edge weight = transition count /
+    # out-degree. Dangling pages keep their teleport share (no
+    # redistribution) — identical simplification both engines.
+    "graph_pagerank": sql_q(
+        _pagerank_sql(_SPARK_K),
+        ("events",),
+        oracle=_pagerank_sql(_DUCK_K),
+    ),
+}

@@ -90,6 +90,10 @@ QUERIES: dict[str, Q] = {
     ),
     # String-function tail: split_part / levenshtein / translate agree
     # byte-for-byte across engines.
+    # DuckDB quirk: split_part(NULL, ...) returns '' instead of NULL
+    # (non-standard; Spark and Postgres both propagate NULL), so the
+    # oracle guards the NULL case explicitly. Exposed by the adversarial
+    # TPC-H fixture's NULL o_orderpriority rows.
     "expr_string_funcs2": sql_q(
         """
         SELECT o_orderkey,
@@ -99,6 +103,14 @@ QUERIES: dict[str, Q] = {
         FROM orders WHERE o_orderkey < 600
         """,
         ("orders",),
+        oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority IS NULL THEN NULL
+                    ELSE split_part(o_orderpriority, '-', 2) END AS prio_word,
+               CAST(levenshtein(o_orderstatus, 'OF') AS BIGINT) AS lev,
+               translate(o_orderpriority, '12345', 'abcde') AS trans
+        FROM orders WHERE o_orderkey < 600
+        """,
     ),
     # Regexp extraction/replacement. Spark's regexp_replace is global
     # by default; DuckDB needs the explicit 'g' flag.

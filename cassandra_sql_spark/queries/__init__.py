@@ -16,6 +16,7 @@ from cassandra_sql_spark.queries import (
     modern_sql_r6,
     more_sql,
     pipeline_queries,
+    pipeline_r6,
     relational,
     selection_queries,
     setops,
@@ -47,6 +48,7 @@ _MODULES = (
     streaming_queries,
     temporal_queries,
     behavior,
+    pipeline_r6,
 )
 
 # The correctness driver grades only the FIRST 50 registry entries. The
@@ -137,6 +139,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "event_retention_cohort",
     "event_purchase_then_error",
     "graph_pagerank",
+    "text_tfidf_topterms",
+    "dedup_url_canonical",
+    "series_gap_fill_interp",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

@@ -1,0 +1,271 @@
+"""Coverage batch 8 (round 6): training-data pipeline tail — TF-IDF
+keyterm extraction, URL canonicalization dedup, time-series linear
+interpolation, and standalone k-means document clustering.
+
+TF-IDF and URL canonicalization are core corpus-curation primitives
+(keyword features for quality classifiers; URL-level dedup is the FIRST
+pass of every web-crawl pipeline — it removes the bulk of exact refetch
+duplicates before any content hashing runs). Gap interpolation is the
+standard "resample to a regular grid" step for metric/time-series
+feature tables. All SQL-expressible on both engines.
+
+Scale notes (100 TB):
+- tfidf: tf and df are two aggregates over one exploded token stream
+  (map-side combinable); the doc-count scalar broadcasts; top-3 per doc
+  is a window with partial WindowGroupLimit below the exchange.
+- url canonical: pure map-side expression chain (regexp_replace stays
+  in whole-stage codegen) + one groupBy(canonical) — exactly one
+  shuffle, same cost profile as dedup_exact.
+- gap fill: the spine is a constant-size calendar (explode(sequence)),
+  the join is broadcast (spine side is tiny), the fill is two window
+  passes over |spine| rows.
+- kmeans: reuses the IVF trainer — per-iteration shuffle is k*d rows
+  (centroid, dim) regardless of corpus size; assignment is a map-side
+  broadcast expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_sql_spark.io import load
+from cassandra_sql_spark.pipeline.similarity import (
+    ivf_assign_col,
+    ivf_train,
+    nonzero,
+)
+from cassandra_sql_spark.queries.base import Q, df_q, sql_q
+
+# TF-IDF: score = tf * ln(N/df), quantized to 9dp via the scaled-integer
+# idiom so ranking and hashing agree across engines (same precedent as
+# mix_source_kl's LN term sums). Ranking orders by the QUANTIZED score
+# so a last-ulp LN difference cannot flip the top-3.
+_TFIDF_BODY = """
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(CAST(FLOOR(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df)
+                         * 1000000000 + 0.5) AS BIGINT) AS DOUBLE)
+           / 1000000000 AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf, rk FROM (
+  SELECT doc_id, tok, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, tok) AS rk
+  FROM scored
+) ranked
+WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+# URL canonicalization: the synthetic raw URL exercises every rule —
+# uppercase scheme/host, explicit default port, www. prefix, utm_*
+# tracking params mixed with a real param, fragment, trailing
+# slash-before-query. Rules: lowercase scheme+authority, drop :443,
+# drop www., strip fragment, strip utm_* params (keep others), tidy
+# separators. The regexes avoid backreferences (Spark $1 vs DuckDB \\1).
+_URL_RAW_SPARK = (
+    "CONCAT('HTTPS://WWW.', UPPER(source), '.Example.COM:443/p/', "
+    "CAST(doc_id % 13 AS STRING), '/?utm_source=feed&ref=', source, "
+    "'&utm_campaign=x#sec', CAST(doc_id % 7 AS STRING))"
+)
+_URL_RAW_DUCK = _URL_RAW_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+def _url_sql(raw: str, flag: str) -> str:
+    """flag: '' for Spark (regexp_replace is global by default),
+    ", 'g'" for DuckDB (global needs the explicit flag)."""
+
+    def rr(expr: str, pat: str, repl: str) -> str:
+        return f"REGEXP_REPLACE({expr}, '{pat}', '{repl}'{flag})"
+
+    # Patterns use [.] / [?] character classes instead of backslash
+    # escapes: Spark SQL string literals unescape backslashes, DuckDB's
+    # don't, so a shared pattern must avoid them entirely.
+    auth = rr(rr("LOWER(auth)", ":443$", ""), "//www[.]", "//")
+    rest = rr(
+        rr(rr(rr("rest", "#.*$", ""), "utm_[^&#]*&?", ""), "[?&]+$", ""),
+        "/[?]",
+        "?",
+    )
+    # host: '^[^/]+//[^/]+' = scheme://authority; rest: everything after
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {raw} AS url FROM documents
+),
+split AS (
+  SELECT doc_id, url,
+         REGEXP_EXTRACT(url, '^[^/]+//[^/]+', 0) AS auth,
+         SUBSTR(url, LENGTH(REGEXP_EXTRACT(url, '^[^/]+//[^/]+', 0)) + 1)
+           AS rest
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, CONCAT({auth}, {rest}) AS canonical_url
+  FROM split
+)
+SELECT canonical_url,
+       COUNT(*) AS dup_count,
+       CAST(MIN(doc_id) AS BIGINT) AS survivor_doc
+FROM canon
+GROUP BY canonical_url
+HAVING COUNT(*) >= 2
+ORDER BY canonical_url
+"""
+
+
+def _url_sql_spark() -> str:
+    return _url_sql(_URL_RAW_SPARK, "")
+
+
+def _url_sql_duck() -> str:
+    return _url_sql(_URL_RAW_DUCK, ", 'g'")
+
+
+# Linear interpolation over a fixed daily spine (all SF fixtures share
+# the 2024-01 window; k=7 purchases cover ~half the days at sf0.01 so
+# both interior interpolation and edge carry are exercised).
+def _interp_sql(tok_extract: str, days_frac: str, duck: bool) -> str:
+    # IGNORE NULLS placement is the dialect split: Spark puts it after
+    # the call (`LAST_VALUE(x) IGNORE NULLS OVER`), DuckDB inside the
+    # parens (`LAST_VALUE(x IGNORE NULLS) OVER`).
+    back = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    fwd = "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+
+    def win(kind: str, expr: str, frame: str) -> str:
+        if duck:
+            return f"{kind}({expr} IGNORE NULLS) OVER (ORDER BY day {frame})"
+        return f"{kind}({expr}) IGNORE NULLS OVER (ORDER BY day {frame})"
+
+    day_if = "CASE WHEN total IS NOT NULL THEN day END"
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100 AS total
+  FROM events
+  WHERE event_type = 'purchase' AND {tok_extract} = '7'
+  GROUP BY CAST(ts AS DATE)
+),
+spine AS ({{spine}}),
+joined AS (
+  SELECT s.day, d.total FROM spine s LEFT JOIN daily d ON s.day = d.day
+),
+bounds AS (
+  SELECT day, total,
+         {win("LAST_VALUE", "total", back)} AS prev_val,
+         {win("LAST_VALUE", day_if, back)} AS prev_day,
+         {win("FIRST_VALUE", "total", fwd)} AS next_val,
+         {win("FIRST_VALUE", day_if, fwd)} AS next_day
+  FROM joined
+)
+SELECT day,
+       total IS NOT NULL AS observed,
+       CAST(CAST(FLOOR(
+         CASE WHEN total IS NOT NULL THEN total
+              WHEN prev_val IS NULL THEN next_val
+              WHEN next_val IS NULL THEN prev_val
+              ELSE prev_val + (next_val - prev_val) * ({days_frac})
+         END * 10000 + 0.5) AS BIGINT) AS DOUBLE) / 10000 AS filled
+FROM bounds
+ORDER BY day
+"""
+
+
+_INTERP_SPARK = _interp_sql(
+    "GET_JSON_OBJECT(props, '$.k')",
+    "CAST(DATEDIFF(day, prev_day) AS DOUBLE)"
+    " / DATEDIFF(next_day, prev_day)",
+    duck=False,
+).format(
+    spine="SELECT EXPLODE(SEQUENCE(DATE '2024-01-01', DATE '2024-01-30'))"
+    " AS day"
+)
+
+_INTERP_DUCK = _interp_sql(
+    "CASE WHEN props IS NOT NULL AND json_valid(props)"
+    " THEN JSON_EXTRACT_STRING(props, '$.k') END",
+    "CAST(DATEDIFF('day', prev_day, day) AS DOUBLE)"
+    " / DATEDIFF('day', prev_day, next_day)",
+    duck=True,
+).format(
+    spine="SELECT CAST(gs.day AS DATE) AS day FROM generate_series("
+    "DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) AS gs(day)"
+)
+
+
+def _kmeans(spark, sf):
+    """Standalone k-means clustering over the embedding corpus.
+
+    Hash-seeded deterministic Lloyd (the IVF coarse trainer) + map-only
+    assignment; cluster ids relabeled by each cluster's smallest vec_id
+    so the output is stable under any seeding permutation. Rows-only:
+    iterative training is not SQL-expressible; the full entry is pinned
+    against an exact sequential-fold replica in
+    tests/test_pipeline.py::test_kmeans_entry_matches_python_fold_replica.
+    """
+    emb = nonzero(load(spark, sf, "embeddings"))
+    cents = ivf_train(emb, n_centroids=8, iters=3)
+    assigned = emb.select(
+        "vec_id", ivf_assign_col(F.col("embedding"), cents).alias("_cid")
+    )
+    relabel = assigned.groupBy("_cid").agg(
+        F.min("vec_id").alias("cluster_key")
+    )
+    return (
+        assigned.join(F.broadcast(relabel), "_cid")
+        .select(
+            "vec_id", F.col("cluster_key").cast("long").alias("cluster_key")
+        )
+        .orderBy("vec_id")
+    )
+
+
+QUERIES: dict[str, Q] = {
+    # TF-IDF top-3 key terms per document (whitespace tokens, ln(N/df)).
+    "text_tfidf_topterms": sql_q(
+        """
+        WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, EXPLODE(SPLIT(TRIM(text), '\\\\s+')) AS tok
+            FROM documents
+          ) x WHERE tok <> ''
+        ),
+        """
+        + _TFIDF_BODY,
+        ("documents",),
+        oracle="""
+        WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok
+            FROM documents
+          ) x WHERE tok <> ''
+        ),
+        """
+        + _TFIDF_BODY,
+    ),
+    # URL canonicalization + dedup (first pass of web-crawl curation).
+    "dedup_url_canonical": sql_q(
+        _url_sql_spark(),
+        ("documents",),
+        oracle=_url_sql_duck(),
+    ),
+    # Regular-grid resample: daily purchase totals for one page, gaps
+    # linearly interpolated between nearest observed neighbors, edges
+    # carried from the nearest observation.
+    "series_gap_fill_interp": sql_q(
+        _INTERP_SPARK,
+        ("events",),
+        oracle=_INTERP_DUCK,
+    ),
+    # Standalone k-means clustering (rows-only; deterministic seeding).
+    "emb_kmeans_clusters": df_q(_kmeans, ("embeddings",), None),
+}

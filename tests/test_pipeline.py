@@ -771,3 +771,32 @@ def test_pq_index_probe_matches_inline_and_prunes_columns(
     inline_ids = [r["vec_id"] for r in inline if r["vec_id"] != 0][:9]
     got_ids = [r["vec_id"] for r in got if r["vec_id"] != 0][:9]
     assert got_ids == inline_ids
+
+
+def test_kmeans_entry_matches_python_fold_replica(spark, sf_dir):
+    """emb_kmeans_clusters == exact replica: same hash-seeded centroids,
+    assignment re-derived with the same sequential double fold the JVM
+    lambda runs (identical IEEE order, so equality is exact), cluster ids
+    canonicalized to the member-minimum vec_id."""
+    from cassandra_sql_spark.queries.pipeline_r6 import _kmeans
+
+    out1 = {r.vec_id: r.cluster_key for r in _kmeans(spark, sf_dir).collect()}
+    out2 = {r.vec_id: r.cluster_key for r in _kmeans(spark, sf_dir).collect()}
+    assert out1 == out2  # deterministic end to end
+
+    emb = similarity.nonzero(load(spark, sf_dir, "embeddings"))
+    cents = similarity.ivf_train(emb, n_centroids=8, iters=3)
+    assign = {}
+    for r in emb.select("vec_id", "embedding").collect():
+        scores = []
+        for c in cents:
+            acc = 0.0
+            for x, w in zip(r.embedding, c):
+                acc = acc + float(x) * w
+            scores.append(acc)
+        assign[r.vec_id] = scores.index(max(scores))
+    min_id: dict[int, int] = {}
+    for vid, cid in assign.items():
+        min_id[cid] = min(min_id.get(cid, vid), vid)
+    expected = {vid: min_id[cid] for vid, cid in assign.items()}
+    assert out1 == expected

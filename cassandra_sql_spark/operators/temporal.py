@@ -28,10 +28,15 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` for the same key (backward as-of, ties
-    included). Left rows with no prior right row get NULLs."""
+    """For each left row, attach the nearest right row for the same key:
+    ``direction="backward"`` (default) takes the greatest ``right_ts <=
+    left_ts``, ``"forward"`` the smallest ``right_ts >= left_ts`` — the
+    forward case is the same merge with the time axis reversed. Ties
+    included either way; left rows with no match get NULLs."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
     lcols = left.columns
     l = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
     r = right.select(
@@ -43,9 +48,10 @@ def asof_join(
     )
     merged = l.unionByName(r, allowMissingColumns=True)
     # right rows sort before left rows at equal _t so ties are visible
+    t_ord = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(t_ord, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in value_cols]

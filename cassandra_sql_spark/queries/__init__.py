@@ -142,6 +142,10 @@ NEXT_WINDOW: tuple[str, ...] = (
     "text_tfidf_topterms",
     "dedup_url_canonical",
     "series_gap_fill_interp",
+    "asof_join_forward",
+    "expr_interval_typed",
+    "expr_width_bucket",
+    "explode_ordinality",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

@@ -129,4 +129,66 @@ QUERIES: dict[str, Q] = {
         FROM part WHERE p_partkey < 700
         """,
     ),
+    # Typed INTERVAL arithmetic on timestamps and dates (the reference
+    # stores intervals as ISO strings and cannot compute with them,
+    # kv/TableMetadata.java:348-349; both engines here share the
+    # `INTERVAL n UNIT` literal syntax). Results are cast to concrete
+    # TIMESTAMP/DATE so output types agree.
+    "expr_interval_typed": sql_q(
+        """
+        SELECT event_id,
+               CAST(ts + INTERVAL 90 MINUTE AS TIMESTAMP) AS due,
+               CAST(ts - INTERVAL 1 DAY AS TIMESTAMP) AS day_before,
+               CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS DATE) AS review_day
+        FROM events WHERE event_id < 300
+        ORDER BY event_id
+        """,
+        ("events",),
+    ),
+    # width_bucket histogram (equi-width binning). DuckDB has no
+    # width_bucket; the oracle spells out the same bucketing with the
+    # bin width chosen binary-exact (8000/16 = 500) so the arithmetic
+    # agrees to the last ulp.
+    "expr_width_bucket": sql_q(
+        """
+        SELECT CAST(WIDTH_BUCKET(o_totalprice, 0, 8000, 16) AS BIGINT)
+                 AS bucket,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY WIDTH_BUCKET(o_totalprice, 0, 8000, 16)
+        ORDER BY bucket
+        """,
+        ("orders",),
+        oracle="""
+        WITH b AS (
+          SELECT CASE WHEN o_totalprice < 0 THEN 0
+                      WHEN o_totalprice >= 8000 THEN 17
+                      ELSE CAST(FLOOR(o_totalprice / 500) + 1 AS BIGINT)
+                 END AS bucket
+          FROM orders
+        )
+        SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket
+        """,
+    ),
+    # posexplode / UNNEST WITH ORDINALITY: element position travels with
+    # the value. DuckDB lacks WITH ORDINALITY; generate_subscripts
+    # zipped with unnest is the equivalent.
+    "explode_ordinality": sql_q(
+        """
+        SELECT p_partkey, CAST(pos + 1 AS BIGINT) AS ord, word
+        FROM part
+        LATERAL VIEW POSEXPLODE(SPLIT(p_name, ' ')) t AS pos, word
+        WHERE p_partkey < 300
+        ORDER BY p_partkey, ord
+        """,
+        ("part",),
+        oracle="""
+        SELECT p_partkey, CAST(o AS BIGINT) AS ord, w AS word FROM (
+          SELECT p_partkey,
+                 UNNEST(string_split(p_name, ' ')) AS w,
+                 generate_subscripts(string_split(p_name, ' '), 1) AS o
+          FROM part WHERE p_partkey < 300
+        ) x ORDER BY p_partkey, ord
+        """,
+    ),
 }

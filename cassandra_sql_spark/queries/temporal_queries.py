@@ -188,4 +188,44 @@ QUERIES: dict[str, Q] = {
          AND ABS(FLOOR(epoch(a.ts)) - FLOOR(epoch(b.ts))) <= 600
         """,
     ),
+    # Forward as-of join: the NEXT purchase at or after each click (the
+    # "time-to-conversion" shape). Same union+window merge as backward
+    # with the time axis reversed; DuckDB's ASOF picks the direction
+    # from the inequality.
+    "asof_join_forward": df_q(
+        lambda spark, sf: (
+            lambda ev: asof_join(
+                ev.filter(F.col("event_type") == "click").select(
+                    "event_id", "user_id", "ts"
+                ),
+                ev.filter(F.col("event_type") == "purchase").select(
+                    "user_id", "ts", "value"
+                ),
+                on="user_id",
+                left_ts="ts",
+                right_ts="ts",
+                value_cols=["value"],
+                direction="forward",
+            ).select(
+                "event_id",
+                "user_id",
+                "ts",
+                F.col("ts_asof").alias("next_purchase_ts"),
+                F.col("value_asof").alias("next_purchase_value"),
+            )
+        )(load(spark, sf, "events")),
+        ("events",),
+        oracle="""
+        WITH c AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), p AS (
+          SELECT user_id, ts AS pts, value FROM events
+          WHERE event_type = 'purchase'
+        )
+        SELECT c.event_id, c.user_id, c.ts,
+               p.pts AS next_purchase_ts, p.value AS next_purchase_value
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND p.pts >= c.ts
+        """,
+    ),
 }

@@ -555,11 +555,15 @@ _QUANT_RE = re.compile(
 
 # (op, quantifier) -> aggregate that decides the comparison with ONE
 # scalar instead of a per-row quantified loop (Spark has no ALL/ANY
-# subquery comparisons). Exact when the subquery is non-empty and
-# NULL-free: pg defines `op ALL (empty)` as TRUE and NULL elements as
-# UNKNOWN-propagating, while the MIN/MAX rewrite yields NULL for both —
-# same class of documented edge divergence as TRY_CAST's fractional
-# strings. `= ANY` / `<> ALL` use IN / NOT IN (exact, incl. NULLs).
+# subquery comparisons). The ANY aggregates are TRUE-exact as-is (empty
+# -> MIN/MAX NULL -> UNKNOWN, matching pg's FALSE under WHERE; NULL
+# elements are ignored by the aggregate exactly as pg's ANY ignores
+# non-satisfying UNKNOWNs). The ALL aggregates alone are NOT exact on
+# empty sets (pg: TRUE, agg rewrite: UNKNOWN) or NULL elements (pg:
+# never-TRUE, agg: may be TRUE), so ALL gets empty/null guard clauses
+# when the left operand is a capturable simple expression — see
+# `_rewrite_quantified`. `= ANY` / `<> ALL` use IN / NOT IN (exact,
+# incl. NULLs).
 _QUANT_AGG = {
     (">", "ALL"): "MAX", (">=", "ALL"): "MAX",
     ("<", "ALL"): "MIN", ("<=", "ALL"): "MIN",
@@ -567,15 +571,44 @@ _QUANT_AGG = {
     ("<", "ANY"): "MAX", ("<=", "ANY"): "MAX",
 }
 
+# A simple left operand ending right before the comparison operator:
+# column ref, one-level function call, one-level parenthesized
+# expression, or a masked literal. `$` anchors at the endpos passed to
+# .search(), i.e. the operator's start.
+_QUANT_LHS = re.compile(_OPERAND + r"\s*$")
+
+# If the char just before the captured operand is part of a larger
+# arithmetic/concat expression, the operand is only a fragment (e.g.
+# `a + 1 > ALL(...)` captures `1`) — wrapping it in the guarded form
+# would change grouping, so fall back to the plain agg rewrite there.
+_EXPR_CONT = set("+-*/%^|&")
+
 
 def _rewrite_quantified(sql: str) -> str:
-    """pg/standard quantified comparison subqueries -> Spark spellings:
-    ``x > ALL (SELECT e ...)`` -> ``x > (SELECT MAX(__qv) FROM
-    (SELECT e ...) __q(__qv))`` (and the 7 other op x ALL/ANY combos),
-    ``x = ANY (sub)`` -> ``x IN (sub)``, ``x <> ALL (sub)`` ->
-    ``x NOT IN (sub)``. SOME is ANY's standard synonym. Runs on the
-    MASKED statement; only fires when '(' opens a SELECT/WITH, so pg's
-    ``= ANY('{array literal}')`` (a masked placeholder) never matches."""
+    """pg/standard quantified comparison subqueries -> Spark spellings
+    (Spark has no ALL/ANY subquery comparisons):
+
+    - ``x = ANY (sub)`` -> ``x IN (sub)``; ``x <> ALL (sub)`` ->
+      ``x NOT IN (sub)`` — exact, including NULL semantics.
+    - ``x > ANY (sub)`` (and <, <=, >=) -> ``x > (SELECT MIN(__qv) FROM
+      (sub) __q(__qv))`` — TRUE-exact under WHERE for every input
+      (empty set and NULL elements both land on UNKNOWN == no-row).
+    - ``x > ALL (sub)`` (and <, <=, >=) -> the guarded form
+      ``((SELECT COUNT(*) FROM sub) = 0 OR ((SELECT COUNT(*) -
+      COUNT(__qv) FROM sub) = 0 AND x > (SELECT MAX(__qv) FROM sub)))``
+      — TRUE-exact under WHERE: empty -> TRUE (pg), NULL elements ->
+      never TRUE (pg). Catalyst's ReuseSubquery collapses the repeated
+      scalar aggregates at execution. Needs the left operand captured
+      (`_QUANT_LHS`) to parenthesize the whole predicate; when the
+      operand is an uncapturable expression fragment, falls back to the
+      bare agg rewrite whose empty/NULL divergence is the documented
+      edge (same class as TRY_CAST's fractional strings).
+
+    The remaining divergence of the guarded form is TRUE-equivalence
+    only: in a SELECT list or under NOT, pg's UNKNOWN becomes FALSE
+    here. SOME is ANY's standard synonym. Runs on the MASKED statement;
+    only fires when '(' opens a SELECT/WITH, so pg's ``= ANY('{array
+    literal}')`` (a masked placeholder) never matches."""
     out, pos = [], 0
     while True:
         m = _QUANT_RE.search(sql, pos)
@@ -597,20 +630,40 @@ def _rewrite_quantified(sql: str) -> str:
         if depth != 0:
             raise ValueError(f"unbalanced quantified subquery: {sql[m.start():m.start()+60]}")
         sub = sql[open_i + 1:i]
-        out.append(sql[pos:m.start()])
+        start = m.start()
+        repl = None
         if (op, quant) in _QUANT_AGG:
             agg = _QUANT_AGG[(op, quant)]
-            out.append(
-                f"{m.group(1)} (SELECT {agg}(__qv) FROM ({sub}) __q(__qv))"
-            )
+            bare = f"{m.group(1)} (SELECT {agg}(__qv) FROM ({sub}) __q(__qv))"
+            lhs = None
+            if quant == "ALL":
+                lm = _QUANT_LHS.search(sql, pos, m.start())
+                if lm:
+                    j = lm.start(1) - 1
+                    while j >= 0 and sql[j].isspace():
+                        j -= 1
+                    if j < 0 or sql[j] not in _EXPR_CONT:
+                        lhs = lm.group(1)
+                        start = lm.start(1)
+            if lhs is not None:
+                repl = (
+                    f"((SELECT COUNT(*) FROM ({sub}) __q(__qv)) = 0"
+                    f" OR ((SELECT COUNT(*) - COUNT(__qv) FROM ({sub})"
+                    f" __q(__qv)) = 0"
+                    f" AND {lhs} {bare}))"
+                )
+            else:
+                repl = bare
         elif (op, quant) == ("=", "ANY"):
-            out.append(f"IN ({sub})")
+            repl = f"IN ({sub})"
         elif (op, quant) == ("!=", "ALL"):
-            out.append(f"NOT IN ({sub})")
+            repl = f"NOT IN ({sub})"
         else:
             raise ValueError(
                 f"unsupported quantified comparison: {op} {quant}"
             )
+        out.append(sql[pos:start])
+        out.append(repl)
         pos = i + 1
 
 

@@ -79,3 +79,33 @@ def test_range_join_bin_boundary(spark):
         left, right, "user_id", "err_ts", "click_ts", 600
     ).collect()
     assert len(out) == 1
+
+
+def test_asof_forward_with_ties_and_missing(spark):
+    left = _ts(
+        spark,
+        [
+            (1, 7, "2024-01-01 10:00:00"),   # next purchase @12:00 -> 200
+            (2, 7, "2024-01-01 12:00:00"),   # tie with p@12:00 -> 200
+            (3, 7, "2024-01-01 13:00:00"),   # after the last purchase -> NULL
+            (4, 8, "2024-01-01 10:00:00"),   # other key, no purchases -> NULL
+            (5, 7, "2024-01-01 08:00:00"),   # earliest following is @09:00
+        ],
+        "event_id long, user_id long, ts string",
+    )
+    right = _ts(
+        spark,
+        [
+            (7, "2024-01-01 09:00:00", 100.0),
+            (7, "2024-01-01 12:00:00", 200.0),
+        ],
+        "user_id long, ts string, value double",
+    )
+    out = {
+        r.event_id: (r.value_asof)
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", ["value"],
+            direction="forward",
+        ).collect()
+    }
+    assert out == {1: 200.0, 2: 200.0, 3: None, 4: None, 5: 100.0}

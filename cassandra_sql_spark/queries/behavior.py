@@ -29,7 +29,12 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from cassandra_sql_spark.queries.base import Q, sql_q
+import math
+
+from pyspark.sql import functions as F
+
+from cassandra_sql_spark.io import load
+from cassandra_sql_spark.queries.base import Q, df_q, sql_q
 
 # ---------------------------------------------------------------------------
 # PageRank SQL is built programmatically: same text both engines except
@@ -106,11 +111,88 @@ SELECT page, pr FROM r3 ORDER BY pr DESC, page
 """
 
 
-_SPARK_K = "CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT)"
 _DUCK_K = (
     "CAST(CASE WHEN props IS NOT NULL AND json_valid(props)"
     " THEN JSON_EXTRACT_STRING(props, '$.k') END AS BIGINT)"
 )
+
+
+def _pagerank(spark, sf):
+    """DataFrame PageRank: the event log is scanned ONCE to build the
+    weighted edge list, which is localCheckpoint-ed (it is at most
+    |pages|² rows — model-sized, not data-sized); the three rank
+    iterations then join only the materialized graph. The equivalent
+    pure-SQL CTE chain re-expands `edges` under Catalyst's CTE inlining
+    into 22 scans of the raw log — measured here, and fatal at 100 TB.
+    The oracle keeps the CTE form (DuckDB materializes CTEs).
+
+    Math matches the oracle bit-for-bit: every per-edge term and every
+    rank is quantized to 9dp via FLOOR(x*1e9+0.5) on doubles, so sums
+    are order-independent and Python/JVM/DuckDB compute identical IEEE
+    results."""
+    ev = load(spark, sf, "events")
+    page = F.get_json_object("props", "$.k").cast("bigint")
+    from pyspark.sql import Window
+
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        page.alias("src"), F.col("user_id"), F.col("ts"), F.col("event_id")
+    ).select("src", F.lead("src").over(w_user).alias("dst"))
+    edges = (
+        seq.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("cnt").cast("long").alias("deg"))
+    wdf = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", (F.col("cnt") / F.col("deg").cast("double")).alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        wdf.select(F.col("src").alias("page"))
+        .union(wdf.select(F.col("dst").alias("page")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    scale = float(_SCALE)
+
+    def q9_lit(x: float) -> float:
+        return math.floor(x * scale + 0.5) / scale
+
+    def q9_col(c):
+        return (
+            F.floor(c * F.lit(scale) + F.lit(0.5)).cast("bigint").cast("double")
+            / F.lit(scale)
+        )
+
+    ranks = nodes.select("page", F.lit(q9_lit(1.0 / n)).alias("pr"))
+    teleport = 0.15 / n
+    for _ in range(3):
+        contrib = (
+            wdf.join(ranks, wdf.src == ranks.page)
+            .select(
+                "dst",
+                F.floor(F.col("pr") * F.col("wt") * F.lit(scale) + F.lit(0.5))
+                .cast("bigint")
+                .alias("_term"),
+            )
+            .groupBy("dst")
+            .agg(
+                (F.sum("_term").cast("double") / F.lit(scale)).alias("insum")
+            )
+        )
+        ranks = nodes.join(
+            contrib, nodes.page == contrib.dst, "left"
+        ).select(
+            "page",
+            q9_col(
+                F.lit(teleport)
+                + F.lit(0.85) * F.coalesce(F.col("insum"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return ranks.orderBy(F.desc("pr"), "page")
 
 
 QUERIES: dict[str, Q] = {
@@ -210,8 +292,8 @@ QUERIES: dict[str, Q] = {
     # events of the same user, edge weight = transition count /
     # out-degree. Dangling pages keep their teleport share (no
     # redistribution) — identical simplification both engines.
-    "graph_pagerank": sql_q(
-        _pagerank_sql(_SPARK_K),
+    "graph_pagerank": df_q(
+        _pagerank,
         ("events",),
         oracle=_pagerank_sql(_DUCK_K),
     ),

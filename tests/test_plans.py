@@ -373,3 +373,14 @@ def test_unpivot_stays_map_side(spark, sf_dir):
     """UNPIVOT is an Expand/Generate over the scan — no shuffle."""
     plan = plan_of(spark, sf_dir, "unpivot_measures")
     assert "Exchange" not in plan
+
+
+def test_pagerank_iterations_never_rescan_the_event_log(spark, sf_dir):
+    """graph_pagerank materializes the weighted edge list once; the
+    3-iteration rank plan must reference only the checkpointed graph.
+    (The pure-SQL CTE form re-expands under Catalyst inlining into 22
+    scans + 22 window sorts of the raw log — fatal at 100 TB.)"""
+    plan = plan_of(spark, sf_dir, "graph_pagerank")
+    assert "Scan parquet" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan

@@ -11,12 +11,11 @@ pipelines). All four are pure ANSI SQL on both engines and Catalyst
 plans them as a handful of hash aggregates + one window exchange each.
 
 Scale notes (100 TB):
-- funnel: three key-partitioned aggregates over the same user_id
-  hash partitioning; each stage's output is |users|, far smaller than
-  the event log, so the stage joins broadcast or stay co-partitioned.
-- retention: one groupBy(user_id) for cohorts (|users| rows, broadcast-
-  joinable back), one DISTINCT on (user, week) — both map-side
-  combinable.
+- funnel: ONE scan and one user_id exchange — both running-MIN windows
+  share the same partitioning+ordering, and the stage counts are
+  filtered COUNT(DISTINCT)s over the windowed rows.
+- retention: one scan; the cohort week is an unordered per-user window
+  MIN (no join back), then one DISTINCT + one aggregate.
 - sequence detection: a single window pass per user ordered by time;
   one shuffle on user_id, no self-join (the naive formulation is an
   event×event self-join — quadratic in the hot users).
@@ -199,51 +198,62 @@ QUERIES: dict[str, Q] = {
     # Ordered conversion funnel view -> click -> purchase: each later
     # stage must happen strictly after the user's earliest prior-stage
     # event, and the whole journey must close within 30 days of the
-    # first view. MIN-per-user cascade: three aggregates, no window,
-    # no event x event self-join.
+    # first view. Single-pass formulation: two running-MIN windows over
+    # the SAME (user_id, time) partitioning -- one exchange, one scan --
+    # then three filtered COUNT(DISTINCT)s. (The per-stage CTE cascade
+    # re-expands under Catalyst inlining into 7 scans of the log; the
+    # running-min form is equivalent because a user's global first view
+    # is exactly the first view preceding any qualifying later event.)
     "event_funnel": sql_q(
         """
-        WITH v AS (
-          SELECT user_id, MIN(ts) AS t1 FROM events
-          WHERE event_type = 'view' GROUP BY user_id
+        WITH seq AS (
+          SELECT user_id, ts, event_id, event_type,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER w AS first_view
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ),
-        c AS (
-          SELECT e.user_id, MIN(e.ts) AS t2
-          FROM events e JOIN v ON e.user_id = v.user_id
-          WHERE e.event_type = 'click' AND e.ts > v.t1
-          GROUP BY e.user_id
-        ),
-        p AS (
-          SELECT e.user_id, MIN(e.ts) AS t3
-          FROM events e
-          JOIN c ON e.user_id = c.user_id
-          JOIN v ON e.user_id = v.user_id
-          WHERE e.event_type = 'purchase' AND e.ts > c.t2
-            AND e.ts <= v.t1 + INTERVAL 30 DAY
-          GROUP BY e.user_id
+        seq2 AS (
+          SELECT user_id, ts, event_type, first_view,
+                 MIN(CASE WHEN event_type = 'click'
+                          AND ts > first_view THEN ts END)
+                   OVER w2 AS first_click
+          FROM seq
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         )
-        SELECT (SELECT COUNT(*) FROM v) AS stage_view,
-               (SELECT COUNT(*) FROM c) AS stage_click,
-               (SELECT COUNT(*) FROM p) AS stage_purchase
+        SELECT COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                   THEN user_id END) AS stage_view,
+               COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                   AND ts > first_view
+                                   THEN user_id END) AS stage_click,
+               COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                   AND ts > first_click
+                                   AND ts <= first_view + INTERVAL 30 DAY
+                                   THEN user_id END) AS stage_purchase
+        FROM seq2
         """,
         ("events",),
     ),
     # Weekly cohort retention: cohort = ISO week of the user's first
     # event; active_users(cohort, n) = distinct users from that cohort
-    # seen again n whole weeks later. datediff() argument order is the
-    # one dialect split.
+    # seen again n whole weeks later. Single scan: the cohort week is an
+    # unordered per-user window MIN, so no second pass over the log and
+    # no join. datediff() argument order is the one dialect split.
     "event_retention_cohort": sql_q(
         """
-        WITH firsts AS (
-          SELECT user_id,
-                 CAST(DATE_TRUNC('WEEK', MIN(ts)) AS DATE) AS cohort_week
-          FROM events GROUP BY user_id
-        ),
-        act AS (
-          SELECT DISTINCT e.user_id, f.cohort_week,
-                 CAST(FLOOR(DATEDIFF(CAST(e.ts AS DATE), f.cohort_week)
+        WITH act AS (
+          SELECT DISTINCT user_id, cohort_week,
+                 CAST(FLOOR(DATEDIFF(CAST(ts AS DATE), cohort_week)
                             / 7) AS BIGINT) AS week_n
-          FROM events e JOIN firsts f ON e.user_id = f.user_id
+          FROM (
+            SELECT user_id, ts,
+                   CAST(DATE_TRUNC('WEEK',
+                        MIN(ts) OVER (PARTITION BY user_id)) AS DATE)
+                     AS cohort_week
+            FROM events
+          ) f
         )
         SELECT cohort_week, week_n, COUNT(*) AS active_users
         FROM act GROUP BY cohort_week, week_n
@@ -251,16 +261,17 @@ QUERIES: dict[str, Q] = {
         """,
         ("events",),
         oracle="""
-        WITH firsts AS (
-          SELECT user_id,
-                 CAST(DATE_TRUNC('WEEK', MIN(ts)) AS DATE) AS cohort_week
-          FROM events GROUP BY user_id
-        ),
-        act AS (
-          SELECT DISTINCT e.user_id, f.cohort_week,
-                 CAST(FLOOR(DATEDIFF('day', f.cohort_week, CAST(e.ts AS DATE))
+        WITH act AS (
+          SELECT DISTINCT user_id, cohort_week,
+                 CAST(FLOOR(DATEDIFF('day', cohort_week, CAST(ts AS DATE))
                             / 7) AS BIGINT) AS week_n
-          FROM events e JOIN firsts f ON e.user_id = f.user_id
+          FROM (
+            SELECT user_id, ts,
+                   CAST(DATE_TRUNC('WEEK',
+                        MIN(ts) OVER (PARTITION BY user_id)) AS DATE)
+                     AS cohort_week
+            FROM events
+          ) f
         )
         SELECT cohort_week, week_n, COUNT(*) AS active_users
         FROM act GROUP BY cohort_week, week_n

@@ -39,21 +39,20 @@ from cassandra_sql_spark.queries.base import Q, df_q, sql_q
 # TF-IDF: score = tf * ln(N/df), quantized to 9dp via the scaled-integer
 # idiom so ranking and hashing agree across engines (same precedent as
 # mix_source_kl's LN term sums). Ranking orders by the QUANTIZED score
-# so a last-ulp LN difference cannot flip the top-3.
+# so a last-ulp LN difference cannot flip the top-3. df and N both
+# derive from the (doc, tok, tf) table — one row per posting — so the
+# token stream is aggregated exactly once.
 _TFIDF_BODY = """
-tf AS (
-  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
-),
 df AS (
-  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+  SELECT tok, COUNT(*) AS df FROM {tf} GROUP BY tok
 ),
-n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM {tf}),
 scored AS (
-  SELECT tf.doc_id, tf.tok,
-         CAST(CAST(FLOOR(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df)
+  SELECT t.doc_id, t.tok,
+         CAST(CAST(FLOOR(t.tf * LN(CAST(n.n AS DOUBLE) / df.df)
                          * 1000000000 + 0.5) AS BIGINT) AS DOUBLE)
            / 1000000000 AS tfidf
-  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+  FROM {tf} t JOIN df ON t.tok = df.tok CROSS JOIN n
 )
 SELECT doc_id, tok, tfidf, rk FROM (
   SELECT doc_id, tok, tfidf,
@@ -64,6 +63,28 @@ SELECT doc_id, tok, tfidf, rk FROM (
 WHERE rk <= 3
 ORDER BY doc_id, rk
 """
+
+
+def _tfidf(spark, sf):
+    """One corpus scan: explode -> (doc, tok, tf) aggregate, then
+    localCheckpoint the posting table (vocab x docs rows, far smaller
+    than the token stream) so the three downstream consumers (df, N,
+    scoring join) read the materialized postings instead of Catalyst
+    re-expanding the explode per CTE reference (3 corpus scans,
+    measured — the 100 TB hazard)."""
+    docs = load(spark, sf, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    tf.createOrReplaceTempView("tfidf_postings")
+    return spark.sql("WITH " + _TFIDF_BODY.format(tf="tfidf_postings"))
 
 # URL canonicalization: the synthetic raw URL exercises every rule —
 # uppercase scheme/host, explicit default port, www. prefix, utm_*
@@ -230,16 +251,8 @@ def _kmeans(spark, sf):
 
 QUERIES: dict[str, Q] = {
     # TF-IDF top-3 key terms per document (whitespace tokens, ln(N/df)).
-    "text_tfidf_topterms": sql_q(
-        """
-        WITH toks AS (
-          SELECT doc_id, tok FROM (
-            SELECT doc_id, EXPLODE(SPLIT(TRIM(text), '\\\\s+')) AS tok
-            FROM documents
-          ) x WHERE tok <> ''
-        ),
-        """
-        + _TFIDF_BODY,
+    "text_tfidf_topterms": df_q(
+        _tfidf,
         ("documents",),
         oracle="""
         WITH toks AS (
@@ -249,8 +262,11 @@ QUERIES: dict[str, Q] = {
             FROM documents
           ) x WHERE tok <> ''
         ),
+        tfx AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+        ),
         """
-        + _TFIDF_BODY,
+        + _TFIDF_BODY.format(tf="tfx"),
     ),
     # URL canonicalization + dedup (first pass of web-crawl curation).
     "dedup_url_canonical": sql_q(

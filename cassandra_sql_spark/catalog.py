@@ -74,6 +74,9 @@ class Catalog:
         self.views: dict[str, ViewMeta] = {}
         self.enums: dict[str, list[str]] = {}
         self.sequences: dict[str, dict] = {}  # name -> {current, increment}
+        # SQL-body scalar functions (CREATE FUNCTION):
+        # name -> {params, returns, returns_pg, body}
+        self.functions: dict[str, dict] = {}
         self._load()
 
     # -- persistence ---------------------------------------------------------
@@ -90,6 +93,7 @@ class Catalog:
             self.views[v["name"]] = ViewMeta(**v)
         self.enums = raw.get("enums", {})
         self.sequences = raw.get("sequences", {})
+        self.functions = raw.get("functions", {})
 
     def save(self) -> None:
         with self._lock:
@@ -101,6 +105,7 @@ class Catalog:
                         "views": [asdict(v) for v in self.views.values()],
                         "enums": self.enums,
                         "sequences": self.sequences,
+                        "functions": self.functions,
                     },
                     f,
                     indent=1,

@@ -125,6 +125,8 @@ class Engine:
             self._register(meta)
         for view in self.catalog.views.values():
             self._register_view(view)
+        for fname, fmeta in self.catalog.functions.items():
+            self._register_function(fname, fmeta)
         self._register_pg_catalog()
 
     # ------------------------------------------------------------------ util
@@ -294,12 +296,20 @@ class Engine:
             "indexrelid bigint, indrelid bigint, indnatts int, "
             "indisunique boolean, indisprimary boolean, indkey string",
         ).createOrReplaceTempView("pg_index")
-        # pg_proc: engine functions are Spark built-ins, not catalog rows —
-        # an empty relation with the psql-queried columns (mirrors the
-        # reference, which creates the table and inserts nothing).
+        # pg_proc: built-in functions stay out (mirrors the reference,
+        # which creates the table and inserts nothing) but user
+        # CREATE FUNCTION rows appear with their declared return type,
+        # so psql's \df lists them.
         spark.createDataFrame(
-            [], "oid bigint, proname string, pronamespace bigint, "
-                "prorettype bigint",
+            [
+                (16384 + i, name, 2200,
+                 self._type_oid(meta["returns_pg"]))
+                for i, (name, meta) in enumerate(
+                    sorted(self.catalog.functions.items())
+                )
+            ],
+            "oid bigint, proname string, pronamespace bigint, "
+            "prorettype bigint",
         ).createOrReplaceTempView("pg_proc")
         spark.createDataFrame(
             [(5, "cassandra_sql", 10, 6)],
@@ -586,6 +596,15 @@ class Engine:
             return self._refresh_mv(s)
         if kw[0] == "DROP" and kw[1] in ("VIEW", "MATERIALIZED"):
             return self._drop_view(s)
+        if kw[0] == "CREATE" and (
+            kw[1] == "FUNCTION"
+            or (kw[1] == "OR" and re.match(
+                r"CREATE\s+OR\s+REPLACE\s+FUNCTION\b", s, re.IGNORECASE
+            ))
+        ):
+            return self._create_function(s)
+        if kw[0] == "DROP" and kw[1] == "FUNCTION":
+            return self._drop_function(s)
         if kw[0] == "INSERT":
             return self._insert(s)
         if kw[0] == "UPDATE":
@@ -1276,6 +1295,130 @@ class Engine:
         elif "IF EXISTS" not in s.upper():
             raise EngineError(f"view not found: {name}")
         return self._status(f"drop view {name}")
+
+    # ------------------------------------------------- SQL-body functions
+    #
+    # CREATE FUNCTION (pg SQL-language scalar functions; the reference
+    # has no user functions at all — kv/CalciteSqlParser.java accepts
+    # only built-ins). Accepted bodies: pg's `AS $$ SELECT expr $$
+    # LANGUAGE SQL`, `AS 'expr' LANGUAGE SQL`, and the pg14/standard
+    # `RETURN expr`. All compile to a Spark 4 SQL UDF (`CREATE OR
+    # REPLACE TEMPORARY FUNCTION ... RETURN expr`) — inlined into the
+    # plan at analysis time, fully JVM/codegen, no Python round-trip —
+    # and persist in the catalog so a fresh Engine re-registers them.
+
+    def _register_function(self, name: str, fmeta: dict) -> None:
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+            f"({fmeta['params']}) RETURNS {fmeta['returns']}"
+            f" RETURN {fmeta['body']}"
+        )
+
+    def _create_function(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+({_IDENT})\s*\(",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise EngineError(f"bad CREATE FUNCTION: {s[:80]}")
+        replace, name = bool(m.group(1)), m.group(2).lower()
+        if name in self.catalog.functions and not replace:
+            raise EngineError(f'function "{name}" already exists')
+        # balanced-paren parameter list (types may carry (p,s) suffixes)
+        open_i = s.index("(", m.end(2))
+        depth, i = 0, open_i
+        for i in range(open_i, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            raise EngineError(f"bad CREATE FUNCTION params: {s[:80]}")
+        raw_params = s[open_i + 1:i].strip()
+        tail = s[i + 1:].strip()
+        tm = re.match(
+            r"RETURNS\s+([A-Za-z_][\w ]*?"
+            r"(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s+(.*)$",
+            tail,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not tm:
+            raise EngineError(f"CREATE FUNCTION needs RETURNS <type>: {s[:80]}")
+        ret_pg, body_sql = tm.group(1).strip(), tm.group(2).strip()
+        body = self._function_body(body_sql)
+        params = []
+        if raw_params:
+            for p in self._split_defs(raw_params):
+                pm = re.match(rf"({_IDENT})\s+(.+)$", p.strip(), re.DOTALL)
+                if not pm:
+                    raise EngineError(f"bad function parameter: {p!r}")
+                params.append(
+                    f"{pm.group(1)} {map_pg_type(pm.group(2))}"
+                )
+        fmeta = {
+            "params": ", ".join(params),
+            "returns": map_pg_type(ret_pg),
+            "returns_pg": ret_pg.upper(),
+            "body": body,
+        }
+        self._register_function(name, fmeta)  # Spark validates the body
+        self.catalog.functions[name] = fmeta
+        self.catalog.save()
+        return self._status(f"create function {name}")
+
+    @staticmethod
+    def _function_body(tail: str) -> str:
+        """Extract the scalar expression from the accepted body forms."""
+        tail = tail.strip().rstrip(";").strip()
+        m = re.match(
+            r"AS\s*\$\$(.*)\$\$\s*(?:LANGUAGE\s+SQL)?\s*$",
+            tail,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            m = re.match(
+                r"AS\s*'((?:[^']|'')*)'\s*LANGUAGE\s+SQL\s*$",
+                tail,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m:
+                body = m.group(1).replace("''", "'").strip()
+                return re.sub(
+                    r"^SELECT\s+", "", body, flags=re.IGNORECASE
+                ).rstrip(";").strip()
+        if m:
+            body = m.group(1).strip()
+            return re.sub(
+                r"^SELECT\s+", "", body, flags=re.IGNORECASE
+            ).rstrip(";").strip()
+        m = re.match(
+            r"(?:LANGUAGE\s+SQL\s+)?RETURN\s+(.+)$",
+            tail,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return m.group(1).strip()
+        raise EngineError(f"unsupported function body: {tail[:80]}")
+
+    def _drop_function(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?({_IDENT})\s*(\(.*?\))?\s*;?\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"bad DROP FUNCTION: {s[:80]}")
+        name = m.group(2).lower()
+        if name in self.catalog.functions:
+            del self.catalog.functions[name]
+            self.catalog.save()
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+        elif not m.group(1):
+            raise EngineError(f"function not found: {name}")
+        return self._status(f"drop function {name}")
 
     # ----------------------------------------------------------------- DML
 

@@ -870,3 +870,81 @@ def test_default_column_values(eng):
     # DEFAULT + NOT NULL: omitted column passes the constraint via the fill
     eng.sql("INSERT INTO dflt (id) VALUES (4)")
     assert rows(eng.sql("SELECT count(*) n FROM dflt")) == [(4,)]
+
+
+# ------------------------------------------------ CREATE FUNCTION (SQL body)
+
+def test_create_function_return_form(eng):
+    eng.sql("CREATE TABLE fx (id INT, amt DOUBLE)")
+    eng.sql("INSERT INTO fx VALUES (1, 100.0), (2, 50.0)")
+    eng.sql(
+        "CREATE FUNCTION add_tax(amount DOUBLE) RETURNS DOUBLE"
+        " RETURN amount * 1.21"
+    )
+    assert rows(
+        eng.sql("SELECT id, add_tax(amt) t FROM fx ORDER BY id")
+    ) == [(1, 121.0), (2, 60.5)]
+
+
+def test_create_function_pg_dollar_body(eng):
+    eng.sql(
+        "CREATE FUNCTION short_label(s TEXT, n INTEGER) RETURNS TEXT"
+        " AS $$ SELECT CONCAT(SUBSTR(s, 1, n), '...') $$ LANGUAGE SQL"
+    )
+    assert rows(eng.sql("SELECT short_label('abcdefgh', 3) l")) == [
+        ("abc...",)
+    ]
+
+
+def test_create_function_quoted_body_language_sql(eng):
+    eng.sql(
+        "CREATE FUNCTION neg(x INT) RETURNS INT AS 'SELECT -x' LANGUAGE SQL"
+    )
+    assert rows(eng.sql("SELECT neg(7) n")) == [(-7,)]
+
+
+def test_create_function_or_replace_and_duplicate(eng):
+    eng.sql("CREATE FUNCTION f1(x INT) RETURNS INT RETURN x + 1")
+    with pytest.raises(EngineError, match="already exists"):
+        eng.sql("CREATE FUNCTION f1(x INT) RETURNS INT RETURN x + 2")
+    eng.sql("CREATE OR REPLACE FUNCTION f1(x INT) RETURNS INT RETURN x + 2")
+    assert rows(eng.sql("SELECT f1(1) v")) == [(3,)]
+
+
+def test_drop_function(eng):
+    eng.sql("CREATE FUNCTION gone(x INT) RETURNS INT RETURN x")
+    eng.sql("DROP FUNCTION gone")
+    with pytest.raises(Exception):
+        eng.sql("SELECT gone(1)").collect()
+    with pytest.raises(EngineError, match="not found"):
+        eng.sql("DROP FUNCTION gone")
+    eng.sql("DROP FUNCTION IF EXISTS gone")  # no-op, no raise
+
+
+def test_function_persists_across_engines(spark, tmp_path):
+    wh = str(tmp_path / "fnwh")
+    e1 = Engine(spark, warehouse=wh)
+    e1.sql(
+        "CREATE FUNCTION double_it(x BIGINT) RETURNS BIGINT RETURN x * 2"
+    )
+    e2 = Engine(spark, warehouse=wh)
+    assert rows(e2.sql("SELECT double_it(21) v")) == [(42,)]
+
+
+def test_function_appears_in_pg_proc(eng):
+    eng.sql("CREATE FUNCTION visible(x INT) RETURNS DOUBLE RETURN x * 0.5")
+    got = rows(eng.sql(
+        "SELECT proname, prorettype FROM pg_proc WHERE proname = 'visible'"
+    ))
+    assert got == [("visible", 701)]  # float8 oid
+    eng.sql("DROP FUNCTION visible")
+    assert rows(eng.sql("SELECT COUNT(*) n FROM pg_proc")) == [(0,)]
+
+
+def test_function_body_with_keywordish_literal(eng):
+    # literal containing 'LANGUAGE SQL' / 'RETURN' must not confuse parsing
+    eng.sql(
+        "CREATE FUNCTION tricky(x INT) RETURNS TEXT"
+        " RETURN CONCAT('return language sql ', CAST(x AS STRING))"
+    )
+    assert rows(eng.sql("SELECT tricky(1) t")) == [("return language sql 1",)]

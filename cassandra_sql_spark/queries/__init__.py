@@ -146,6 +146,10 @@ NEXT_WINDOW: tuple[str, ...] = (
     "expr_interval_typed",
     "expr_width_bucket",
     "explode_ordinality",
+    "expr_ansi_string_spellings",
+    "agg_mode_deterministic",
+    "scd2_intervals",
+    "event_path_trigrams",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

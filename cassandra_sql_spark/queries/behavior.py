@@ -298,6 +298,59 @@ QUERIES: dict[str, Q] = {
         """,
         ("events",),
     ),
+    # SCD2 validity intervals from a change log: per-entity versions
+    # with valid_from / valid_to / is_current / version — the warehouse
+    # "slowly changing dimension" reconstruction. One LEAD pass per
+    # entity; at 100 TB one shuffle on the entity key.
+    "scd2_intervals": sql_q(
+        """
+        SELECT user_id, ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to,
+               LEAD(ts) OVER w IS NULL AS is_current,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+               value AS attr
+        FROM events WHERE event_type = 'signup'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, version
+        """,
+        ("events",),
+    ),
+    # Top session paths: 30-minute-gap sessions, event-type trigrams in
+    # session order, global top-10. The || concat propagates NULL on
+    # both engines (CONCAT does not: DuckDB's skips NULLs), so
+    # incomplete trigrams at session tails drop out identically.
+    "event_path_trigrams": sql_q(
+        """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL '30' MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        assigned AS (
+          SELECT user_id, ts, event_id, event_type,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM flagged
+        ),
+        tri AS (
+          SELECT event_type || '>' || LEAD(event_type) OVER w2
+                 || '>' || LEAD(event_type, 2) OVER w2 AS path
+          FROM assigned
+          WINDOW w2 AS (PARTITION BY user_id, session_no
+                        ORDER BY ts, event_id)
+        )
+        SELECT path, COUNT(*) AS n
+        FROM tri WHERE path IS NOT NULL
+        GROUP BY path
+        ORDER BY n DESC, path
+        LIMIT 10
+        """,
+        ("events",),
+    ),
     # PageRank (damping 0.85, 3 unrolled iterations) over the page
     # transition graph: nodes = props.k page ids, edges = consecutive
     # events of the same user, edge weight = transition count /

@@ -191,4 +191,52 @@ QUERIES: dict[str, Q] = {
         ) x ORDER BY p_partkey, ord
         """,
     ),
+    # ANSI-standard string spellings (SUBSTRING FROM/FOR, POSITION IN,
+    # TRIM BOTH/LEADING FROM, OVERLAY PLACING): the keyword forms many
+    # tools emit. DuckDB has no OVERLAY — the oracle composes it from
+    # substr || replacement || substr.
+    "expr_ansi_string_spellings": sql_q(
+        """
+        SELECT p_partkey,
+               SUBSTRING(p_name FROM 2 FOR 5) AS sub,
+               CAST(POSITION('a' IN p_name) AS BIGINT) AS pos_a,
+               TRIM(BOTH 'x' FROM 'xx' || p_brand || 'xx') AS btrim,
+               TRIM(LEADING '#' FROM '##' || p_type) AS ltrim_hash,
+               OVERLAY(p_brand PLACING 'ZZ' FROM 1 FOR 2) AS overlaid
+        FROM part WHERE p_partkey < 300
+        ORDER BY p_partkey
+        """,
+        ("part",),
+        oracle="""
+        SELECT p_partkey,
+               SUBSTRING(p_name FROM 2 FOR 5) AS sub,
+               CAST(POSITION('a' IN p_name) AS BIGINT) AS pos_a,
+               TRIM(BOTH 'x' FROM 'xx' || p_brand || 'xx') AS btrim,
+               TRIM(LEADING '#' FROM '##' || p_type) AS ltrim_hash,
+               'ZZ' || SUBSTR(p_brand, 3) AS overlaid
+        FROM part WHERE p_partkey < 300
+        ORDER BY p_partkey
+        """,
+    ),
+    # Deterministic MODE: most frequent value per group with ties broken
+    # by the value itself (both engines' native mode() picks an
+    # unspecified row on ties, so the portable form is the windowed one).
+    "agg_mode_deterministic": sql_q(
+        """
+        WITH c AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+          FROM orders GROUP BY o_orderstatus, o_orderpriority
+        )
+        SELECT o_orderstatus, o_orderpriority AS modal_priority, cnt
+        FROM (
+          SELECT o_orderstatus, o_orderpriority, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY cnt DESC, o_orderpriority) AS rn
+          FROM c
+        ) x
+        WHERE rn = 1
+        ORDER BY o_orderstatus
+        """,
+        ("orders",),
+    ),
 }

@@ -150,6 +150,13 @@ NEXT_WINDOW: tuple[str, ...] = (
     "agg_mode_deterministic",
     "scd2_intervals",
     "event_path_trigrams",
+    "agg_higher_moments",
+    "win_ratio_to_report",
+    "pivot_native",
+    "dedup_fuzzy_names",
+    "sketch_kmv_distinct",
+    "sample_weighted",
+    "series_resample_ohlc",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

@@ -239,4 +239,101 @@ QUERIES: dict[str, Q] = {
         """,
         ("orders",),
     ),
+    # Higher-moment aggregates: skewness / excess kurtosis / covariance.
+    # Spark's skewness/kurtosis are the POPULATION moments (g1 = m3/m2^1.5,
+    # g2 = m4/m2^2 - 3) while DuckDB's builtins apply the sample
+    # correction, so the oracle recomputes the population moments
+    # explicitly from a two-pass centered AVG (numerically stable — no
+    # raw-moment cancellation). covar_pop/covar_samp agree natively.
+    # Quantized at 6 decimals (skew/kurt are O(1)) / 2 decimals (covar is
+    # O(price*qty)) to absorb summation-order ulps on both engines.
+    "agg_higher_moments": sql_q(
+        """
+        SELECT l_returnflag,
+               CAST(CAST(skewness(l_quantity) AS DECIMAL(18,6))
+                    AS DOUBLE) AS qty_skew,
+               CAST(CAST(kurtosis(l_quantity) AS DECIMAL(18,6))
+                    AS DOUBLE) AS qty_kurt,
+               CAST(CAST(covar_pop(l_quantity, l_extendedprice)
+                    AS DECIMAL(18,2)) AS DOUBLE) AS qp_covar_pop,
+               CAST(CAST(covar_samp(l_quantity, l_extendedprice)
+                    AS DECIMAL(18,2)) AS DOUBLE) AS qp_covar_samp
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+        ("lineitem",),
+        oracle="""
+        WITH mu AS (
+          SELECT l_returnflag, AVG(l_quantity) AS m
+          FROM lineitem GROUP BY l_returnflag
+        ),
+        c AS (
+          SELECT l.l_returnflag,
+                 AVG(POWER(l.l_quantity - mu.m, 2)) AS m2,
+                 AVG(POWER(l.l_quantity - mu.m, 3)) AS m3,
+                 AVG(POWER(l.l_quantity - mu.m, 4)) AS m4,
+                 covar_pop(l.l_quantity, l.l_extendedprice) AS cp,
+                 covar_samp(l.l_quantity, l.l_extendedprice) AS cs
+          FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+          GROUP BY l.l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(CAST(m3 / POWER(m2, 1.5) AS DECIMAL(18,6))
+                    AS DOUBLE) AS qty_skew,
+               CAST(CAST(m4 / (m2 * m2) - 3.0 AS DECIMAL(18,6))
+                    AS DOUBLE) AS qty_kurt,
+               CAST(CAST(cp AS DECIMAL(18,2)) AS DOUBLE) AS qp_covar_pop,
+               CAST(CAST(cs AS DECIMAL(18,2)) AS DOUBLE) AS qp_covar_samp
+        FROM c
+        """,
+    ),
+    # Share-of-total / ratio_to_report: per-row fraction of the group
+    # total plus the running cumulative share in descending-value order
+    # (the "top customers' orders cover X% of their spend" report shape).
+    # One window partition (= one shuffle on o_custkey) serves both
+    # frames. Identical ANSI SQL on both engines.
+    "win_ratio_to_report": sql_q(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice
+                    / SUM(o_totalprice) OVER (PARTITION BY o_custkey)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS share,
+               CAST(CAST(SUM(o_totalprice) OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS UNBOUNDED PRECEDING)
+                    / SUM(o_totalprice) OVER (PARTITION BY o_custkey)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS cum_share
+        FROM orders
+        WHERE o_custkey < 200
+        """,
+        ("orders",),
+    ),
+    # Native PIVOT clause (long -> wide): day-of-week x event-type count
+    # matrix. Spark spells value aliases inline; DuckDB names the output
+    # columns after the bare IN literals — the aliases keep the two
+    # column sets identical. dayofweek(ts)-1 == DuckDB's extract(dow)
+    # (0 = Sunday). At scale this is one hash aggregate on (dow) with
+    # map-side partials — the pivot is a projection, not a shuffle.
+    "pivot_native": sql_q(
+        """
+        SELECT * FROM (
+          SELECT dayofweek(ts) - 1 AS dow, event_type FROM events
+        )
+        PIVOT (COUNT(*) FOR event_type IN
+               ('view' AS view, 'click' AS click, 'error' AS error,
+                'purchase' AS purchase, 'signup' AS signup))
+        ORDER BY dow
+        """,
+        ("events",),
+        oracle="""
+        SELECT * FROM (
+          SELECT CAST(extract(dow FROM ts) AS INTEGER) AS dow, event_type
+          FROM events
+        )
+        PIVOT (COUNT(*) FOR event_type IN
+               ('view', 'click', 'error', 'purchase', 'signup'))
+        ORDER BY dow
+        """,
+    ),
 }

@@ -284,4 +284,146 @@ QUERIES: dict[str, Q] = {
     ),
     # Standalone k-means clustering (rows-only; deterministic seeding).
     "emb_kmeans_clusters": df_q(_kmeans, ("embeddings",), None),
+    # Edit-distance fuzzy key consolidation (entity resolution on short
+    # keys: product names, vendor strings, column headers). The scale
+    # move is aggregate-FIRST: the corpus collapses to its distinct-key
+    # table (one shuffle, same cost as dedup_exact), and the O(k^2)
+    # levenshtein pass runs on the k distinct keys — independent of row
+    # count. At 100 TB with a large key domain, add a blocking join
+    # (first-token or length-band) before the pairwise pass; on the
+    # fixture k=64 so the broadcast nested-loop pair join is the right
+    # plan. Identical SQL on both engines (levenshtein is native JVM /
+    # native C respectively — no UDF).
+    "dedup_fuzzy_names": sql_q(
+        """
+        WITH names AS (
+          SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM part GROUP BY p_name
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+               a.n_rows AS rows_a, b.n_rows AS rows_b
+        FROM names a JOIN names b
+          ON a.p_name < b.p_name
+         AND levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        ("part",),
+    ),
+    # KMV (bottom-k minimum values) distinct-count sketch: keep the k
+    # smallest md5 hashes per shard; estimate = (k-1)/frac(h_(k)).
+    # Unlike the HLL entries (engine-specific estimators, graded as
+    # bounds), KMV's arithmetic is pure hash math both engines reproduce
+    # EXACTLY — the estimate itself is the graded value. Mergeable:
+    # union of bottom-k sets -> bottom-k of the union, so per-shard
+    # sketches fold into a corpus sketch without rescanning (same
+    # operating mode as sketch_shard_merge). k=8 so the estimator branch
+    # (not the exact-fallback) is exercised at the sf0.01 gate.
+    "sketch_kmv_distinct": sql_q(
+        """
+        WITH d AS (SELECT DISTINCT source, text FROM documents),
+        h AS (SELECT source, md5(text) AS hx FROM d),
+        r AS (
+          SELECT source, hx,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY hx) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS nd
+          FROM h
+        )
+        SELECT source,
+               CAST(MAX(nd) AS BIGINT) AS exact_distinct,
+               CAST(CAST(CASE WHEN MAX(nd) < 8 THEN CAST(MAX(nd) AS DOUBLE)
+                 ELSE 7.0 / (CAST(conv(substring(
+                        MAX(CASE WHEN rn = 8 THEN hx END), 1, 12), 16, 10)
+                      AS DOUBLE) / POWER(16.0, 12))
+                 END AS DECIMAL(18,4)) AS DOUBLE) AS kmv_estimate
+        FROM r WHERE rn <= 8
+        GROUP BY source
+        """,
+        ("documents",),
+        oracle="""
+        WITH d AS (SELECT DISTINCT source, text FROM documents),
+        h AS (SELECT source, md5(text) AS hx FROM d),
+        r AS (
+          SELECT source, hx,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY hx) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS nd
+          FROM h
+        )
+        SELECT source,
+               CAST(MAX(nd) AS BIGINT) AS exact_distinct,
+               CAST(CAST(CASE WHEN MAX(nd) < 8 THEN CAST(MAX(nd) AS DOUBLE)
+                 ELSE 7.0 / (CAST(CAST('0x' || substring(
+                        MAX(CASE WHEN rn = 8 THEN hx END), 1, 12)
+                      AS BIGINT) AS DOUBLE) / POWER(16.0, 12))
+                 END AS DECIMAL(18,4)) AS DOUBLE) AS kmv_estimate
+        FROM r WHERE rn <= 8
+        GROUP BY source
+        """,
+    ),
+    # Weighted sampling without replacement (Efraimidis-Spirakis): rank
+    # by ln(u)/w where u is a uniform from the doc's md5 (deterministic,
+    # partition-independent) and w = n_chars — longer docs proportionally
+    # likelier, the standard size-weighted corpus subsample. Top-n is a
+    # TakeOrderedAndProject (partial top-n per partition, no full sort).
+    # The key is quantized at 9 decimals (the _s6 idiom) so the two
+    # engines' ln() agree bit-for-bit after rounding; doc_id breaks ties.
+    "sample_weighted": sql_q(
+        """
+        SELECT doc_id, source, n_chars,
+               CAST(CAST(
+                 LN((CAST(conv(substring(
+                       md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)
+                     AS DOUBLE) + 1.0) / (POWER(16.0, 12) + 1.0))
+                 / CAST(n_chars AS DOUBLE)
+               AS DECIMAL(18,9)) AS DOUBLE) AS skey
+        FROM documents
+        ORDER BY skey DESC, doc_id
+        LIMIT 50
+        """,
+        ("documents",),
+        oracle="""
+        SELECT doc_id, source, n_chars,
+               CAST(CAST(
+                 LN((CAST(CAST('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                     AS BIGINT) AS DOUBLE) + 1.0) / (POWER(16.0, 12) + 1.0))
+                 / CAST(n_chars AS DOUBLE)
+               AS DECIMAL(18,9)) AS DOUBLE) AS skey
+        FROM documents
+        ORDER BY skey DESC, doc_id
+        LIMIT 50
+        """,
+    ),
+    # OHLC downsampling (candlestick resample): per day x event type,
+    # open/close via min_by/max_by on the (unique) event timestamp,
+    # low/high as plain MIN/MAX, volume as the exact scaled-integer sum.
+    # One hash aggregate with map-side partials — min_by/max_by partials
+    # carry a single (value, ts) pair per group per partition, so the
+    # shuffle is |days x types| rows regardless of event count.
+    "series_resample_ohlc": sql_q(
+        """
+        SELECT CAST(date_trunc('DAY', ts) AS DATE) AS day, event_type,
+               min_by(value, ts) AS open,
+               max_by(value, ts) AS close,
+               MIN(value) AS low,
+               MAX(value) AS high,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100 AS volume
+        FROM events
+        GROUP BY CAST(date_trunc('DAY', ts) AS DATE), event_type
+        """,
+        ("events",),
+        oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               min_by(value, ts) AS open,
+               max_by(value, ts) AS close,
+               MIN(value) AS low,
+               MAX(value) AS high,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100 AS volume
+        FROM events
+        GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
+        """,
+    ),
 }

@@ -157,6 +157,10 @@ NEXT_WINDOW: tuple[str, ...] = (
     "sketch_kmv_distinct",
     "sample_weighted",
     "series_resample_ohlc",
+    "stream_resample_ohlc",
+    "fetch_with_ties",
+    "agg_grouping_function",
+    "text_oov_rate",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

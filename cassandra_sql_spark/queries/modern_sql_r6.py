@@ -309,6 +309,44 @@ QUERIES: dict[str, Q] = {
         """,
         ("orders",),
     ),
+    # FETCH FIRST n ROWS WITH TIES (pg / SQL standard; Spark has no
+    # WITH TIES): the preprocessor rewrites to a RANK() <= n filter
+    # under the same ordering, so boundary ties survive. Ordering on
+    # l_quantity (50 distinct values) makes the tie semantics the whole
+    # answer: the first 10 ranked rows share quantity 1, so every
+    # quantity-1 row comes back, not 10 of them. Plan note: rank-limit
+    # compiles to a WindowGroupLimit partial below the exchange — the
+    # same top-n pushdown QUALIFY gets.
+    "fetch_with_ties": pg_q(
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        ORDER BY l_quantity
+        FETCH FIRST 10 ROWS WITH TIES
+        """,
+        ("lineitem",),
+        oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity FROM (
+          SELECT l_orderkey, l_linenumber, l_quantity,
+                 RANK() OVER (ORDER BY l_quantity) AS rk
+          FROM lineitem
+        ) WHERE rk <= 10
+        """,
+    ),
+    # GROUPING() disambiguates real NULL group keys from the NULLs
+    # ROLLUP synthesizes for subtotal rows (identical semantics both
+    # engines; Spark returns TINYINT, DuckDB BIGINT -> CAST to INT).
+    "agg_grouping_function": sql_q(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        ("orders",),
+    ),
     # Native PIVOT clause (long -> wide): day-of-week x event-type count
     # matrix. Spark spells value aliases inline; DuckDB names the output
     # columns after the bare IN literals — the aliases keep the two

@@ -393,6 +393,60 @@ QUERIES: dict[str, Q] = {
         LIMIT 50
         """,
     ),
+    # Tokenizer vocabulary coverage: per-document out-of-vocabulary
+    # rate against the corpus top-20 frequency vocab — the standard
+    # "how much of this corpus does my tokenizer cover" audit. Two
+    # corpus scans by design: the vocab-build pass aggregates to a
+    # model-sized table (at 100 TB it is built once and persisted,
+    # exactly like the unigram-LM and DSIR weight tables), and the
+    # scoring pass broadcast-joins it — per-doc aggregation is
+    # map-side-combinable, one shuffle on doc_id.
+    "text_oov_rate": sql_q(
+        """
+        WITH toks AS (
+          SELECT doc_id, tok
+          FROM documents
+          LATERAL VIEW explode(split(trim(text), '\\\\s+')) AS tok
+          WHERE tok <> ''
+        ),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM toks
+            GROUP BY tok ORDER BY c DESC, tok LIMIT 20
+          )
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(CAST(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                         AS DOUBLE) / COUNT(*)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id
+        """,
+        ("documents",),
+        oracle="""
+        WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok
+            FROM documents
+          ) x WHERE tok <> ''
+        ),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM toks
+            GROUP BY tok ORDER BY c DESC, tok LIMIT 20
+          )
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(CAST(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                         AS DOUBLE) / COUNT(*)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id
+        """,
+    ),
     # OHLC downsampling (candlestick resample): per day x event type,
     # open/close via min_by/max_by on the (unique) event timestamp,
     # low/high as plain MIN/MAX, volume as the exact scaled-integer sum.

@@ -73,6 +73,16 @@ def _attribution_left(spark, sf_dir):
     return spark.table("attr_left_q").filter(F.col("click_ts") < F.lit(cutoff))
 
 
+def _ohlc(spark, sf_dir):
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-ohlc-")
+    stream = ev.read_events_stream(spark, sf_dir)
+    bars = ev.ohlc_stream(stream)
+    # complete mode: every bar is emitted at drain end (append would
+    # hold back days younger than the final watermark)
+    ev.run_available_now(bars, "ohlc_q", ckpt, mode="complete")
+    return spark.table("ohlc_q")
+
+
 def _session_window(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="spark-graft-sesswin-")
     stream = ev.read_events_stream(spark, sf_dir)
@@ -194,6 +204,24 @@ QUERIES: dict[str, Q] = {
         """,
     ),
     "stream_sessionize": Q(_sessions, None),
+    # Streaming OHLC candlesticks: incremental min_by/max_by bars per
+    # (day, event_type); complete-mode drain equals the batch resample
+    # (series_resample_ohlc) — same oracle SQL.
+    "stream_resample_ohlc": Q(
+        _ohlc,
+        """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               min_by(value, ts) AS open,
+               max_by(value, ts) AS close,
+               MIN(value) AS low,
+               MAX(value) AS high,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100 AS volume
+        FROM events
+        GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
+        """,
+    ),
     # BUILT-IN session windows (zero-UDF gap sessions): drained complete-
     # mode result equals the batch gaps-and-islands the oracle runs;
     # session_end is last event + gap by the operator's definition.

@@ -523,6 +523,46 @@ def _rewrite_between_symmetric(sql: str) -> str:
     )
 
 
+_WITH_TIES = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+WITH\s+TIES\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_with_ties(sql: str) -> str:
+    """``ORDER BY keys FETCH FIRST n ROWS WITH TIES`` (pg / SQL standard;
+    Spark has no WITH TIES) -> a RANK() window filter: rows ranked <= n
+    under the same ordering, so boundary ties survive exactly as pg
+    keeps them. The body is wrapped as a subquery, which means the ORDER
+    BY keys must be projected output columns (pg can additionally order
+    by unprojected columns; that form raises in Spark's analyzer rather
+    than silently changing semantics). Depth-0 occurrence only —
+    subquery bodies pass through untouched."""
+    m = _WITH_TIES.search(sql)
+    if not m:
+        return sql
+    depth = _paren_depth(sql)
+    while m and depth[m.start()] != 0:
+        m = _WITH_TIES.search(sql, m.end())
+    if not m:
+        return sql
+    n = int(m.group(1) or 1)  # pg defaults the count to 1
+    head, tail = sql[: m.start()].rstrip(), sql[m.end() :]
+    ob = None
+    for mo in re.finditer(r"\bORDER\s+BY\b", head, flags=re.IGNORECASE):
+        if depth[mo.start()] == 0:
+            ob = mo
+    if ob is None:
+        raise ValueError("FETCH ... WITH TIES requires ORDER BY")
+    keys = head[ob.end() :].strip()
+    body = head[: ob.start()].rstrip()
+    return (
+        f"SELECT * EXCEPT (__ties_rk) FROM (SELECT *, RANK() OVER "
+        f"(ORDER BY {keys}) AS __ties_rk FROM ({body})) "
+        f"WHERE __ties_rk <= {n} ORDER BY {keys}{tail}"
+    )
+
+
 def _rewrite_fetch_first(sql: str) -> str:
     """SQL-standard/pg row limiting -> Spark's LIMIT/OFFSET spelling:
     ``OFFSET m [ROWS] FETCH FIRST|NEXT n ROWS ONLY`` -> ``LIMIT n OFFSET
@@ -674,6 +714,7 @@ def preprocess(sql: str) -> str:
     masked = _rewrite_casts(masked)
     masked = _rewrite_regex_match(masked)
     masked = _rewrite_between_symmetric(masked)
+    masked = _rewrite_with_ties(masked)
     masked = _rewrite_fetch_first(masked)
     masked = _rewrite_tablesample(masked)
     masked = _rewrite_distinct_on(masked)

@@ -150,6 +150,43 @@ def session_window_agg(
     )
 
 
+def ohlc_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming OHLC resample: per (day, event_type) candlestick bars
+    maintained incrementally — the streaming twin of the batch
+    ``series_resample_ohlc`` entry.
+
+    min_by/max_by are declarative aggregates with partial merge, so the
+    state per group is one (value, ts) pair per extreme plus the
+    min/max/count/sum scalars — O(|days x types|) state total, bounded
+    by the watermark horizon in append deployments. Drained in complete
+    mode the bars equal the batch GROUP BY exactly (every aggregate
+    here is order-independent: the scaled-integer sum replaces the
+    float sum for cross-engine and cross-partitioning determinism)."""
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max_by("value", "ts").alias("close"),
+            F.min("value").alias("low"),
+            F.max("value").alias("high"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / 100
+            ).alias("volume"),
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, sink_table: str, checkpoint_dir: str, mode: str = "complete"
 ) -> None:

@@ -359,6 +359,21 @@ def test_qualify_rank_predicate_gets_window_group_limit(spark, sf_dir):
     assert exch and min(wgl) < max(exch), plan
 
 
+def test_fetch_with_ties_gets_window_group_limit(spark, sf_dir):
+    """The WITH TIES rewrite (global RANK <= n) must compile to the
+    Partial/Final WindowGroupLimit pair with the partial BELOW the
+    single-partition exchange — each partition ships at most its own
+    rank<=n prefix, so the global fan-in is bounded by n*partitions,
+    not the table."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "fetch_with_ties")
+    wgl = [int(n) for n in re.findall(r"\((\d+)\) WindowGroupLimit", plan)]
+    exch = [int(n) for n in re.findall(r"\((\d+)\) Exchange", plan)]
+    assert len(wgl) >= 2, plan
+    assert exch and min(wgl) < max(exch), plan
+
+
 def test_quantified_subquery_is_scalar_agg_not_loop(spark, sf_dir):
     """`> ALL (sub)` rewrites to ONE scalar MIN/MAX subquery (a
     broadcast-able aggregate result), and `= ANY (sub)` to a semi join —

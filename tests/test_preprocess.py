@@ -441,3 +441,32 @@ def test_quantified_rewrite():
     # pg array form `= ANY('{1,2}')` does not match (no subquery paren)
     arr = "SELECT a FROM t WHERE x = ANY('{1,2}')"
     assert preprocess(arr) == arr
+
+
+def test_fetch_with_ties_rewrites():
+    got = preprocess(
+        "SELECT a, b FROM t ORDER BY b DESC FETCH FIRST 5 ROWS WITH TIES"
+    )
+    assert got == (
+        "SELECT * EXCEPT (__ties_rk) FROM (SELECT *, RANK() OVER "
+        "(ORDER BY b DESC) AS __ties_rk FROM (SELECT a, b FROM t)) "
+        "WHERE __ties_rk <= 5 ORDER BY b DESC"
+    )
+    # pg defaults the count to 1
+    assert "__ties_rk <= 1 " in preprocess(
+        "SELECT a FROM t ORDER BY a FETCH NEXT ROW WITH TIES"
+    )
+    # subquery ORDER BY is not mistaken for the ranking keys
+    got = preprocess(
+        "SELECT a FROM (SELECT a FROM u ORDER BY a) "
+        "ORDER BY a DESC FETCH FIRST 2 ROWS WITH TIES"
+    )
+    assert "RANK() OVER (ORDER BY a DESC)" in got
+    # ONLY form untouched by the ties rewrite
+    assert "RANK()" not in preprocess(
+        "SELECT a FROM t ORDER BY a FETCH FIRST 2 ROWS ONLY"
+    )
+    # WITH TIES requires ORDER BY
+    import pytest
+    with pytest.raises(ValueError):
+        preprocess("SELECT a FROM t FETCH FIRST 2 ROWS WITH TIES")

@@ -310,3 +310,26 @@ def test_anomalies_welford_state_and_order(spark, tmp_path):
     r = got[0]
     assert r.user_id == 7 and r.value == 500.0 and r.n_seen == 20
     assert r.zscore > 3.0
+
+def test_ohlc_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming OHLC bars drained in complete mode equal batch
+    execution of the identical aggregation — min_by/max_by partials
+    merge associatively, so micro-batch order cannot change the bars."""
+    stream = ev.read_events_stream(spark, sf_dir)
+    bars = ev.ohlc_stream(stream)
+    ev.run_available_now(
+        bars, "ohlc_test", str(tmp_path / "ckpt"), mode="complete"
+    )
+    got = {
+        (r.day, r.event_type): (
+            r.open, r.close, r.low, r.high, r.n_events, r.volume
+        )
+        for r in spark.table("ohlc_test").collect()
+    }
+    want = {
+        (r.day, r.event_type): (
+            r.open, r.close, r.low, r.high, r.n_events, r.volume
+        )
+        for r in ev.ohlc_stream(load(spark, sf_dir, "events")).collect()
+    }
+    assert got == want and len(got) > 0

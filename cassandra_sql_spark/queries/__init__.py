@@ -161,6 +161,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "fetch_with_ties",
     "agg_grouping_function",
     "text_oov_rate",
+    "win_rolling_corr",
+    "stat_chi_square",
+    "stat_ab_welch_z",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

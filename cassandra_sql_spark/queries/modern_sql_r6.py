@@ -347,6 +347,108 @@ QUERIES: dict[str, Q] = {
         """,
         ("orders",),
     ),
+    # Rolling lag-1 autocorrelation of the purchase value series: corr()
+    # as a WINDOW aggregate over a 50-row sliding frame (one shuffle on
+    # the partition key; the frame evaluation is streaming within each
+    # partition). Rows before the frame fills are dropped by rank on
+    # BOTH engines — DuckDB yields NaN and Spark NULL for degenerate
+    # frames, so the portable form never emits them. Quantized 6dp.
+    "win_rolling_corr": sql_q(
+        """
+        SELECT event_id, rc FROM (
+          SELECT event_id,
+                 ROW_NUMBER() OVER (ORDER BY ts) AS rn,
+                 CAST(CAST(corr(value, prev_value) OVER (
+                        ORDER BY ts
+                        ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+                      AS DECIMAL(18,6)) AS DOUBLE) AS rc
+          FROM (
+            SELECT event_id, ts, value,
+                   LAG(value) OVER (ORDER BY ts) AS prev_value
+            FROM events WHERE event_type = 'purchase'
+          ) lagged
+        ) x WHERE rn >= 51
+        """,
+        ("events",),
+    ),
+    # Chi-square independence test (event_type x weekday contingency):
+    # observed vs expected from the marginals, all exact integer counts
+    # until the final ratio — one aggregation pass builds the cells, the
+    # marginals are window sums over |cells| rows. The engines only
+    # differ in the weekday expression (handled like pivot_native).
+    "stat_chi_square": sql_q(
+        """
+        WITH cells AS (
+          SELECT dayofweek(ts) - 1 AS dow, event_type,
+                 COUNT(*) AS o
+          FROM events GROUP BY dayofweek(ts) - 1, event_type
+        ),
+        m AS (
+          SELECT dow, event_type, o,
+                 SUM(o) OVER (PARTITION BY dow) AS row_tot,
+                 SUM(o) OVER (PARTITION BY event_type) AS col_tot,
+                 SUM(o) OVER () AS n
+          FROM cells
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST((COUNT(DISTINCT dow) - 1)
+                    * (COUNT(DISTINCT event_type) - 1) AS BIGINT) AS dof,
+               CAST(CAST(SUM(
+                 POWER(o - CAST(row_tot * col_tot AS DOUBLE) / n, 2)
+                 / (CAST(row_tot * col_tot AS DOUBLE) / n)
+               ) AS DECIMAL(18,6)) AS DOUBLE) AS chi2
+        FROM m
+        """,
+        ("events",),
+        oracle="""
+        WITH cells AS (
+          SELECT CAST(extract(dow FROM ts) AS INTEGER) AS dow, event_type,
+                 COUNT(*) AS o
+          FROM events
+          GROUP BY CAST(extract(dow FROM ts) AS INTEGER), event_type
+        ),
+        m AS (
+          SELECT dow, event_type, o,
+                 SUM(o) OVER (PARTITION BY dow) AS row_tot,
+                 SUM(o) OVER (PARTITION BY event_type) AS col_tot,
+                 SUM(o) OVER () AS n
+          FROM cells
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST((COUNT(DISTINCT dow) - 1)
+                    * (COUNT(DISTINCT event_type) - 1) AS BIGINT) AS dof,
+               CAST(CAST(SUM(
+                 POWER(o - CAST(row_tot * col_tot AS DOUBLE) / n, 2)
+                 / (CAST(row_tot * col_tot AS DOUBLE) / n)
+               ) AS DECIMAL(18,6)) AS DOUBLE) AS chi2
+        FROM m
+        """,
+    ),
+    # Two-sample A/B comparison (Welch z on the purchase value metric,
+    # arms by user-id hash parity — the deterministic assignment every
+    # experimentation pipeline uses): per-arm n/mean/variance partials
+    # combine map-side; the z statistic is scalar math over the 2-row
+    # aggregate. Identical ANSI SQL on both engines.
+    "stat_ab_welch_z": sql_q(
+        """
+        WITH arms AS (
+          SELECT user_id % 2 AS arm,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 AVG(value) AS mean_v,
+                 var_samp(value) AS var_v
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id % 2
+        )
+        SELECT a.n AS n_a, b.n AS n_b,
+               CAST(CAST(a.mean_v AS DECIMAL(18,6)) AS DOUBLE) AS mean_a,
+               CAST(CAST(b.mean_v AS DECIMAL(18,6)) AS DOUBLE) AS mean_b,
+               CAST(CAST((b.mean_v - a.mean_v)
+                    / SQRT(a.var_v / a.n + b.var_v / b.n)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS welch_z
+        FROM arms a JOIN arms b ON a.arm = 0 AND b.arm = 1
+        """,
+        ("events",),
+    ),
     # Native PIVOT clause (long -> wide): day-of-week x event-type count
     # matrix. Spark spells value aliases inline; DuckDB names the output
     # columns after the bare IN literals — the aliases keep the two

@@ -164,6 +164,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "win_rolling_corr",
     "stat_chi_square",
     "stat_ab_welch_z",
+    "agg_mad_robust",
+    "agg_trimmed_mean",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

@@ -424,6 +424,84 @@ QUERIES: dict[str, Q] = {
         FROM m
         """,
     ),
+    # Median absolute deviation (the robust spread statistic quality
+    # pipelines prefer over stddev on heavy-tailed metrics): two exact
+    # percentile passes — group medians (a model-sized table), then the
+    # median of |x - med| with the medians joined back. Spark's exact
+    # percentile() and DuckDB's quantile_cont share the (n-1)p linear
+    # interpolation bit-for-bit on DOUBLE input (probed; DECIMAL input
+    # diverges, so the oracle never lets values decay to DECIMAL).
+    "agg_mad_robust": sql_q(
+        """
+        WITH med AS (
+          SELECT event_type, percentile(value, 0.5) AS med
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(CAST(MAX(med.med) AS DECIMAL(18,6)) AS DOUBLE)
+                 AS median_v,
+               CAST(CAST(percentile(ABS(e.value - med.med), 0.5)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS mad
+        FROM events e JOIN med ON e.event_type = med.event_type
+        GROUP BY e.event_type
+        """,
+        ("events",),
+        oracle="""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(CAST(MAX(med.med) AS DECIMAL(18,6)) AS DOUBLE)
+                 AS median_v,
+               CAST(CAST(quantile_cont(ABS(e.value - med.med), 0.5)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS mad
+        FROM events e JOIN med ON e.event_type = med.event_type
+        GROUP BY e.event_type
+        """,
+    ),
+    # 5-95 trimmed mean: per-group percentile cutoffs (model-sized,
+    # broadcast back) then one filtered aggregation — the outlier-robust
+    # mean for bid/latency/price metrics. The cutoff doubles are
+    # identical on both engines (same interpolation), so the kept-row
+    # set is identical; the mean uses the exact scaled-integer sum.
+    "agg_trimmed_mean": sql_q(
+        """
+        WITH b AS (
+          SELECT event_type,
+                 percentile(value, 0.05) AS lo,
+                 percentile(value, 0.95) AS hi
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(CAST(
+                 CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100 / COUNT(*)
+               AS DECIMAL(18,6)) AS DOUBLE) AS trimmed_mean
+        FROM events e JOIN b ON e.event_type = b.event_type
+        WHERE e.value BETWEEN b.lo AND b.hi
+        GROUP BY e.event_type
+        """,
+        ("events",),
+        oracle="""
+        WITH b AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(CAST(
+                 CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100 / COUNT(*)
+               AS DECIMAL(18,6)) AS DOUBLE) AS trimmed_mean
+        FROM events e JOIN b ON e.event_type = b.event_type
+        WHERE e.value BETWEEN b.lo AND b.hi
+        GROUP BY e.event_type
+        """,
+    ),
     # Two-sample A/B comparison (Welch z on the purchase value metric,
     # arms by user-id hash parity — the deterministic assignment every
     # experimentation pipeline uses): per-arm n/mean/variance partials

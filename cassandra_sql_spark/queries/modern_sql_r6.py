@@ -243,6 +243,7 @@ QUERIES: dict[str, Q] = {
     # Spark's skewness/kurtosis are the POPULATION moments (g1 = m3/m2^1.5,
     # g2 = m4/m2^2 - 3) while DuckDB's builtins apply the sample
     # correction, so the oracle recomputes the population moments
+    # (with a null-safe join: a NULL group key keeps its group)
     # explicitly from a two-pass centered AVG (numerically stable — no
     # raw-moment cancellation). covar_pop/covar_samp agree natively.
     # Quantized at 6 decimals (skew/kurt are O(1)) / 2 decimals (covar is
@@ -274,7 +275,8 @@ QUERIES: dict[str, Q] = {
                  AVG(POWER(l.l_quantity - mu.m, 4)) AS m4,
                  covar_pop(l.l_quantity, l.l_extendedprice) AS cp,
                  covar_samp(l.l_quantity, l.l_extendedprice) AS cs
-          FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+          FROM lineitem l JOIN mu
+            ON l.l_returnflag IS NOT DISTINCT FROM mu.l_returnflag
           GROUP BY l.l_returnflag
         )
         SELECT l_returnflag,
@@ -530,17 +532,27 @@ QUERIES: dict[str, Q] = {
     # Native PIVOT clause (long -> wide): day-of-week x event-type count
     # matrix. Spark spells value aliases inline; DuckDB names the output
     # columns after the bare IN literals — the aliases keep the two
-    # column sets identical. dayofweek(ts)-1 == DuckDB's extract(dow)
+    # column sets identical. Spark leaves a cell with NO source rows
+    # NULL where DuckDB's COUNT writes 0 (adversarial net); COALESCE
+    # restores count semantics. dayofweek(ts)-1 == DuckDB's extract(dow)
     # (0 = Sunday). At scale this is one hash aggregate on (dow) with
     # map-side partials — the pivot is a projection, not a shuffle.
     "pivot_native": sql_q(
         """
-        SELECT * FROM (
-          SELECT dayofweek(ts) - 1 AS dow, event_type FROM events
+        SELECT dow,
+               COALESCE(view, 0) AS view,
+               COALESCE(click, 0) AS click,
+               COALESCE(error, 0) AS error,
+               COALESCE(purchase, 0) AS purchase,
+               COALESCE(signup, 0) AS signup
+        FROM (
+          SELECT * FROM (
+            SELECT dayofweek(ts) - 1 AS dow, event_type FROM events
+          )
+          PIVOT (COUNT(*) FOR event_type IN
+                 ('view' AS view, 'click' AS click, 'error' AS error,
+                  'purchase' AS purchase, 'signup' AS signup))
         )
-        PIVOT (COUNT(*) FOR event_type IN
-               ('view' AS view, 'click' AS click, 'error' AS error,
-                'purchase' AS purchase, 'signup' AS signup))
         ORDER BY dow
         """,
         ("events",),

@@ -366,6 +366,9 @@ QUERIES: dict[str, Q] = {
     # TakeOrderedAndProject (partial top-n per partition, no full sort).
     # The key is quantized at 9 decimals (the _s6 idiom) so the two
     # engines' ln() agree bit-for-bit after rounding; doc_id breaks ties.
+    # Zero-weight (empty) docs are excluded: weight 0 means draw
+    # probability 0, and ln(u)/0 would divide by zero under ANSI mode
+    # (caught by the adversarial corpus net's n_chars=0 rows).
     "sample_weighted": sql_q(
         """
         SELECT doc_id, source, n_chars,
@@ -376,6 +379,7 @@ QUERIES: dict[str, Q] = {
                  / CAST(n_chars AS DOUBLE)
                AS DECIMAL(18,9)) AS DOUBLE) AS skey
         FROM documents
+        WHERE n_chars > 0
         ORDER BY skey DESC, doc_id
         LIMIT 50
         """,
@@ -389,6 +393,7 @@ QUERIES: dict[str, Q] = {
                  / CAST(n_chars AS DOUBLE)
                AS DECIMAL(18,9)) AS DOUBLE) AS skey
         FROM documents
+        WHERE n_chars > 0
         ORDER BY skey DESC, doc_id
         LIMIT 50
         """,

@@ -206,7 +206,9 @@ QUERIES: dict[str, Q] = {
     "stream_sessionize": Q(_sessions, None),
     # Streaming OHLC candlesticks: incremental min_by/max_by bars per
     # (day, event_type); complete-mode drain equals the batch resample
-    # (series_resample_ohlc) — same oracle SQL.
+    # (series_resample_ohlc) restricted to rows WITH an event time —
+    # NULL-ts rows belong to no event-time bucket and the stream drops
+    # them (the adversarial events suite pins this alignment).
     "stream_resample_ohlc": Q(
         _ohlc,
         """
@@ -219,6 +221,7 @@ QUERIES: dict[str, Q] = {
                CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                     AS DOUBLE) / 100 AS volume
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
         """,
     ),

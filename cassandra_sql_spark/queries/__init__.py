@@ -166,6 +166,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "stat_ab_welch_z",
     "agg_mad_robust",
     "agg_trimmed_mean",
+    "series_pct_change",
+    "win_leave_one_out",
+    "text_char_entropy",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

@@ -426,6 +426,59 @@ QUERIES: dict[str, Q] = {
         FROM m
         """,
     ),
+    # Period-over-period change (the daily-revenue pct_change report):
+    # exact scaled-integer daily totals, LAG ratio with a NULLIF guard
+    # (a zero-revenue day must yield NULL, not an ANSI divide error).
+    # One aggregation + one window over |days| rows. NULL-ts rows are
+    # excluded: a date series has no NULL bucket, and the engines order
+    # NULLs on opposite ends of the LAG window (adversarial net).
+    "series_pct_change": sql_q(
+        """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100 AS revenue
+          FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL
+          GROUP BY CAST(ts AS DATE)
+        )
+        SELECT day, revenue,
+               CAST(CAST(
+                 (revenue - LAG(revenue) OVER (ORDER BY day))
+                 / NULLIF(LAG(revenue) OVER (ORDER BY day), 0)
+               AS DECIMAL(18,6)) AS DOUBLE) AS pct_change
+        FROM daily
+        """,
+        ("events",),
+    ),
+    # Leave-one-out group mean (the standard target-encoding /
+    # peer-comparison transform: each row scored against its group
+    # WITHOUT itself). Spark has no frame EXCLUDE CURRENT ROW; the
+    # exact scaled-integer identity (group_sum - x) / (n - 1) gives the
+    # same number deterministically — and is the better plan anyway
+    # (one unbounded window, no per-row frame scan). Singleton groups
+    # NULL out via NULLIF instead of raising under ANSI mode. The 6dp
+    # quantization is the FLOOR(x*1e6+0.5) half-up form, NOT a DECIMAL
+    # cast: the exact rational results land on dyadic ties (.0078125)
+    # where Spark's HALF_UP and DuckDB's double->DECIMAL rounding
+    # disagree on the 6th decimal.
+    "win_leave_one_out": sql_q(
+        """
+        SELECT event_id, event_type,
+               CAST(CAST(FLOOR(
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY event_type)
+                      - CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                   AS DOUBLE) / 100
+                 / NULLIF(COUNT(value) OVER (PARTITION BY event_type)
+                          - 1, 0)
+                 * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000
+                 AS loo_mean
+        FROM events
+        WHERE value IS NOT NULL
+        """,
+        ("events",),
+    ),
     # Median absolute deviation (the robust spread statistic quality
     # pipelines prefer over stddev on heavy-tailed metrics): two exact
     # percentile passes — group medians (a model-sized table), then the

@@ -452,6 +452,61 @@ QUERIES: dict[str, Q] = {
         GROUP BY t.doc_id
         """,
     ),
+    # Per-document character-level Shannon entropy (nats) — the
+    # compression-adjacent quality signal (low entropy = repetitive /
+    # templated text; complements the Gopher repetition fractions).
+    # One explode into (doc, char) counts, then sum of -(p ln p) per
+    # doc — both aggregations map-side combinable, the shuffle carries
+    # |docs x alphabet| rows. Quantized 6dp (the _s6 transcendental
+    # idiom); empty docs have no characters and no entropy row on
+    # either engine.
+    "text_char_entropy": sql_q(
+        """
+        WITH chars AS (
+          SELECT doc_id, c
+          FROM documents
+          LATERAL VIEW explode(split(text, '')) AS c
+          WHERE c <> ''
+        ),
+        freq AS (
+          SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
+        ),
+        tot AS (
+          SELECT doc_id, SUM(n) AS t FROM freq GROUP BY doc_id
+        )
+        SELECT f.doc_id,
+               CAST(MAX(t.t) AS BIGINT) AS n_chars_counted,
+               CAST(CAST(
+                 -SUM((CAST(n AS DOUBLE) / t.t)
+                      * LN(CAST(n AS DOUBLE) / t.t))
+               AS DECIMAL(18,6)) AS DOUBLE) AS char_entropy
+        FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+        GROUP BY f.doc_id
+        """,
+        ("documents",),
+        oracle="""
+        WITH chars AS (
+          SELECT doc_id, c FROM (
+            SELECT doc_id, UNNEST(string_split(text, '')) AS c
+            FROM documents
+          ) x WHERE c <> ''
+        ),
+        freq AS (
+          SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
+        ),
+        tot AS (
+          SELECT doc_id, SUM(n) AS t FROM freq GROUP BY doc_id
+        )
+        SELECT f.doc_id,
+               CAST(MAX(t.t) AS BIGINT) AS n_chars_counted,
+               CAST(CAST(
+                 -SUM((CAST(n AS DOUBLE) / t.t)
+                      * LN(CAST(n AS DOUBLE) / t.t))
+               AS DECIMAL(18,6)) AS DOUBLE) AS char_entropy
+        FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+        GROUP BY f.doc_id
+        """,
+    ),
     # OHLC downsampling (candlestick resample): per day x event type,
     # open/close via min_by/max_by on the (unique) event timestamp,
     # low/high as plain MIN/MAX, volume as the exact scaled-integer sum.

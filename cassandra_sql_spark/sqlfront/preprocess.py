@@ -58,7 +58,12 @@ PG_TYPE_MAP = {
     "TIMESTAMPTZ": "TIMESTAMP",
     "TIMESTAMP WITH TIME ZONE": "TIMESTAMP",
     "TIMESTAMP WITHOUT TIME ZONE": "TIMESTAMP",
-    "INTERVAL": "STRING",
+    # Typed day-time interval (upgrade over the reference, which stores
+    # intervals as ISO STRINGS and cannot compute with them,
+    # kv/TableMetadata.java:348-349): Spark's DayTimeIntervalType
+    # round-trips through parquet and supports timestamp arithmetic
+    # natively. String inserts coerce via CAST ('d hh:mm:ss[.f]' form).
+    "INTERVAL": "INTERVAL DAY TO SECOND",
 }
 
 # a masked string literal placeholder (see _mask_literals)

@@ -948,3 +948,48 @@ def test_function_body_with_keywordish_literal(eng):
         " RETURN CONCAT('return language sql ', CAST(x AS STRING))"
     )
     assert rows(eng.sql("SELECT tricky(1) t")) == [("return language sql 1",)]
+
+
+def test_interval_typed_column(eng):
+    """INTERVAL columns are Spark DayTimeIntervalType (upgrade over the
+    reference's ISO-string storage, kv/TableMetadata.java:348-349):
+    they survive the parquet round-trip, coerce from 'd hh:mm:ss'
+    strings and INTERVAL literals, order correctly, and do timestamp
+    arithmetic natively — no cast required."""
+    import datetime
+
+    eng.sql(
+        "CREATE TABLE jobs (id INT PRIMARY KEY, started TIMESTAMP, "
+        "dur INTERVAL)"
+    )
+    eng.sql(
+        "INSERT INTO jobs VALUES "
+        "(1, TIMESTAMP '2024-01-01 08:00:00', "
+        " INTERVAL '0 01:30:00' DAY TO SECOND), "
+        "(3, TIMESTAMP '2024-01-02 10:00:00', NULL)"
+    )
+    # string form coerces via the per-column cast (a SEPARATE statement:
+    # Spark's inline VALUES assigns untyped strings StringType and will
+    # not unify them with an INTERVAL literal in the same column)
+    eng.sql(
+        "INSERT INTO jobs VALUES "
+        "(2, TIMESTAMP '2024-01-01 09:00:00', '0 00:45:00')"
+    )
+    df = eng.sql("SELECT id, dur FROM jobs ORDER BY id")
+    assert "interval day to second" in dict(df.dtypes)["dur"]
+    got = rows(df)
+    assert got[0][1] == datetime.timedelta(hours=1, minutes=30)
+    assert got[1][1] == datetime.timedelta(minutes=45)
+    assert got[2][1] is None
+    # native arithmetic: finish = started + dur, and interval ordering
+    out = rows(
+        eng.sql(
+            "SELECT id, started + dur AS finish FROM jobs "
+            "WHERE dur IS NOT NULL ORDER BY dur DESC"
+        )
+    )
+    assert [r[0] for r in out] == [1, 2]
+    assert out[0][1] == datetime.datetime(2024, 1, 1, 9, 30)
+    # aggregate over intervals (sum of durations)
+    tot = rows(eng.sql("SELECT SUM(dur) AS t FROM jobs"))[0][0]
+    assert tot == datetime.timedelta(hours=2, minutes=15)

@@ -169,6 +169,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "series_pct_change",
     "win_leave_one_out",
     "text_char_entropy",
+    "graph_triangle_count",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

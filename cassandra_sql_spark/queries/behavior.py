@@ -361,4 +361,56 @@ QUERIES: dict[str, Q] = {
         ("events",),
         oracle=_pagerank_sql(_DUCK_K),
     ),
+    # Triangle counting on the undirected page-transition graph (the
+    # standard clustering-coefficient / community-density primitive).
+    # The raw log collapses to the DISTINCT canonical edge set first
+    # (a < b), so the two triangle joins shuffle |edges| rows — bounded
+    # by |pages|^2 — and never re-touch the event log. At scale, order
+    # edge endpoints by degree before the joins (the compact-forward
+    # trick) to bound per-key fan-out; the page domain here is small
+    # enough that the plain form is the right plan. TRY_CAST hardens
+    # the JSON extraction against non-numeric props under ANSI mode.
+    "graph_triangle_count": sql_q(
+        """
+        WITH pages AS (
+          SELECT user_id, ts, event_id, TRY_CAST(get_json_object(props, '$.k') AS BIGINT) AS page FROM events
+        ),
+        hops AS (
+          SELECT page AS src,
+                 LEAD(page) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+          FROM pages
+        ),
+        edges AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM hops
+          WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        ("events",),
+        oracle="""
+        WITH pages AS (
+          SELECT user_id, ts, event_id, TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props) THEN JSON_EXTRACT_STRING(props, '$.k') END AS BIGINT) AS page FROM events
+        ),
+        hops AS (
+          SELECT page AS src,
+                 LEAD(page) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+          FROM pages
+        ),
+        edges AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM hops
+          WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+    ),
 }

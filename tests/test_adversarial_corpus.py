@@ -46,6 +46,8 @@ BYTE_ORACLE_ENTRIES = {"multimodal_frame_sample", "multimodal_resize"}
 
 
 def _doc_only_targets():
+    import re as _re
+
     out = []
     others = ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events")
@@ -53,7 +55,10 @@ def _doc_only_targets():
         if q.oracle is None or name in BYTE_ORACLE_ENTRIES:
             continue
         o = q.oracle.lower()
-        if "documents" in o and not any(t in o for t in others):
+        # word-boundary: "part" must not match PARTITION etc.
+        if _re.search(r"\bdocuments\b", o) and not any(
+            _re.search(rf"\b{t}\b", o) for t in others
+        ):
             out.append(name)
     return out
 

@@ -43,6 +43,8 @@ ADV_VECS = [
 
 
 def _emb_targets():
+    import re as _re
+
     out = []
     others = ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents")
@@ -50,7 +52,10 @@ def _emb_targets():
         if q.oracle is None:
             continue
         o = q.oracle.lower()
-        if "embeddings" in o and not any(t in o for t in others):
+        # word-boundary: "part" must not match PARTITION etc.
+        if _re.search(r"\bembeddings\b", o) and not any(
+            _re.search(rf"\b{t}\b", o) for t in others
+        ):
             out.append(name)
     return out
 

@@ -58,6 +58,8 @@ ADV_EVENTS = [
 
 
 def _events_only_targets():
+    import re as _re
+
     out = []
     others = ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "documents", "embeddings")
@@ -65,7 +67,11 @@ def _events_only_targets():
         if q.oracle is None:
             continue
         o = q.oracle.lower()
-        if "events" in o and not any(t in o for t in others):
+        # word-boundary match: a bare substring test excluded every
+        # oracle containing PARTITION (matches table name "part")
+        if _re.search(r"\bevents\b", o) and not any(
+            _re.search(rf"\b{t}\b", o) for t in others
+        ):
             out.append(name)
     return out
 

@@ -89,15 +89,18 @@ ADV_TABLES = {
 
 
 def _relational_targets():
+    import re as _re
+
     out = []
     excluded = ("events", "documents", "embeddings")
     for name, q in REGISTRY.items():
         if q.oracle is None:
             continue
         o = q.oracle.lower()
-        if any(t in o for t in excluded):
+        # word-boundary: table-name words only (not PARTITION, etc.)
+        if any(_re.search(rf"\b{t}\b", o) for t in excluded):
             continue
-        if any(t in o for t in ADV_TABLES):
+        if any(_re.search(rf"\b{t}\b", o) for t in ADV_TABLES):
             out.append(name)
     return out
 

@@ -170,6 +170,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "win_leave_one_out",
     "text_char_entropy",
     "graph_triangle_count",
+    "text_pmi_collocations",
+    "text_zipf_fit",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

@@ -452,6 +452,126 @@ QUERIES: dict[str, Q] = {
         GROUP BY t.doc_id
         """,
     ),
+    # PMI collocation mining (top pointwise-mutual-information adjacent
+    # bigrams — the classic multiword-expression detector for tokenizer
+    # vocabulary design). All counts are exact integers; the single
+    # LN of an integer-ratio product is quantized 6dp, and the rank
+    # orders by the QUANTIZED value with a lexical tiebreak so the
+    # top-20 cut is engine-exact. The bigram join is positional
+    # (rn+1 = next token), shuffled on doc_id once; unigram/bigram
+    # totals are 1-row broadcasts.
+    "text_pmi_collocations": sql_q(
+        """
+        WITH toks AS (
+          SELECT doc_id, tok, rn0 + 1 AS rn
+          FROM documents
+          LATERAL VIEW POSEXPLODE(SPLIT(TRIM(text), '\\\\s+')) t AS rn0, tok
+          WHERE tok <> ''
+        ),
+        uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        nu AS (SELECT SUM(c) AS n FROM uni),
+        big AS (
+          SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS cab
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+          GROUP BY a.tok, b.tok
+        ),
+        nb AS (SELECT SUM(cab) AS n FROM big)
+        SELECT ta, tb, CAST(cab AS BIGINT) AS cab,
+               CAST(CAST(LN((CAST(cab AS DOUBLE) / nb.n)
+                    / ((CAST(ua.c AS DOUBLE) / nu.n)
+                       * (CAST(ub.c AS DOUBLE) / nu.n)))
+                 AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+        FROM big JOIN uni ua ON big.ta = ua.tok
+                 JOIN uni ub ON big.tb = ub.tok
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE cab >= 20
+        ORDER BY pmi DESC, ta, tb LIMIT 20
+        """,
+        ("documents",),
+        oracle="""
+        WITH toks AS (
+          SELECT doc_id, tok, rn FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok,
+                   generate_subscripts(
+                     string_split_regex(TRIM(text), '\\s+'), 1) AS rn
+            FROM documents
+          ) x WHERE tok <> ''
+        ),
+        uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        nu AS (SELECT SUM(c) AS n FROM uni),
+        big AS (
+          SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS cab
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+          GROUP BY a.tok, b.tok
+        ),
+        nb AS (SELECT SUM(cab) AS n FROM big)
+        SELECT ta, tb, CAST(cab AS BIGINT) AS cab,
+               CAST(CAST(LN((CAST(cab AS DOUBLE) / nb.n)
+                    / ((CAST(ua.c AS DOUBLE) / nu.n)
+                       * (CAST(ub.c AS DOUBLE) / nu.n)))
+                 AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+        FROM big JOIN uni ua ON big.ta = ua.tok
+                 JOIN uni ub ON big.tb = ub.tok
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE cab >= 20
+        ORDER BY pmi DESC, ta, tb LIMIT 20
+        """,
+    ),
+    # Zipf rank-frequency fit: regr_slope/r2 of ln(freq) on ln(rank)
+    # over the corpus vocabulary — the one-number distributional health
+    # check (natural corpora sit near slope -1; the synthetic fixture's
+    # flat vocabulary fits poorly, which is itself the signal). The
+    # vocabulary table is model-sized; the regression is a single
+    # aggregate over it.
+    "text_zipf_fit": sql_q(
+        """
+        WITH toks AS (
+          SELECT tok FROM documents
+          LATERAL VIEW EXPLODE(SPLIT(TRIM(text), '\\\\s+')) t AS tok
+          WHERE tok <> ''
+        ),
+        f AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        r AS (
+          SELECT tok, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk
+          FROM f
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(CAST(regr_slope(LN(CAST(c AS DOUBLE)),
+                                    LN(CAST(rk AS DOUBLE)))
+                 AS DECIMAL(18,6)) AS DOUBLE) AS zipf_slope,
+               CAST(CAST(regr_r2(LN(CAST(c AS DOUBLE)),
+                                 LN(CAST(rk AS DOUBLE)))
+                 AS DECIMAL(18,6)) AS DOUBLE) AS fit_r2
+        FROM r
+        """,
+        ("documents",),
+        oracle="""
+        WITH toks AS (
+          SELECT tok FROM (
+            SELECT UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok
+            FROM documents
+          ) x WHERE tok <> ''
+        ),
+        f AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        r AS (
+          SELECT tok, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk
+          FROM f
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(CAST(regr_slope(LN(CAST(c AS DOUBLE)),
+                                    LN(CAST(rk AS DOUBLE)))
+                 AS DECIMAL(18,6)) AS DOUBLE) AS zipf_slope,
+               CAST(CAST(regr_r2(LN(CAST(c AS DOUBLE)),
+                                 LN(CAST(rk AS DOUBLE)))
+                 AS DECIMAL(18,6)) AS DOUBLE) AS fit_r2
+        FROM r
+        """,
+    ),
     # Per-document character-level Shannon entropy (nats) — the
     # compression-adjacent quality signal (low entropy = repetitive /
     # templated text; complements the Gopher repetition fractions).

@@ -1017,3 +1017,115 @@ def topk_ivfpq_pruned(
         )
     )
     return exact.orderBy("dist", id_col).limit(k)
+
+
+def pca_top_component(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 24,
+) -> DataFrame:
+    """Top principal direction of the (centered) embedding cloud via
+    distributed power iteration — the dominant eigenvector of X'X
+    without ever materializing the covariance matrix.
+
+    Per iteration, ONE corpus scan computes y = sum_i <x_i - mu, v>
+    (x_i - mu): the projection w_i is a per-row literal-vector fold
+    (`_dot_lit` shape), and the per-dimension partial sums travel as
+    exact scaled integers (FLOOR(t*1e6 + 0.5) per term), so the shuffle
+    carries d rows per partition and the result is bit-identical under
+    any partitioning. The d-vector y is collected (model-sized, like
+    the IVF centroids), normalized driver-side, quantized to 9dp, and
+    sign-fixed (first nonzero component positive) so the iterate — and
+    therefore the output — is fully deterministic. Cost at 100 TB:
+    iters scans, each map-only + a |dims|-row shuffle; no state beyond
+    the d-vector.
+
+    Returns (pos, component) rows, pos 0-based.
+
+    Convergence: the direction error shrinks as (l2/l1)^k, but the
+    captured VARIANCE (Rayleigh quotient) shrinks as the square — on a
+    near-degenerate spectrum (the synthetic fixture has l2/l1 = 0.93)
+    24 iterations put the Rayleigh quotient within 1% of l1 even
+    where the specific eigenvector is still rotating inside the
+    near-tied top subspace; the variance-capture guarantee is the
+    meaningful one there (pinned in tests/test_r6b_ops.py).
+    """
+    import hashlib
+
+    n = emb.count()
+    ex = emb.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    mu_rows = (
+        ex.groupBy("pos")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1000000 + 0.5)
+                    .cast("bigint")
+                ).cast("double")
+                / 1000000
+                / n
+            ).alias("m")
+        )
+        .collect()
+    )
+    mu = [0.0] * len(mu_rows)
+    for r in mu_rows:
+        mu[r.pos] = round(r.m, 9)
+    d = len(mu)
+
+    # deterministic seed direction from md5 (same trick as the LSH
+    # plane weights), normalized
+    def _seed(i: int) -> float:
+        h = hashlib.md5(f"pca:{i}".encode()).hexdigest()
+        return int(h[:12], 16) / float(16**12) - 0.5
+
+    v = [_seed(i) for i in range(d)]
+
+    def _norm(vec: list[float]) -> list[float]:
+        s = sum(t * t for t in vec) ** 0.5
+        if s == 0.0:
+            return vec
+        out = [round(t / s, 9) for t in vec]
+        for t in out:
+            if t != 0.0:
+                return out if t > 0 else [-u for u in out]
+        return out
+
+    v = _norm(v)
+    centered = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(m) for m in mu]),
+        lambda x, m: x.cast("double") - m,
+    )
+    for _ in range(iters):
+        w = F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(t) for t in v]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        y_rows = (
+            emb.select(w.alias("_w"), centered.alias("_c"))
+            .select("_w", F.posexplode(F.col("_c")).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("_w") * F.col("x") * 1000000 + 0.5)
+                    .cast("bigint")
+                ).alias("s6")
+            )
+            .collect()
+        )
+        y = [0.0] * d
+        for r in y_rows:
+            y[r.pos] = r.s6 / 1000000.0
+        v = _norm(y)
+
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(d)], "pos INT, component DOUBLE"
+    )

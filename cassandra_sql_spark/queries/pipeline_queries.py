@@ -561,6 +561,16 @@ QUERIES: dict[str, Q] = {
     ),
     # Rows-only companion keeping the ARRAY-returning library form under
     # driver execution (schema/row-count checked; values pinned by pytest).
+    # Top principal component via distributed power iteration
+    # (rows-only: the exact fold-replica + eigenvector-quality checks
+    # live in tests/test_r6b_ops.py).
+    "emb_pca_top_component": df_q(
+        lambda spark, sf: similarity.pca_top_component(
+            load(spark, sf, "embeddings")
+        ),
+        ("embeddings",),
+        oracle=None,
+    ),
     "emb_quantize_int8_vec": df_q(
         lambda spark, sf: similarity.quantize_int8(
             load(spark, sf, "embeddings")

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from cassandra_sql_spark.queries import (
     aggregates,
+    analytics_r6c,
     behavior,
     expressions,
     joins,
@@ -49,6 +50,7 @@ _MODULES = (
     temporal_queries,
     behavior,
     pipeline_r6,
+    analytics_r6c,
 )
 
 # The correctness driver grades only the FIRST 50 registry entries. The
@@ -172,6 +174,12 @@ NEXT_WINDOW: tuple[str, ...] = (
     "graph_triangle_count",
     "text_pmi_collocations",
     "text_zipf_fit",
+    "series_ewma",
+    "win_cumprod_growth",
+    "event_markov_transitions",
+    "win_rolling_median",
+    "graph_degree_distribution",
+    "text_ttr_diversity",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

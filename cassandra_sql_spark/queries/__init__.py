@@ -180,6 +180,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "win_rolling_median",
     "graph_degree_distribution",
     "text_ttr_diversity",
+    "event_rfm_segmentation",
+    "event_interarrival_stats",
     # r2-graded, deferred from the r6 window
     "agg_expr",
     "agg_global",

@@ -179,6 +179,121 @@ QUERIES: dict[str, Q] = {
         """,
         ("events",),
     ),
+    # RFM (recency/frequency/monetary) quintile segmentation — the
+    # classic CRM scoring transform. One user_id shuffle builds the
+    # per-user triple; the anchor date is a 1-row scalar subquery
+    # (broadcast); quintiles come from NTILE over a total order
+    # (user_id tiebreak keeps both engines' tile assignment identical).
+    # Global NTILE is a single-partition sort of the USER table (not
+    # the event log) — at 100 TB you'd swap it for approx_percentile
+    # cutoffs; the exact form is the oracle-checkable contract.
+    "event_rfm_segmentation": sql_q(
+        """
+        WITH rfm AS (
+          SELECT user_id,
+                 MAX(CAST(ts AS DATE)) AS last_day,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100 AS monetary
+          FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL
+          GROUP BY user_id
+        ),
+        scored AS (
+          SELECT user_id,
+                 DATEDIFF((SELECT MAX(last_day) FROM rfm), last_day)
+                   AS recency_days,
+                 frequency, monetary
+          FROM rfm
+        )
+        SELECT user_id,
+               CAST(recency_days AS BIGINT) AS recency_days,
+               frequency, monetary,
+               CAST(NTILE(5) OVER (ORDER BY recency_days ASC, user_id)
+                    AS BIGINT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id)
+                    AS BIGINT) AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id)
+                    AS BIGINT) AS m_score
+        FROM scored
+        """,
+        ("events",),
+        oracle="""
+        WITH rfm AS (
+          SELECT user_id,
+                 MAX(CAST(ts AS DATE)) AS last_day,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100 AS monetary
+          FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL
+          GROUP BY user_id
+        ),
+        scored AS (
+          SELECT user_id,
+                 (SELECT MAX(last_day) FROM rfm) - last_day
+                   AS recency_days,
+                 frequency, monetary
+          FROM rfm
+        )
+        SELECT user_id,
+               CAST(recency_days AS BIGINT) AS recency_days,
+               frequency, monetary,
+               CAST(NTILE(5) OVER (ORDER BY recency_days ASC, user_id)
+                    AS BIGINT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id)
+                    AS BIGINT) AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id)
+                    AS BIGINT) AS m_score
+        FROM scored
+        """,
+    ),
+    # Inter-arrival time percentiles per event type. Gaps are computed
+    # on EXACT integer microseconds (Spark unix_micros == DuckDB
+    # epoch_us; fractional epoch()/unix_timestamp() truncate or round
+    # differently between engines) and reported in seconds. One
+    # (user, type) window shuffle, then an alphabet-bounded aggregate.
+    "event_interarrival_stats": sql_q(
+        """
+        WITH gaps AS (
+          SELECT event_type,
+                 CAST(unix_micros(ts) - LAG(unix_micros(ts)) OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS DOUBLE) / 1000000 AS gap_s
+          FROM events
+          WHERE ts IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+               CAST(CAST(FLOOR(percentile(gap_s, 0.5) * 1000000 + 0.5)
+                    AS BIGINT) AS DOUBLE) / 1000000 AS p50_s,
+               CAST(CAST(FLOOR(percentile(gap_s, 0.9) * 1000000 + 0.5)
+                    AS BIGINT) AS DOUBLE) / 1000000 AS p90_s
+        FROM gaps
+        WHERE gap_s IS NOT NULL
+        GROUP BY event_type
+        """,
+        ("events",),
+        oracle="""
+        WITH gaps AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS DOUBLE) / 1000000 AS gap_s
+          FROM events
+          WHERE ts IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+               CAST(CAST(FLOOR(quantile_cont(gap_s, 0.5) * 1000000 + 0.5)
+                    AS BIGINT) AS DOUBLE) / 1000000 AS p50_s,
+               CAST(CAST(FLOOR(quantile_cont(gap_s, 0.9) * 1000000 + 0.5)
+                    AS BIGINT) AS DOUBLE) / 1000000 AS p90_s
+        FROM gaps
+        WHERE gap_s IS NOT NULL
+        GROUP BY event_type
+        """,
+    ),
     # Per-document lexical diversity (type-token ratio) — a core
     # training-data quality signal alongside the Gopher battery.
     # Pure array ops, zero explode/shuffle on the Spark side.

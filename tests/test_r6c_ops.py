@@ -134,6 +134,57 @@ def test_ttr_matches_python_replica(run, spark, sf_dir):
         assert ttr == pytest.approx(want, abs=1e-9), doc_id
 
 
+def test_rfm_scores_are_balanced_quintiles(run, spark, sf_dir):
+    rows = run("event_rfm_segmentation")
+    buyers = (
+        load(spark, sf_dir, "events")
+        .where("event_type = 'purchase' AND ts IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == buyers
+    for col in ("r_score", "f_score", "m_score"):
+        tiles: dict[int, int] = {}
+        for r in rows:
+            v = getattr(r, col)
+            assert 1 <= v <= 5, (col, v)
+            tiles[v] = tiles.get(v, 0) + 1
+        # NTILE balance: tile sizes differ by at most 1
+        assert max(tiles.values()) - min(tiles.values()) <= 1, col
+    # the most recent buyer(s) carry the best recency score
+    best = min(rows, key=lambda r: (r.recency_days, r.user_id))
+    assert best.r_score == 1
+
+
+def test_interarrival_gap_counts(run, spark, sf_dir):
+    rows = run("event_interarrival_stats")
+    per_type = (
+        load(spark, sf_dir, "events")
+        .where("ts IS NOT NULL")
+        .groupBy("event_type")
+        .agg({"user_id": "count"})
+        .collect()
+    )
+    users_per_type = {
+        r.event_type: r.n
+        for r in load(spark, sf_dir, "events")
+        .where("ts IS NOT NULL")
+        .selectExpr("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    got = {r.event_type: r for r in rows}
+    for r in per_type:
+        et = r.event_type
+        # one NULL LAG per (user, type) series
+        assert got[et].n_gaps == r["count(user_id)"] - users_per_type[et], et
+        assert 0.0 <= got[et].p50_s <= got[et].p90_s, et
+
+
 def test_degree_distribution_accounts_every_user(run, spark, sf_dir):
     rows = run("graph_degree_distribution")
     n_users = sum(r.n_users for r in rows)

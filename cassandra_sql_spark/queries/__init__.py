@@ -55,80 +55,17 @@ _MODULES = (
 
 # The correctness driver grades only the FIRST 50 registry entries. The
 # window ROTATES per round so every oracle-checked entry eventually gets a
-# hard-signal driver row (r1-r5 graded 166 distinct entries, all green at
-# latest grading; see CORRECTNESS_r0*.json). Round-6 window = the 15
-# round-5 additions staged in the r5 NEXT_WINDOW (never driver-graded) +
-# the 3 r5 hash-boundary canaries re-graded + the 4 fixtures de-vacuated
-# this round (output changed -> must re-grade) + 28 regression picks
-# drawn from the entries whose latest driver row is OLDEST (all last
-# graded in r2 — oldest evidence first). After this round the driver-
-# graded union covers every oracle-checked entry that existed at round-6
-# start. ``tests/test_registry.py`` pins this composition.
+# hard-signal driver row (r1-r6 graded 181 distinct entries, all green at
+# latest grading; see CORRECTNESS_r0*.json). Round-7 window = 50 of the
+# 53 round-6 additions that have never been driver-graded (the r6 verdict's
+# top task: oldest / highest-novelty first — graph, behavioral, series,
+# text, and modern-SQL entries), in the order they were staged in the r6
+# NEXT_WINDOW. The 3 that do not fit plus the 10 r2-graded regression
+# leftovers are staged at the FRONT of the r8 window below.
+# ``tests/test_registry.py`` pins this composition and caps the
+# never-graded tail at one window's capacity.
 PRIORITY: tuple[str, ...] = (
-    # The 15 round-5 additions — first driver grading.
-    "stream_session_window",
-    "qualify_topn",
-    "qualify_alias_filter",
-    "win_ignore_nulls_fill",
-    "agg_within_group",
-    "agg_bool_countif",
-    "agg_listagg",
-    "sketch_shard_merge",
-    "event_anomaly_batch",
-    "agg_stats_regression",
-    "expr_bitwise",
-    "agg_bitwise",
-    "expr_try_cast",
-    "win_filter_clause",
-    "pred_like_any_all",
-    # r5 hash-boundary canaries, re-graded once more.
-    "array_agg_per_group",
-    "emb_quantize_int8",
-    "stream_static_join",
-    # De-vacuated this round (predicates moved onto the fixture's real
-    # value domain so the result is non-empty — output changed).
-    "pred_like",
-    "join_anti",
-    "setop_except",
-    "subq_scalar_where",
-    # Regression picks: oldest-evidence entries (last graded r2).
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q11_important_parts",
-    "q12_ship_priority",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q19_discounted_revenue",
-    "q20_volume_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales",
-    "agg_count_distinct",
-    "agg_groupby_multi",
-    "agg_having",
-    "join_inner",
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "join_multiway",
-    "pred_between",
-    "pred_comparisons",
-    "pred_in",
-    "pred_null",
-    "sort_limit_offset",
-)
-
-# Oracle-checked entries queued for the ROUND-7 window: the remaining
-# oldest-evidence (r2-graded) entries that did not fit the 50-slot r6
-# window, plus any entries ADDED during round 6. Keep in sync as round-6
-# work lands; tests/test_registry.py enforces that window + NEXT_WINDOW
-# + graded union covers every oracle-checked entry.
-NEXT_WINDOW: tuple[str, ...] = (
-    # added during round 6
+    # Round-6 additions, never driver-graded — first driver grading.
     "agg_group_by_all",
     "select_star_except",
     "unpivot_measures",
@@ -179,10 +116,21 @@ NEXT_WINDOW: tuple[str, ...] = (
     "event_markov_transitions",
     "win_rolling_median",
     "graph_degree_distribution",
+)
+
+# Oracle-checked entries queued for the ROUND-8 window: the 3 round-6
+# additions that did not fit the 50-slot r7 window, the 10 r2-graded
+# regression leftovers deferred since r6, then any entries ADDED during
+# round 7 (appended as they land). Keep in sync as round-7 work lands;
+# tests/test_registry.py enforces that window + NEXT_WINDOW + graded
+# union covers every oracle-checked entry AND that this queue never
+# exceeds one window's capacity.
+NEXT_WINDOW: tuple[str, ...] = (
+    # round-6 additions that did not fit the r7 window
     "text_ttr_diversity",
     "event_rfm_segmentation",
     "event_interarrival_stats",
-    # r2-graded, deferred from the r6 window
+    # r2-graded, deferred from the r6/r7 windows
     "agg_expr",
     "agg_global",
     "join_cross",

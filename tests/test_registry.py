@@ -27,19 +27,10 @@ from cassandra_sql_spark.queries import NEXT_WINDOW, PRIORITY, REGISTRY
 
 _REPO = Path(__file__).resolve().parent.parent
 
-# Entries whose output changed in round 6 (the 4 de-vacuated fixtures:
-# predicates moved onto the fixture's real value domain) plus the r5
-# hash-boundary canaries re-graded once more — all must be in the window.
-_CANARIES = {
-    "array_agg_per_group",
-    "emb_quantize_int8",
-    "stream_static_join",
-    "pred_like",
-    "join_anti",
-    "setop_except",
-    "subq_scalar_where",
-    "pred_like_any_all",
-}
+# Entries whose output representation changed this round — all must be in
+# the window so the changed output gets re-graded. Round 7: none yet (the
+# r7 window is entirely first-gradings of the round-6 additions).
+_CANARIES: set[str] = set()
 
 # One-or-more graded representatives required per SURVEY §2 / pipeline
 # family, checked against union(past driver rows, current window).
@@ -131,24 +122,32 @@ def test_canaries_in_window():
     assert not missing, f"representation-changed canaries not graded: {missing}"
 
 
-# The 15 oracle-checked entries added during round 5 (staged in the r5
-# NEXT_WINDOW, no driver row through r5) — the r6 window must grade
-# every one of them.
-_R5_STAGED = {
-    "stream_session_window", "qualify_topn", "qualify_alias_filter",
-    "win_ignore_nulls_fill", "agg_within_group", "agg_bool_countif",
-    "agg_listagg", "sketch_shard_merge", "event_anomaly_batch",
-    "agg_stats_regression", "expr_bitwise", "agg_bitwise",
-    "expr_try_cast", "win_filter_clause", "pred_like_any_all",
-}
+def test_window_grades_never_graded_entries_first():
+    """The r7 window's 50 slots all go to entries with no driver row
+    through r6 — the r6 verdict's top task (the never-graded tail, 63
+    entries, exceeds one window; oldest-staged first, remainder at the
+    front of NEXT_WINDOW)."""
+    graded = _graded_union(through=6)
+    already = set(PRIORITY) & graded
+    assert not already, f"window slots wasted on already-graded: {already}"
 
 
-def test_window_contains_every_never_graded_entry():
-    # The r6 window closes the oracle-checked tail staged in r5.
-    graded = _graded_union(through=5)
-    assert not (_R5_STAGED & graded), "staged set drifted: already graded"
-    missing = _R5_STAGED - set(PRIORITY)
-    assert not missing, f"never-graded entries left out of the window: {missing}"
+def test_ungraded_tail_fits_one_window():
+    """Structural cap on grading-coverage erosion (r6 verdict task #2):
+    every oracle-checked entry with no driver row must be in the CURRENT
+    window or in NEXT_WINDOW, and NEXT_WINDOW must fit one 50-slot
+    rotation. New oracle-checked entries may land only as fast as the
+    window rotates — otherwise this pin fails and the round must grade
+    before it grows."""
+    graded = _graded_union()
+    oracle_checked = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
+    never_graded = oracle_checked - graded
+    stray = never_graded - set(PRIORITY) - set(NEXT_WINDOW)
+    assert not stray, f"never-graded entries not staged anywhere: {sorted(stray)}"
+    assert len(NEXT_WINDOW) <= 50, (
+        f"NEXT_WINDOW ({len(NEXT_WINDOW)}) exceeds one grading window; "
+        "stop adding oracle-checked entries until the window rotates"
+    )
 
 
 def test_union_covers_every_family():

@@ -116,6 +116,18 @@ def run_query(spark, name: str, sf_dir: str) -> list[float]:
     # action-only timing (re-execution measures engine throughput — the
     # signal that scales — without the constant per-plan analysis cost).
     rebuild = "ExistingRDD" in df._jdf.queryExecution().executedPlan().toString()
+    if rebuild:
+        # The prebuilt-df warmup above reuses the checkpointed index, so
+        # it never compiles the shingle/signature stages the timed reps
+        # rebuild — BENCH_r06's dedup_minhash_lsh spread was bimodal
+        # ([2.83, 5.75, 5.89]) because rep 1 paid that cold
+        # whole-stage-codegen. Warm the FULL rebuild path once, untimed,
+        # so the timed reps measure the engine, not the JIT.
+        df = None
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
     samples = []
     n_timed = N_TIMED if name in _EXPENSIVE else N_TIMED_CHEAP
     for _ in range(n_timed):

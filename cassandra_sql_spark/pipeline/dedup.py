@@ -646,23 +646,27 @@ def bloom_decontam(
 def minhash_signature(col: Column, num_hashes: int = 64) -> Column:
     """Array of num_hashes minhash values over the shingle array.
 
-    Hash family: xxhash64 salted by index — JVM built-in, no UDF.
+    Hash family: xxhash64 salted by slot index — JVM built-in, no UDF.
+    Same single-``aggregate()`` fold as ``minhash_signatures`` (one
+    lambda, two nested loops in codegen — see that docstring for the
+    cold/warm A/B vs the unrolled form). The column form references
+    ``col`` once (the aggregate input), so an unmaterialized shingle
+    EXPRESSION is shingled once, not num_hashes times.
 
-    NOTE: prefer ``minhash_signatures`` (the explode/agg form) when the
-    shingle column is an expression rather than a materialized column:
-    Catalyst's CollapseProject inlines the expression into all num_hashes
-    array elements, recomputing shingling 64x (measured 4x wall-clock on
-    the LSH path).
+    NOTE: seeds by ``xxhash64(element, slot_index)`` — a DIFFERENT hash
+    family than this function's pre-r7 ``xxhash64(concat(element,
+    '#i'))``; minhash estimates are equally valid under either, but
+    signatures from the two families are not comparable. The table form
+    ``minhash_signatures`` (every internal caller and the on-disk
+    index) has always used the (element, seed) family and is unchanged.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    col, lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#{i}")))
-                )
-            )
-            for i in range(num_hashes)
-        ]
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("bigint"), num_hashes)
+    return F.aggregate(
+        col,
+        init,
+        lambda acc, g: F.transform(
+            acc, lambda a, i: F.least(a, F.xxhash64(g, i))
+        ),
     )
 
 
@@ -673,19 +677,27 @@ def minhash_signatures(
     ``_sig`` (length num_hashes): a map-only projection of num_hashes
     array_min(transform(...)) folds per row — NO explode, NO shuffle.
 
-    Re-measured on Spark 4.1 (round 6, interleaved A/B over the full
-    LSH pipeline at sf0.1): the per-row fold beats the old explode +
-    64-column min-agg form 1.27s vs 1.44s median warm — the r1
-    measurement that favored explode/agg (0.30s vs 0.73s) inverted as
-    higher-order-function evaluation improved, and the fold needs no
-    shuffle at all, which is also the better 100 TB shape (signatures
-    come out of the same scan that shingled the text).
+    Single ``aggregate()`` fold (round 7): one lambda folds every
+    shingle into a num_hashes-wide min accumulator —
+    ``aggregate(s, [MAX]*n, (acc, g) -> transform(acc, (a, i) ->
+    least(a, xxhash64(g, i))))``. Codegen emits TWO nested loops
+    instead of num_hashes unrolled transform loops, so whole-stage
+    compilation cost drops ~num_hashes-fold: A/B vs the round-6
+    64-unrolled ``array_min(transform(...))`` form at sf0.001 measured
+    first-run 0.27s vs 3.16s (cold codegen was the dedup family's
+    bench-record breach, BENCH_r06) and warm median 0.35s vs 1.58s.
+    Hash values are bit-identical — ``transform``'s index parameter is
+    the same IntegerType the old form's ``F.lit(i)`` seed was, so
+    ``xxhash64(g, i)`` matches per slot (asserted by exceptAll identity
+    at sf0.001/sf0.01 and by ``tests/test_pipeline.py``'s recall pins);
+    band keys and on-disk index compatibility are unchanged.
 
-    ``_let`` pins the shingle array to a single evaluation so a caller
-    passing an unmaterialized shingle EXPRESSION is not re-shingled
-    num_hashes times by CollapseProject inlining (all internal callers
-    pass a checkpointed column; the pin makes the hazard structural,
-    not conventional).
+    The fold needs no shuffle at all, which is also the better 100 TB
+    shape (signatures come out of the same scan that shingled the
+    text, map-only). History: r1 favored explode + 64-column min-agg;
+    r6's interleaved A/B inverted that (1.27s vs 1.44s warm at sf0.1)
+    as higher-order-function evaluation improved; r7's single-lambda
+    fold beats both forms warm AND cold (SCALE.md §9).
 
     The signature is packed into one array column: downstream
     (checkpoint + banded self-join) carries a 2-column row instead of
@@ -695,22 +707,17 @@ def minhash_signatures(
     Docs with an EMPTY shingle set are excluded, exactly as the old
     explode/agg form did implicitly (no exploded rows -> no group):
     they have no Jaccard identity, and a NULL-element signature would
-    put every empty doc in the same bucket of every band."""
-    def _seeded(i: int):
-        # one-arg lambda factory: a two-arg lambda would make transform
-        # bind its second parameter to the ELEMENT INDEX, silently
-        # shadowing the seed
-        return lambda g: F.xxhash64(g, F.lit(i))
-
+    put every empty doc in the same bucket of every band. (An empty
+    array would otherwise fold to the untouched [MAX]*n init — the
+    same every-band collision hazard by another route.)"""
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("bigint"), num_hashes)
     return sh.filter(F.size(F.col(shingle_col)) > 0).select(
         F.col(id_col),
-        _let(
+        F.aggregate(
             F.col(shingle_col),
-            lambda s: F.array(
-                *[
-                    F.array_min(F.transform(s, _seeded(i)))
-                    for i in range(num_hashes)
-                ]
+            init,
+            lambda acc, g: F.transform(
+                acc, lambda a, i: F.least(a, F.xxhash64(g, i))
             ),
         ).alias("_sig"),
     )

@@ -564,6 +564,7 @@ def bloom_decontam(
     k: int = 5,
     num_probes: int = 7,
     num_bits: int = 1 << 17,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Scale-path decontamination: flag train docs sharing >= 1 k-gram
     with the eval set via a Bloom filter instead of a join.
@@ -589,22 +590,50 @@ def bloom_decontam(
     Probe bits: pos_j = pmod(xxhash64(gram_hash, j), m); bit masks come
     from a 64-long literal lookup (shiftleft needs a literal shift in the
     DataFrame API; element_at on a constant array stays codegen'd).
+
+    ``hash_family``: "xxhash64" (default, fastest — int64 gram keys,
+    JVM-native probe hash) or "md5" — STRING grams, probe j at
+    pmod(int(md5(gram || ':' || j)[:15hex]), m). md5 exists verbatim in
+    DuckDB (('0x' || substring(md5(g || ':' || j), 1, 15))::BIGINT), so
+    the md5 family makes the ENTIRE pipeline — bitmap build, probe
+    positions, false positives included — engine-portable and therefore
+    oracle-checkable end to end. Same one-sided-error contract; ~3x the
+    per-gram probe cost (string concat + md5 vs one xxhash64), so the
+    xxhash64 family stays the scale default and md5 is the verification
+    twin (equivalence pinned in tests/test_pipeline.py).
     """
     w = tokens(F.col(text_col))
     masks = F.lit([1 << b for b in range(63)] + [-(1 << 63)])
 
+    def pos_expr(g: Column, j: int) -> Column:
+        if hash_family == "md5":
+            return F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(g, F.lit(f":{j}"))), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(num_bits),
+            )
+        return F.pmod(F.xxhash64(g, F.lit(j)), F.lit(num_bits))
+
     def probes(g: Column) -> list[tuple[Column, Column]]:
         out = []
         for j in range(num_probes):
-            pos = F.pmod(F.xxhash64(g, F.lit(j)), F.lit(num_bits))
+            pos = pos_expr(g, j)
             word = F.floor(pos / 64).cast("int")
             mask = F.element_at(masks, F.pmod(pos, 64).cast("int") + 1)
             out.append((word, mask))
         return out
 
+    def grams_of(col: Column) -> Column:
+        if hash_family == "md5":
+            return word_shingles(col, k)
+        return hashed_shingles(col, k)
+
     egrams = (
         eval_df.filter(F.size(w) >= k)
-        .select(F.explode(hashed_shingles(F.col(text_col), k)).alias("_g"))
+        .select(F.explode(grams_of(F.col(text_col))).alias("_g"))
         .distinct()
     )
     set_bits = egrams.select(
@@ -630,7 +659,7 @@ def bloom_decontam(
             )
         return cond
 
-    grams = hashed_shingles(F.col(text_col), k)
+    grams = grams_of(F.col(text_col))
     return spread(train).select(
         F.col(id_col),
         F.size(F.filter(grams, gram_hits)).cast("long").alias(

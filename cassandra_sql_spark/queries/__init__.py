@@ -141,6 +141,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "point_lookup",
     "pred_or_not",
     "sort_multicol",
+    # round-7 additions/conversions, in landing order
+    "sim_lsh_topk",      # rows-only -> oracle-checked (embedded-plane oracle)
+    "decontam_bloom",    # rows-only -> oracle-checked (md5 probe family)
 )
 
 _ALL: dict[str, Q] = {}

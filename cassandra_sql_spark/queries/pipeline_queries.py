@@ -44,6 +44,47 @@ _COSINE = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
+
+def _lsh_topk_oracle(planes: int = 4, k: int = 10, query_id: int = 0) -> str:
+    """Full DuckDB replica of the sign-LSH top-k — hash family included.
+
+    The hyperplanes are md5-derived DRIVER-SIDE constants
+    (similarity._plane_weights), so the oracle embeds the identical
+    weights as literals and recomputes bucket membership itself: this
+    checks the bucketing, the probe, and the scoring — not just the
+    scores of a Spark-chosen candidate list. The sign-bit dot uses an
+    explicit left-to-right term chain, matching Spark's sequential
+    aggregate() fold bit-for-bit (IEEE addition is deterministic given
+    order), so a projection landing near zero cannot flip a bucket bit
+    on one engine only. Scores go through the usual DECIMAL(18,6) hop.
+    """
+    from cassandra_sql_spark.pipeline.similarity import DIM, _plane_weights
+
+    parts = []
+    for p in range(planes):
+        w = _plane_weights(p)
+        terms = " + ".join(f"v[{i + 1}] * ({w[i]!r})" for i in range(DIM))
+        parts.append(f"CASE WHEN ({terms}) > 0 THEN {2 ** p} ELSE 0 END")
+    bucket = "\n         + ".join(parts)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), b AS (
+      SELECT vec_id, v, {bucket} AS bucket FROM e
+    ), q AS (
+      SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = {query_id}
+    )
+    SELECT b.vec_id,
+           CAST(CAST({_COSINE.format(a='b.v', b='q.qv')}
+                     AS DECIMAL(18,6)) AS DOUBLE) AS score
+    FROM b, q
+    WHERE b.bucket = q.qb AND b.vec_id != {query_id}
+    ORDER BY score DESC, b.vec_id
+    LIMIT {k}
+    """
+
 _HEX = "0123456789abcdef"
 
 
@@ -293,14 +334,17 @@ QUERIES: dict[str, Q] = {
         LIMIT 10
         """,
     ),
-    # LSH-bucketed approximate top-k (the scale path) — bucket membership
-    # is hash-family-specific: rows-only; recall@k asserted in tests.
+    # LSH-bucketed approximate top-k (the scale path). Oracle-checked
+    # END TO END since round 7: the hyperplanes are driver-side md5
+    # constants, so the DuckDB oracle embeds the same weights and
+    # re-derives bucket membership + probe + scores itself (see
+    # _lsh_topk_oracle). recall@k vs brute force stays pinned in tests.
     "sim_lsh_topk": df_q(
         lambda spark, sf: similarity.topk_lsh(
             load(spark, sf, "embeddings"), query_id=0, k=10, planes=4
         ),
         ("embeddings",),
-        oracle=None,
+        oracle=_lsh_topk_oracle(planes=4, k=10, query_id=0),
     ),
     # IVF approximate top-k (the other scale path): deterministic k-means
     # coarse quantizer, map-side assignment expression, nprobe-pruned
@@ -966,9 +1010,15 @@ QUERIES: dict[str, Q] = {
     ),
     # Bloom-filter decontamination — the no-join scale path for eval sets
     # too large to broadcast as exploded gram rows: eval 5-grams collapse
-    # to a 16 KB bitmap inlined into a map-only train scan. Rows-only
-    # (xxhash64 probes have no DuckDB spelling); zero-false-negative vs
-    # the exact join and the FP bound are pinned in tests/test_pipeline.py.
+    # to a 16 KB bitmap inlined into a map-only train scan. The registered
+    # entry runs the md5 probe family (dedup.bloom_decontam
+    # hash_family="md5"): md5 exists verbatim in DuckDB, so the oracle
+    # below rebuilds the same Bloom set (as a DISTINCT position set — the
+    # bitmap IS a set of bits) and replays every probe, false positives
+    # included — a full end-to-end hash signal since round 7. The
+    # xxhash64 family stays the production default (3x cheaper probes);
+    # family equivalence + zero-false-negative vs the exact join are
+    # pinned in tests/test_pipeline.py.
     "decontam_bloom": df_q(
         lambda spark, sf: (
             lambda d: dedup.bloom_decontam(
@@ -983,10 +1033,51 @@ QUERIES: dict[str, Q] = {
                 "doc_id",
                 "text",
                 k=5,
+                hash_family="md5",
             )
         )(load(spark, sf, "documents")),
         ("documents",),
-        oracle=None,
+        oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                   AS is_eval
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, is_eval,
+                 list_distinct([array_to_string(w[i:i+4], ' ')
+                                for i in range(1, len(w) - 3)]) AS s
+          FROM toks
+        ), ev AS (
+          SELECT DISTINCT UNNEST(s) AS g FROM sh WHERE is_eval
+        ), js AS (
+          SELECT UNNEST(generate_series(0, 6)) AS j
+        ), setpos AS (
+          SELECT DISTINCT
+                 ('0x' || substring(md5(g || ':' || j), 1, 15))::BIGINT
+                   % 131072 AS p
+          FROM ev, js
+        ), tg AS (
+          SELECT doc_id, UNNEST(s) AS g FROM sh WHERE NOT is_eval
+        ), hit AS (
+          SELECT tp.doc_id, tp.g
+          FROM (SELECT doc_id, g,
+                       ('0x' || substring(md5(g || ':' || j), 1, 15))::BIGINT
+                         % 131072 AS p
+                FROM tg, js) tp
+          LEFT JOIN setpos ON tp.p = setpos.p
+          GROUP BY tp.doc_id, tp.g
+          HAVING count(setpos.p) = 7
+        ), cnt AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM hit GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_flagged_grams,
+               COALESCE(cnt.n, 0) > 0 AS flagged
+        FROM (SELECT doc_id FROM toks WHERE NOT is_eval) t
+        LEFT JOIN cnt USING (doc_id)
+        """,
     ),
     # Train/eval decontamination: GPT-3-style 5-gram overlap between the
     # md5-eval slice and the train remainder (broadcast eval side).

@@ -632,6 +632,42 @@ def test_bloom_decontam_no_false_negatives(spark, sf_dir):
     }
 
 
+def test_bloom_decontam_md5_family_same_contract(spark, sf_dir):
+    """The md5 probe family (the oracle-checkable verification twin of
+    the xxhash64 default) keeps the same one-sided-error contract: every
+    exactly-contaminated doc is flagged, FP overhang within the same
+    bound, and both families agree on every truly-contaminated doc."""
+    from cassandra_sql_spark.pipeline import dedup
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    train, eval_df = d.filter(~is_eval), d.filter(is_eval)
+    exact = {
+        r.train_id
+        for r in dedup.contamination_pairs(
+            train, eval_df, "doc_id", "text", k=5
+        ).collect()
+    }
+    rows = dedup.bloom_decontam(
+        train, eval_df, "doc_id", "text", k=5, hash_family="md5"
+    ).collect()
+    flagged = {r.doc_id for r in rows if r.flagged}
+    assert exact <= flagged, exact - flagged
+    assert len(flagged - exact) <= max(2, 0.05 * train.count())
+    # a contaminated doc shares >= 1 whole gram with eval, so its
+    # n_flagged_grams is >= 1 under ANY probe family — cross-check counts
+    xx = {
+        r.doc_id: r.n_flagged_grams
+        for r in dedup.bloom_decontam(
+            train, eval_df, "doc_id", "text", k=5
+        ).collect()
+    }
+    for r in rows:
+        if r.doc_id in exact:
+            assert r.n_flagged_grams >= 1 and xx[r.doc_id] >= 1
+
+
 # ---- product quantization (PQ / ADC) ----
 
 

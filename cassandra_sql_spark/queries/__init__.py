@@ -18,6 +18,7 @@ from cassandra_sql_spark.queries import (
     more_sql,
     pipeline_queries,
     pipeline_r6,
+    r7_ops,
     relational,
     selection_queries,
     setops,
@@ -51,6 +52,7 @@ _MODULES = (
     behavior,
     pipeline_r6,
     analytics_r6c,
+    r7_ops,
 )
 
 # The correctness driver grades only the FIRST 50 registry entries. The
@@ -144,6 +146,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     # round-7 additions/conversions, in landing order
     "sim_lsh_topk",      # rows-only -> oracle-checked (embedded-plane oracle)
     "decontam_bloom",    # rows-only -> oracle-checked (md5 probe family)
+    "expr_interval_arith",  # typed DayTimeInterval column arithmetic
 )
 
 _ALL: dict[str, Q] = {}

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -168,6 +169,179 @@ def resize_media(
         df.filter(F.octet_length(F.col(payload_col)) > 0)
         .select(id_col, payload_col)
         .mapInPandas(run, RESIZE_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: 24-bit uncompressed BMP (the one raster format simple enough
+# to implement honestly without image libraries). This replaces the stub
+# CONTRACT for one format: decode_resize_bmp is a genuine parse -> pixel
+# array -> box-filter resize kernel running inside the same mapInPandas
+# slot the stubs occupy, proving the REAL-CODEC.md seam with a format the
+# sandbox can handle. BMP specifics a fake would get wrong (and the
+# fixtures + oracle catch): bottom-up row order for positive heights,
+# BGR channel order, 4-byte row-stride padding, pixel-data offset from
+# the file header rather than an assumed 54.
+# ---------------------------------------------------------------------------
+
+
+def bmp_encode(img) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR, stride padded to 4 bytes)."""
+    import struct
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    file_size = 14 + 40 + stride * h
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+    )
+    pad = b"\x00" * (stride - w * 3)
+    rows = [
+        img[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)
+    ]
+    return header + info + b"".join(rows)
+
+
+def bmp_decode(payload: bytes):
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB array.
+
+    Honors the header's pixel-data offset, positive (bottom-up) and
+    negative (top-down) heights, BGR storage, and row-stride padding.
+    Raises ValueError on anything that is not a 24-bit uncompressed BMP —
+    the strict-mode contract line (REAL-CODEC.md)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    topdown = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if offset + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(payload, np.uint8, stride * h, offset)
+    px = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    if not topdown:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def box_resize(img, out_h: int, out_w: int):
+    """Box-filter downsample by integer factors: each output pixel is the
+    exact mean of its (h/out_h x w/out_w) input block. Means of uint8
+    blocks are dyadic rationals well inside float64 — bit-exact, so the
+    SQL oracle can replay them."""
+    h, w, c = img.shape
+    fy, fx = h // out_h, w // out_w
+    if fy * out_h != h or fx * out_w != w:
+        raise ValueError("box_resize requires integer scale factors")
+    import numpy as np
+
+    return (
+        img.reshape(out_h, fy, out_w, fx, c)
+        .astype(np.float64)
+        .mean(axis=(1, 3))
+    )
+
+
+def synth_bmp_payload(
+    df: DataFrame, id_col: str = "doc_id", side: int = 8
+) -> DataFrame:
+    """Deterministic BMP fixtures: an (side x side) RGB image per row whose
+    pixel values are closed-form in the id — r=(id*31+i)%256,
+    g=(id*17+2i)%251, b=(id*7+3i)%253 at raster index i=y*side+x — so a
+    SQL oracle can recompute any decoded statistic without decoding.
+    Encoded with the real bmp_encode (bottom-up + BGR + padding), so a
+    decoder that shortcuts any of those reads the wrong pixels."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(side * side, dtype=np.int64).reshape(side, side)
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                img = np.stack(
+                    [
+                        (d * 31 + idx) % 256,
+                        (d * 17 + 2 * idx) % 251,
+                        (d * 7 + 3 * idx) % 253,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(bmp_encode(img))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+DECODE_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("wsum_r", DoubleType()),
+        StructField("wsum_g", DoubleType()),
+        StructField("wsum_b", DoubleType()),
+    ]
+)
+
+
+def decode_resize_bmp(
+    df: DataFrame,
+    out_side: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL decode + resize kernel in the mapInPandas slot: parse the BMP,
+    box-resize to out_side x out_side, emit position-weighted per-channel
+    sums sum(mean_block_b * (b+1)) — weighted so a decoder that flips row
+    order, swaps channels, or mis-strides produces a different number
+    (a plain global mean would hide all three). Every term is a quarter-
+    integer: float64-exact, DuckDB-replayable."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_bytes": [],
+                "wsum_r": [], "wsum_g": [], "wsum_b": [],
+            }
+            for d, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                img = bmp_decode(p)
+                h, w, _ = img.shape
+                small = box_resize(img, out_side, out_side)
+                weights = np.arange(
+                    1, out_side * out_side + 1, dtype=np.float64
+                ).reshape(out_side, out_side)
+                out["doc_id"].append(int(d))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(p))
+                for ci, col in enumerate(("wsum_r", "wsum_g", "wsum_b")):
+                    out[col].append(float((small[:, :, ci] * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, DECODE_REAL_SCHEMA
     )
 
 

@@ -147,6 +147,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "sim_lsh_topk",      # rows-only -> oracle-checked (embedded-plane oracle)
     "decontam_bloom",    # rows-only -> oracle-checked (md5 probe family)
     "expr_interval_arith",  # typed DayTimeInterval column arithmetic
+    "multimodal_decode_real",  # real BMP decode+box-resize kernel
 )
 
 _ALL: dict[str, Q] = {}

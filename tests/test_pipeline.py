@@ -414,6 +414,103 @@ def test_resize_stub_tiles_to_exact_size():
     assert multimodal.resize_stub(b"", 4) == b"\x00\x00\x00\x00"
 
 
+# ---- real BMP codec (REAL-CODEC.md seam, one real format) ----
+
+
+def _synth_img(h, w, seed=7):
+    import numpy as np
+
+    i = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    return np.stack(
+        [(seed * 31 + i) % 256, (seed * 17 + 2 * i) % 251,
+         (seed * 7 + 3 * i) % 253],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_bmp_roundtrip_including_stride_padding():
+    import numpy as np
+
+    # 5-wide rows need 1 pad byte (5*3=15 -> stride 16): exercises padding
+    for h, w in ((8, 8), (4, 5), (3, 2), (1, 1)):
+        img = _synth_img(h, w)
+        out = multimodal.bmp_decode(multimodal.bmp_encode(img))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, img), (h, w)
+
+
+def test_bmp_decode_handles_topdown_negative_height():
+    import struct
+
+    import numpy as np
+
+    img = _synth_img(4, 4)
+    buf = bytearray(multimodal.bmp_encode(img))
+    # rewrite as top-down: negate height, reverse the stored row order
+    struct.pack_into("<i", buf, 22, -4)
+    stride = 4 * 3
+    rows = [bytes(buf[54 + r * stride: 54 + (r + 1) * stride])
+            for r in range(4)]
+    buf[54:] = b"".join(reversed(rows))
+    out = multimodal.bmp_decode(bytes(buf))
+    assert np.array_equal(out, img)
+
+
+def test_bmp_decode_rejects_non_bmp_and_truncated():
+    with pytest.raises(ValueError):
+        multimodal.bmp_decode(b"not a bitmap at all, just bytes....." * 3)
+    ok = multimodal.bmp_encode(_synth_img(4, 4))
+    with pytest.raises(ValueError):
+        multimodal.bmp_decode(ok[:60])  # truncated pixel data
+    with pytest.raises(ValueError):
+        # 8bpp header
+        import struct
+
+        bad = bytearray(ok)
+        struct.pack_into("<H", bad, 28, 8)
+        multimodal.bmp_decode(bytes(bad))
+
+
+def test_box_resize_exact_block_means():
+    import numpy as np
+
+    img = _synth_img(8, 8)
+    small = multimodal.box_resize(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    for by in range(4):
+        for bx in range(4):
+            block = img[2 * by: 2 * by + 2, 2 * bx: 2 * bx + 2, :]
+            want = block.astype(np.float64).mean(axis=(0, 1))
+            assert np.array_equal(small[by, bx], want)
+    with pytest.raises(ValueError):
+        multimodal.box_resize(img, 3, 3)  # non-integer factor
+
+
+def test_decode_resize_bmp_catches_row_order_and_channel_bugs(spark, sf_dir):
+    """The weighted-block statistic must change if a decoder skips the
+    bottom-up flip or the BGR swap — that is what makes the oracle a real
+    check on the codec rather than on byte plumbing."""
+    import numpy as np
+
+    img = _synth_img(8, 8, seed=3)
+    small = multimodal.box_resize(img, 4, 4)
+    w = np.arange(1, 17, dtype=np.float64).reshape(4, 4)
+    good = [(small[:, :, c] * w).sum() for c in range(3)]
+    flipped = multimodal.box_resize(img[::-1], 4, 4)
+    assert [(flipped[:, :, c] * w).sum() for c in range(3)] != good
+    swapped = multimodal.box_resize(img[:, :, ::-1], 4, 4)
+    assert [(swapped[:, :, c] * w).sum() for c in range(3)] != good
+    # end-to-end through Spark: one row, value equals the local kernel
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id = 3"
+    )
+    row = multimodal.decode_resize_bmp(
+        multimodal.synth_bmp_payload(docs, side=8), out_side=4
+    ).collect()[0]
+    assert (row.wsum_r, row.wsum_g, row.wsum_b) == tuple(good)
+    assert (row.width, row.height, row.n_bytes) == (8, 8, 246)
+
+
 def test_winnow_guarantee_finds_shared_substring(spark):
     # winnowing guarantee: a shared substring of length >= window + k - 1
     # (23 chars at defaults) must yield >= 1 shared fingerprint

@@ -148,6 +148,13 @@ NEXT_WINDOW: tuple[str, ...] = (
     "decontam_bloom",    # rows-only -> oracle-checked (md5 probe family)
     "expr_interval_arith",  # typed DayTimeInterval column arithmetic
     "multimodal_decode_real",  # real BMP decode+box-resize kernel
+    "sim_lsh_multiprobe",   # multi-probe LSH, embedded-plane oracle
+    "series_drawdown",      # running peak / max drawdown
+    "series_autocorr",      # daily-count ACF at lags 1 and 7
+    "event_attribution",    # first-touch attribution
+    "stat_ks_two_sample",   # Kolmogorov-Smirnov D
+    "stat_gini",            # Gini concentration per event type
+    "agg_percentile_disc",  # PERCENTILE_DISC semantics
 )
 
 _ALL: dict[str, Q] = {}

@@ -45,7 +45,9 @@ _COSINE = (
 )
 
 
-def _lsh_topk_oracle(planes: int = 4, k: int = 10, query_id: int = 0) -> str:
+def _lsh_topk_oracle(
+    planes: int = 4, k: int = 10, query_id: int = 0, multiprobe: int = 0
+) -> str:
     """Full DuckDB replica of the sign-LSH top-k — hash family included.
 
     The hyperplanes are md5-derived DRIVER-SIDE constants
@@ -66,6 +68,14 @@ def _lsh_topk_oracle(planes: int = 4, k: int = 10, query_id: int = 0) -> str:
         terms = " + ".join(f"v[{i + 1}] * ({w[i]!r})" for i in range(DIM))
         parts.append(f"CASE WHEN ({terms}) > 0 THEN {2 ** p} ELSE 0 END")
     bucket = "\n         + ".join(parts)
+    # multiprobe m additionally probes the buckets at Hamming distance 1
+    # on the first m sign bits (bucket XOR 2^p) — same knob as topk_lsh
+    probe = "b.bucket = q.qb"
+    if multiprobe:
+        alts = ", ".join(
+            f"xor(q.qb, {2 ** p})" for p in range(min(multiprobe, planes))
+        )
+        probe = f"b.bucket IN (q.qb, {alts})"
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v
@@ -80,7 +90,7 @@ def _lsh_topk_oracle(planes: int = 4, k: int = 10, query_id: int = 0) -> str:
            CAST(CAST({_COSINE.format(a='b.v', b='q.qv')}
                      AS DECIMAL(18,6)) AS DOUBLE) AS score
     FROM b, q
-    WHERE b.bucket = q.qb AND b.vec_id != {query_id}
+    WHERE {probe} AND b.vec_id != {query_id}
     ORDER BY score DESC, b.vec_id
     LIMIT {k}
     """
@@ -345,6 +355,19 @@ QUERIES: dict[str, Q] = {
         ),
         ("embeddings",),
         oracle=_lsh_topk_oracle(planes=4, k=10, query_id=0),
+    ),
+    # Multi-probe LSH: also scan the buckets one sign-flip away from the
+    # query's — the standard recall/cost knob ((m+1)/2^planes of the data
+    # instead of 1/2^planes, recovering neighbors that landed just across
+    # one hyperplane). Oracle-checked the same way as sim_lsh_topk: the
+    # probe set (qb, qb XOR 1, qb XOR 2) is re-derived inside DuckDB.
+    "sim_lsh_multiprobe": df_q(
+        lambda spark, sf: similarity.topk_lsh(
+            load(spark, sf, "embeddings"),
+            query_id=0, k=10, planes=4, multiprobe=2,
+        ),
+        ("embeddings",),
+        oracle=_lsh_topk_oracle(planes=4, k=10, query_id=0, multiprobe=2),
     ),
     # IVF approximate top-k (the other scale path): deterministic k-means
     # coarse quantizer, map-side assignment expression, nprobe-pruned

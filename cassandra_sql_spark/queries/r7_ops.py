@@ -114,4 +114,186 @@ QUERIES: dict[str, Q] = {
         FROM m GROUP BY doc_id
         """,
     ),
+    # Max drawdown per user over a signed cash-flow series (equity-curve
+    # analytics): two stacked running windows — cumulative balance, then
+    # running peak — then one aggregate. Money stays in exact integer
+    # cents through both windows so the running sums are order-exact on
+    # both engines; at 100 TB this is one shuffle on user_id and two
+    # in-partition window passes.
+    "series_drawdown": sql_q(
+        """
+        WITH cents AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN event_type IN ('purchase', 'signup')
+                      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                      ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                 END AS c
+          FROM events
+        ), cum AS (
+          SELECT user_id, ts, event_id,
+                 SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS bal
+          FROM cents
+        ), pk AS (
+          SELECT user_id, bal,
+                 MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS peak
+          FROM cum
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(peak - bal) AS DOUBLE) / 100 AS max_drawdown,
+               CAST(MAX(peak) AS DOUBLE) / 100 AS peak_balance
+        FROM pk GROUP BY user_id ORDER BY user_id
+        """,
+        ("events",),
+    ),
+    # Autocorrelation of the daily event-count series at lags 1 and 7
+    # (seasonality detection). Pearson r from raw integer power sums —
+    # counts are BIGINT, so every sum is exact and the single double
+    # expression at the end is bit-identical across engines. The
+    # unpartitioned LAG window runs over the DAILY reduction (|distinct
+    # dates| rows — thousands even at 100 TB), never the event log; the
+    # WindowExec single-partition warning is bounded by calendar size.
+    "series_autocorr": sql_q(
+        """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY CAST(ts AS DATE)
+        ), l AS (
+          SELECT n,
+                 LAG(n, 1) OVER (ORDER BY d) AS n1,
+                 LAG(n, 7) OVER (ORDER BY d) AS n7
+          FROM daily
+        ), s1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS c, SUM(n) AS sx, SUM(n1) AS sy,
+                 SUM(n * n1) AS sxy, SUM(n * n) AS sxx, SUM(n1 * n1) AS syy
+          FROM l WHERE n1 IS NOT NULL
+        ), s7 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS c, SUM(n) AS sx, SUM(n7) AS sy,
+                 SUM(n * n7) AS sxy, SUM(n * n) AS sxx, SUM(n7 * n7) AS syy
+          FROM l WHERE n7 IS NOT NULL
+        )
+        SELECT
+          CAST(s1.c * s1.sxy - s1.sx * s1.sy AS DOUBLE)
+            / (SQRT(CAST(s1.c * s1.sxx - s1.sx * s1.sx AS DOUBLE))
+               * SQRT(CAST(s1.c * s1.syy - s1.sy * s1.sy AS DOUBLE)))
+            AS acf_lag1,
+          CAST(s7.c * s7.sxy - s7.sx * s7.sy AS DOUBLE)
+            / (SQRT(CAST(s7.c * s7.sxx - s7.sx * s7.sx AS DOUBLE))
+               * SQRT(CAST(s7.c * s7.syy - s7.sy * s7.sy AS DOUBLE)))
+            AS acf_lag7,
+          s1.c AS n_pairs_lag1,
+          s7.c AS n_pairs_lag7
+        FROM s1, s7
+        """,
+        ("events",),
+    ),
+    # First-touch attribution: every purchase credits the user's FIRST
+    # event_type (marketing-channel attribution). One shuffle on user_id
+    # for the window, then a tiny grouped rollup; revenue through the
+    # exact integer-cents idiom.
+    "event_attribution": sql_q(
+        """
+        WITH o AS (
+          SELECT user_id, event_type, value,
+                 FIRST_VALUE(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS first_touch
+          FROM events
+        )
+        SELECT first_touch,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100 AS revenue
+        FROM o WHERE event_type = 'purchase'
+        GROUP BY first_touch ORDER BY first_touch
+        """,
+        ("events",),
+    ),
+    # Two-sample Kolmogorov-Smirnov D between the purchase and click
+    # value distributions: group-by value (ECDF is right-continuous at
+    # ties), one ordered window for the joint cumulative counts, then
+    # max of an exact integer cross-difference — D only becomes a double
+    # in the final division, so both engines agree bit-for-bit. The
+    # unpartitioned cumulative window runs over DISTINCT 2-decimal
+    # values (domain-bounded: <= 100*max_value rows regardless of event
+    # count), not the log — the WindowExec warning is value-domain-sized.
+    "stat_ks_two_sample": sql_q(
+        """
+        WITH v AS (
+          SELECT value,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS na,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS nb
+          FROM events WHERE event_type IN ('purchase', 'click')
+          GROUP BY value
+        ), c AS (
+          SELECT SUM(na) OVER (ORDER BY value
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ca,
+                 SUM(nb) OVER (ORDER BY value
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cb
+          FROM v
+        ), t AS (
+          SELECT SUM(na) AS ta, SUM(nb) AS tb FROM v
+        )
+        SELECT CAST(MAX(ABS(ca * t.tb - cb * t.ta)) AS DOUBLE)
+                 / CAST(t.ta * t.tb AS DOUBLE) AS ks_d,
+               CAST(t.ta AS BIGINT) AS n_purchase,
+               CAST(t.tb AS BIGINT) AS n_click
+        FROM c, t GROUP BY t.ta, t.tb
+        """,
+        ("events",),
+    ),
+    # Gini coefficient of the value distribution per event type
+    # (inequality / concentration analytics): rank-weighted sum identity
+    # G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) on integer cents.
+    # Rank ties share equal x, so the weighted sum is permutation-
+    # invariant — the ROW_NUMBER tiebreak only pins the plan.
+    "stat_gini": sql_q(
+        """
+        WITH x AS (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rk
+          FROM events
+        ), g AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(c) AS sc, SUM(rk * c) AS src
+          FROM x GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(2 * src - (n + 1) * sc AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sc AS DOUBLE)) AS gini
+        FROM g ORDER BY event_type
+        """,
+        ("events",),
+    ),
+    # Discrete percentiles (the actual stored value at or above the
+    # cut, never an interpolation — PERCENTILE_DISC semantics) via
+    # CUME_DIST + conditional MIN: deterministic because the answer is a
+    # data value, not arithmetic.
+    "agg_percentile_disc": sql_q(
+        """
+        WITH r AS (
+          SELECT o_orderpriority AS pr, o_totalprice AS v,
+                 CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice) AS cd
+          FROM orders
+        )
+        SELECT pr,
+               MIN(CASE WHEN cd >= 0.25 THEN v END) AS p25,
+               MIN(CASE WHEN cd >= 0.5 THEN v END) AS p50,
+               MIN(CASE WHEN cd >= 0.75 THEN v END) AS p75
+        FROM r GROUP BY pr ORDER BY pr
+        """,
+        ("orders",),
+    ),
 }

@@ -155,6 +155,11 @@ NEXT_WINDOW: tuple[str, ...] = (
     "stat_ks_two_sample",   # Kolmogorov-Smirnov D
     "stat_gini",            # Gini concentration per event type
     "agg_percentile_disc",  # PERCENTILE_DISC semantics
+    "order_cohort_ltv",     # first-order-month cohort revenue
+    "stat_mann_whitney",    # rank-sum U + tie-corrected z
+    "basket_pair_lift",     # market-basket pair lift
+    "pred_is_distinct_from",  # ANSI null-safe inequality
+    "graph_reciprocity",    # reverse-edge fraction of page graph
 )
 
 _ALL: dict[str, Q] = {}

@@ -296,4 +296,181 @@ QUERIES: dict[str, Q] = {
         """,
         ("orders",),
     ),
+    # Cohort lifetime value: customers cohorted by first-order month,
+    # revenue rolled up by months-since-first-order. Months are encoded
+    # as y*12+m integers so both engines group on exact keys (date_trunc
+    # returns DATE in DuckDB but TIMESTAMP in Spark). Two shuffles:
+    # the first-order reduction and the cohort rollup.
+    "order_cohort_ltv": sql_q(
+        """
+        WITH f AS (
+          SELECT o_custkey,
+                 MIN(EXTRACT(YEAR FROM o_orderdate) * 12
+                     + EXTRACT(MONTH FROM o_orderdate)) AS first_ym
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(f.first_ym AS BIGINT) AS cohort_ym,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) * 12
+                    + EXTRACT(MONTH FROM o.o_orderdate) - f.first_ym
+                    AS BIGINT) AS month_offset,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100 AS revenue
+        FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        GROUP BY f.first_ym,
+                 EXTRACT(YEAR FROM o.o_orderdate) * 12
+                   + EXTRACT(MONTH FROM o.o_orderdate)
+        ORDER BY cohort_ym, month_offset
+        """,
+        ("orders",),
+    ),
+    # Mann-Whitney U (rank-sum) test between the purchase and click
+    # value distributions, with midrank tie handling and the tie-
+    # corrected normal approximation. Doubled rank sums keep every
+    # intermediate an exact integer (midranks are half-integers); the
+    # z-score is one closed-form double expression evaluated identically
+    # by both engines. Companion to stat_ks_two_sample / stat_ab_welch_z.
+    "stat_mann_whitney": sql_q(
+        """
+        WITH v AS (
+          SELECT value,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS na,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS nb,
+                 COUNT(*) AS nt
+          FROM events WHERE event_type IN ('purchase', 'click')
+          GROUP BY value
+        ), c AS (
+          SELECT na, nb, nt,
+                 SUM(nt) OVER (ORDER BY value
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - nt AS cum_before
+          FROM v
+        ), s AS (
+          SELECT SUM(na * (2 * cum_before + nt + 1)) AS r2a,
+                 SUM(na) AS ta, SUM(nb) AS tb,
+                 SUM(nt * nt * nt - nt) AS ties
+          FROM c
+        )
+        SELECT CAST(r2a - ta * (ta + 1) AS DOUBLE) / 2 AS u_stat,
+               CAST(ta AS BIGINT) AS n_purchase,
+               CAST(tb AS BIGINT) AS n_click,
+               (CAST(r2a - ta * (ta + 1) AS DOUBLE) / 2
+                  - CAST(ta * tb AS DOUBLE) / 2)
+                 / SQRT(CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) / 12
+                        * (CAST(ta + tb + 1 AS DOUBLE)
+                           - CAST(ties AS DOUBLE)
+                             / CAST((ta + tb) * (ta + tb - 1) AS DOUBLE)))
+                 AS z_score
+        FROM s
+        """,
+        ("events",),
+    ),
+    # Market-basket pair lift over order line items (association-rule
+    # mining's core primitive). The self-join fans out per order by at
+    # most (items-per-order choose 2) — TPC-H averages 4 lines/order —
+    # never all-pairs over the table; lift stays exact because every
+    # count product is below 2^53 before the single division.
+    "basket_pair_lift": sql_q(
+        """
+        WITH it AS (
+          SELECT DISTINCT l_orderkey AS ok, p_type AS t
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), n AS (
+          SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM it
+        ), tc AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM it GROUP BY t
+        ), pairs AS (
+          SELECT a.t AS t1, b.t AS t2, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM it a JOIN it b ON a.ok = b.ok AND a.t < b.t
+          GROUP BY a.t, b.t
+        )
+        SELECT t1, t2, c12,
+               CAST(c12 AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                 / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+        FROM pairs
+        JOIN tc ca ON ca.t = pairs.t1
+        JOIN tc cb ON cb.t = pairs.t2
+        CROSS JOIN n
+        WHERE c12 >= 5
+        ORDER BY lift DESC, t1, t2
+        LIMIT 50
+        """,
+        ("lineitem", "part"),
+    ),
+    # IS DISTINCT FROM — the ANSI null-safe inequality (companion to the
+    # <=> entry pred_null_safe_eq): change detection over a sequence
+    # where the tracked flag is often NULL, so plain != would silently
+    # drop every NULL-adjacent transition.
+    "pred_is_distinct_from": sql_q(
+        """
+        WITH l AS (
+          SELECT user_id,
+                 CASE WHEN value >= 100 THEN event_type END AS flag,
+                 LAG(CASE WHEN value >= 100 THEN event_type END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_flag
+          FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(CASE WHEN flag IS DISTINCT FROM prev_flag
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM l GROUP BY user_id ORDER BY user_id
+        """,
+        ("events",),
+    ),
+    # Directed-graph reciprocity over the page-transition graph (same
+    # edge extraction as graph_pagerank/graph_triangle_count): the
+    # fraction of distinct src->dst edges whose reverse edge exists.
+    # The log collapses to the DISTINCT edge set (bounded by |pages|^2)
+    # before the self-join, so the join never touches raw events.
+    "graph_reciprocity": sql_q(
+        """
+        WITH ev AS (
+          SELECT user_id, ts, event_id,
+                 TRY_CAST(get_json_object(props, '$.k') AS BIGINT) AS page
+          FROM events
+        ), seq AS (
+          SELECT page AS src,
+                 LEAD(page) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+          FROM ev
+        ), e AS (
+          SELECT DISTINCT src, dst FROM seq
+          WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_reciprocal,
+               CAST(SUM(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS reciprocity
+        FROM e a LEFT JOIN e b ON a.src = b.dst AND a.dst = b.src
+        """,
+        ("events",),
+        oracle="""
+        WITH ev AS (
+          SELECT user_id, ts, event_id,
+                 TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                               THEN JSON_EXTRACT_STRING(props, '$.k') END
+                          AS BIGINT) AS page
+          FROM events
+        ), seq AS (
+          SELECT page AS src,
+                 LEAD(page) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+          FROM ev
+        ), e AS (
+          SELECT DISTINCT src, dst FROM seq
+          WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_reciprocal,
+               CAST(SUM(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS reciprocity
+        FROM e a LEFT JOIN e b ON a.src = b.dst AND a.dst = b.src
+        """,
+    ),
 }

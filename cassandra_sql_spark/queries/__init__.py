@@ -160,6 +160,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "basket_pair_lift",     # market-basket pair lift
     "pred_is_distinct_from",  # ANSI null-safe inequality
     "graph_reciprocity",    # reverse-edge fraction of page graph
+    "text_readability_fk",  # Flesch-Kincaid grade (exact rational)
+    "stat_benford_first_digit",  # Benford audit, literal expectations
+    "series_cusum_changepoint",  # CUSUM argmax day, scaled-int exact
 )
 
 _ALL: dict[str, Q] = {}

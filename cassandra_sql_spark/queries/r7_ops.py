@@ -9,11 +9,44 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from cassandra_sql_spark.io import load
 from cassandra_sql_spark.pipeline import multimodal
 from cassandra_sql_spark.queries.base import Q, df_q, sql_q
+
+# Benford expected first-digit probabilities, inlined as literals so
+# neither engine's LOG10 (not guaranteed correctly rounded) enters the
+# result — the constants are computed once here and parsed identically.
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {math.log10(1 + 1 / d)!r}" for d in range(1, 10)
+)
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS {{strty}}), 1, 1) AS BIGINT) AS d1
+  FROM orders WHERE o_totalprice > 0
+), c AS (
+  SELECT d1, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d1
+), t AS (SELECT SUM(n) AS total FROM c)
+SELECT d1, n,
+       CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE) AS observed_p,
+       CAST(CASE d1 {_BENFORD_CASE} END AS DOUBLE) AS benford_p
+FROM c, t ORDER BY d1
+"""
+
+_FK_SELECT = """
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sents,
+       CAST(n_syll AS BIGINT) AS n_syllables,
+       CAST(39 * n_words * n_words + 1180 * n_syll * n_sents
+            - 1559 * n_words * n_sents AS DOUBLE)
+         / (100 * n_words * n_sents) AS fk_grade
+FROM s ORDER BY doc_id LIMIT 300
+"""
 
 QUERIES: dict[str, Q] = {
     # Typed-interval arithmetic on a STORED interval column: ts - LAG(ts)
@@ -472,5 +505,88 @@ QUERIES: dict[str, Q] = {
                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS reciprocity
         FROM e a LEFT JOIN e b ON a.src = b.dst AND a.dst = b.src
         """,
+    ),
+    # Flesch-Kincaid grade level (LLM-corpus quality scoring): vowel-group
+    # syllable heuristic per word, sentence count from terminal
+    # punctuation runs. The grade formula 0.39*w/s + 11.8*syll/w - 15.59
+    # is rewritten over the common denominator 100*w*s so the numerator
+    # stays an exact integer and the only double op is one division.
+    # Map-only over the corpus; the per-word regexp runs in a JVM lambda.
+    "text_readability_fk": sql_q(
+        """
+        WITH w AS (
+          SELECT doc_id, split(trim(text), '\\\\s+') AS words,
+                 GREATEST(regexp_count(text, '[.!?]+'), 1) AS n_sents
+          FROM documents
+        ), s AS (
+          SELECT doc_id, n_sents, size(words) AS n_words,
+                 AGGREGATE(TRANSFORM(words,
+                     x -> GREATEST(regexp_count(lower(x), '[aeiouy]+'), 1)),
+                   0L, (acc, x) -> acc + x) AS n_syll
+          FROM w
+        )
+        """ + _FK_SELECT,
+        ("documents",),
+        oracle="""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words,
+                 GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sents
+          FROM documents
+        ), s AS (
+          SELECT doc_id, n_sents, len(words) AS n_words,
+                 list_sum(list_transform(words,
+                     x -> GREATEST(len(regexp_extract_all(lower(x),
+                                                          '[aeiouy]+')), 1)
+                 )) AS n_syll
+          FROM w
+        )
+        """ + _FK_SELECT,
+    ),
+    # Benford first-digit audit over order totals (data-quality /
+    # anomaly primitive). The first digit comes from the exact integer
+    # cents rendered as a string — identical on both engines — never
+    # from log10 arithmetic; the expected distribution is inlined as
+    # driver-computed literals (see _BENFORD_CASE).
+    "stat_benford_first_digit": sql_q(
+        _BENFORD_SQL.format(strty="STRING"),
+        ("orders",),
+        oracle=_BENFORD_SQL.format(strty="VARCHAR"),
+    ),
+    # CUSUM changepoint per event type on the daily count series: the
+    # cumulative deviation from the series mean is kept in exact scaled
+    # integers (sum of n*x_i - sum_x, i.e. n times the usual CUSUM), so
+    # the argmax day is exact; the statistic only becomes a double in
+    # the final unscaling. Windows partition by event_type; the series
+    # is the daily reduction, calendar-bounded.
+    "series_cusum_changepoint": sql_q(
+        """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), tot AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx
+          FROM daily GROUP BY event_type
+        ), cus AS (
+          SELECT daily.event_type, d,
+                 SUM(tot.n * x - tot.sx) OVER (
+                     PARTITION BY daily.event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c_scaled,
+                 tot.n AS n
+          FROM daily JOIN tot ON daily.event_type = tot.event_type
+        ), ranked AS (
+          SELECT event_type, d, c_scaled, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY ABS(c_scaled) DESC, d) AS rk
+          FROM cus
+        )
+        SELECT event_type, d AS changepoint_day,
+               CAST(ABS(c_scaled) AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS max_cusum
+        FROM ranked WHERE rk = 1 ORDER BY event_type
+        """,
+        ("events",),
     ),
 }

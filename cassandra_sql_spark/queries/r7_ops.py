@@ -161,7 +161,7 @@ QUERIES: dict[str, Q] = {
                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                       ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                  END AS c
-          FROM events
+          FROM events WHERE ts IS NOT NULL
         ), cum AS (
           SELECT user_id, ts, event_id,
                  SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -194,7 +194,7 @@ QUERIES: dict[str, Q] = {
         """
         WITH daily AS (
           SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
-          FROM events GROUP BY CAST(ts AS DATE)
+          FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ), l AS (
           SELECT n,
                  LAG(n, 1) OVER (ORDER BY d) AS n1,
@@ -236,7 +236,7 @@ QUERIES: dict[str, Q] = {
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS first_touch
-          FROM events
+          FROM events WHERE ts IS NOT NULL
         )
         SELECT first_touch,
                CAST(COUNT(*) AS BIGINT) AS n_purchases,
@@ -296,15 +296,17 @@ QUERIES: dict[str, Q] = {
                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
                  ROW_NUMBER() OVER (PARTITION BY event_type
                                     ORDER BY value, event_id) AS rk
-          FROM events
+          FROM events WHERE value IS NOT NULL
         ), g AS (
           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                  SUM(c) AS sc, SUM(rk * c) AS src
           FROM x GROUP BY event_type
         )
         SELECT event_type, n,
-               CAST(2 * src - (n + 1) * sc AS DOUBLE)
-                 / (CAST(n AS DOUBLE) * CAST(sc AS DOUBLE)) AS gini
+               CASE WHEN sc = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(2 * src - (n + 1) * sc AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(sc AS DOUBLE))
+               END AS gini
         FROM g ORDER BY event_type
         """,
         ("events",),
@@ -444,7 +446,7 @@ QUERIES: dict[str, Q] = {
                  LAG(CASE WHEN value >= 100 THEN event_type END)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_flag
-          FROM events
+          FROM events WHERE ts IS NOT NULL
         )
         SELECT user_id,
                CAST(SUM(CASE WHEN flag IS DISTINCT FROM prev_flag
@@ -564,7 +566,8 @@ QUERIES: dict[str, Q] = {
         WITH daily AS (
           SELECT event_type, CAST(ts AS DATE) AS d,
                  CAST(COUNT(*) AS BIGINT) AS x
-          FROM events GROUP BY event_type, CAST(ts AS DATE)
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY event_type, CAST(ts AS DATE)
         ), tot AS (
           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx
           FROM daily GROUP BY event_type

@@ -399,3 +399,45 @@ def test_pagerank_iterations_never_rescan_the_event_log(spark, sf_dir):
     assert "Scan parquet" not in plan, plan
     assert "Window" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+# --- round-7 additions --------------------------------------------------
+
+
+def test_multimodal_decode_real_is_map_only(spark, sf_dir):
+    """Fixture synthesis + real BMP decode + resize must stay one
+    Arrow-batched map chain: no shuffle, blobs never leave the worker."""
+    plan = plan_of(spark, sf_dir, "multimodal_decode_real")
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 1
+
+
+def test_drawdown_windows_share_one_partitioning(spark, sf_dir):
+    """Both running windows partition by user_id, so the plan must hash-
+    shuffle ONCE for the window stack (the second Exchange is the final
+    presentation sort, a rangepartitioning)."""
+    plan = plan_of(spark, sf_dir, "series_drawdown")
+    hash_exch = plan.count("hashpartitioning")
+    assert hash_exch <= 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+
+
+def test_lsh_topk_is_broadcast_probe_plus_take_ordered(spark, sf_dir):
+    """LSH top-k: the 1-row query side broadcasts, candidates stream, and
+    the top-k is TakeOrderedAndProject (no full sort)."""
+    for name in ("sim_lsh_topk", "sim_lsh_multiprobe"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+        assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_basket_lift_joins_collapse_to_distinct_items_first(spark, sf_dir):
+    """The pair self-join must run on the DISTINCT (order, type) set —
+    an aggregate appears below the self-join, bounding fan-out to
+    C(items-per-order, 2) instead of squaring raw line items."""
+    plan = plan_of(spark, sf_dir, "basket_pair_lift")
+    assert "CartesianProduct" not in plan
+    m_join = re.search(r"\(\d+\) SortMergeJoin|\(\d+\) ShuffledHashJoin"
+                       r"|\(\d+\) BroadcastHashJoin", plan)
+    assert m_join, plan
+    assert "HashAggregate" in plan

@@ -33,8 +33,17 @@ def asof_join(
     """For each left row, attach the nearest right row for the same key:
     ``direction="backward"`` (default) takes the greatest ``right_ts <=
     left_ts``, ``"forward"`` the smallest ``right_ts >= left_ts`` — the
-    forward case is the same merge with the time axis reversed. Ties
-    included either way; left rows with no match get NULLs."""
+    forward case is the same merge with the time axis reversed — and
+    ``"nearest"`` whichever of the two is closer in time (ties go
+    backward, the pandas merge_asof convention). Nearest runs BOTH
+    carried-window passes in one plan over the same union + user_id
+    partitioning (one shuffle, two in-partition window sorts) and picks
+    per row. Ties included either way; left rows with no match get
+    NULLs."""
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts, value_cols, suffix
+        )
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward: {direction}")
     lcols = left.columns
@@ -59,6 +68,57 @@ def asof_join(
     for c in carried:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out.filter(F.col("_side") == 1).select(*lcols, *carried)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str,
+) -> DataFrame:
+    """Nearest-in-time as-of: carry the last right row in BOTH time
+    directions over one union (ascending and descending window passes
+    share the same hash partitioning on the key — one shuffle), then
+    pick per left row by absolute gap; equal gaps take the backward
+    match (pandas merge_asof nearest convention)."""
+    lcols = left.columns
+    l = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w_b = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in value_cols]
+    out = merged
+    for c in carried:
+        out = out.withColumn(f"{c}__b", F.last(c, ignorenulls=True).over(w_b))
+        out = out.withColumn(f"{c}__f", F.last(c, ignorenulls=True).over(w_f))
+    bts = F.col(f"{right_ts}{suffix}__b")
+    fts = F.col(f"{right_ts}{suffix}__f")
+    use_b = fts.isNull() | (
+        bts.isNotNull() & ((F.col("_t") - bts) <= (fts - F.col("_t")))
+    )
+    picked = [
+        F.when(use_b, F.col(f"{c}__b")).otherwise(F.col(f"{c}__f")).alias(c)
+        for c in carried
+    ]
+    return out.filter(F.col("_side") == 1).select(*lcols, *picked)
 
 
 def _bin(ts: Column, seconds: int) -> Column:

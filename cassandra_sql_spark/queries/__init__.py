@@ -163,6 +163,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "text_readability_fk",  # Flesch-Kincaid grade (exact rational)
     "stat_benford_first_digit",  # Benford audit, literal expectations
     "series_cusum_changepoint",  # CUSUM argmax day, scaled-int exact
+    "asof_join_nearest",    # nearest-in-time as-of, ties backward
+    "agg_weighted_median",  # integer-threshold weighted median
+    "stat_pareto_share",    # parts covering 80% of brand revenue
 )
 
 _ALL: dict[str, Q] = {}

@@ -592,4 +592,65 @@ QUERIES: dict[str, Q] = {
         """,
         ("events",),
     ),
+    # Quantity-weighted median price per return flag: smallest value
+    # whose cumulative weight reaches half the total. Weights stay
+    # integral (FLOOR(q+0.5), not CAST — Spark truncates double->bigint
+    # where DuckDB rounds) and the threshold compares 2*cum >= total in
+    # integers, so no division ever happens. Intra-tie cumulative order
+    # is nondeterministic but harmless: crossing inside a tie block
+    # selects that block's value either way.
+    "agg_weighted_median": sql_q(
+        """
+        WITH x AS (
+          SELECT l_returnflag AS flag, l_extendedprice AS v,
+                 CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS wt
+          FROM lineitem
+        ), c AS (
+          SELECT flag, v,
+                 SUM(wt) OVER (PARTITION BY flag ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cw,
+                 SUM(wt) OVER (PARTITION BY flag) AS tw
+          FROM x
+        )
+        SELECT flag, MIN(CASE WHEN 2 * cw >= tw THEN v END)
+                 AS weighted_median
+        FROM c GROUP BY flag ORDER BY flag
+        """,
+        ("lineitem",),
+    ),
+    # Pareto concentration per brand: how many of the brand's parts
+    # (ranked by revenue) cover 80% of its revenue. Exact integer cents
+    # and the 5*cum >= 4*total integer threshold keep the crossing rank
+    # exact; (rev DESC, partkey) is a total order.
+    "stat_pareto_share": sql_q(
+        """
+        WITH rp AS (
+          SELECT p.p_brand AS brand, l.l_partkey AS pk,
+                 SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS rev_c
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY p.p_brand, l.l_partkey
+        ), c AS (
+          SELECT brand, rev_c,
+                 SUM(rev_c) OVER (PARTITION BY brand
+                                  ORDER BY rev_c DESC, pk
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_c,
+                 SUM(rev_c) OVER (PARTITION BY brand) AS tot_c,
+                 ROW_NUMBER() OVER (PARTITION BY brand
+                                    ORDER BY rev_c DESC, pk) AS rk,
+                 COUNT(*) OVER (PARTITION BY brand) AS np
+          FROM rp
+        )
+        SELECT brand,
+               CAST(MIN(CASE WHEN 5 * cum_c >= 4 * tot_c THEN rk END)
+                    AS BIGINT) AS parts_to_80pct,
+               CAST(MAX(np) AS BIGINT) AS n_parts,
+               CAST(MIN(CASE WHEN 5 * cum_c >= 4 * tot_c THEN rk END)
+                    AS DOUBLE) / CAST(MAX(np) AS DOUBLE) AS pareto_frac
+        FROM c GROUP BY brand ORDER BY brand
+        """,
+        ("lineitem", "part"),
+    ),
 }

@@ -228,4 +228,55 @@ QUERIES: dict[str, Q] = {
           ON c.user_id = p.user_id AND p.pts >= c.ts
         """,
     ),
+    # Nearest-in-time as-of (pandas merge_asof direction="nearest"):
+    # whichever of the backward/forward purchase is closer to the click,
+    # ties backward. One shuffle on user_id, two in-partition window
+    # passes; the oracle composes DuckDB's two directed ASOF joins and
+    # applies the identical gap rule.
+    "asof_join_nearest": df_q(
+        lambda spark, sf: (
+            lambda ev: asof_join(
+                ev.filter(F.col("event_type") == "click").select(
+                    "event_id", "user_id", "ts"
+                ),
+                ev.filter(F.col("event_type") == "purchase").select(
+                    "user_id", "ts", "value"
+                ),
+                on="user_id",
+                left_ts="ts",
+                right_ts="ts",
+                value_cols=["value"],
+                direction="nearest",
+            ).select(
+                "event_id",
+                "user_id",
+                "ts",
+                F.col("ts_asof").alias("near_purchase_ts"),
+                F.col("value_asof").alias("near_purchase_value"),
+            )
+        )(load(spark, sf, "events")),
+        ("events",),
+        oracle="""
+        WITH c AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), p AS (
+          SELECT user_id, ts AS pts, value FROM events
+          WHERE event_type = 'purchase'
+        )
+        -- chained ASOF joins keep exactly one output row per click row
+        -- (a b-join-f self-join would multiply duplicate event ids)
+        SELECT c.event_id, c.user_id, c.ts,
+               CASE WHEN f.pts IS NULL
+                         OR (b.pts IS NOT NULL
+                             AND (c.ts - b.pts) <= (f.pts - c.ts))
+                    THEN b.pts ELSE f.pts END AS near_purchase_ts,
+               CASE WHEN f.pts IS NULL
+                         OR (b.pts IS NOT NULL
+                             AND (c.ts - b.pts) <= (f.pts - c.ts))
+                    THEN b.value ELSE f.value END AS near_purchase_value
+        FROM c
+        ASOF LEFT JOIN p b ON c.user_id = b.user_id AND b.pts <= c.ts
+        ASOF LEFT JOIN p f ON c.user_id = f.user_id AND f.pts >= c.ts
+        """,
+    ),
 }

@@ -166,6 +166,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "asof_join_nearest",    # nearest-in-time as-of, ties backward
     "agg_weighted_median",  # integer-threshold weighted median
     "stat_pareto_share",    # parts covering 80% of brand revenue
+    "expr_business_days",   # integer-day weekday-span formula
+    "series_gaps_islands",  # longest consecutive-day run per user
 )
 
 _ALL: dict[str, Q] = {}

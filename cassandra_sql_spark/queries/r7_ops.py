@@ -38,6 +38,49 @@ SELECT d1, n,
 FROM c, t ORDER BY d1
 """
 
+# Business-day count via pure integer day arithmetic — no EXTRACT(DOW)
+# (Spark numbers Sunday=1 where DuckDB numbers Sunday=0): with x = days
+# since a Monday anchor (1969-12-29), f(x) = 5*floor(x/7) + min(x%7, 5)
+# counts the Mon-Fri days in [anchor, anchor+x), and f(e) - f(s) is the
+# business-day span. Everything is BIGINT until the final cast.
+_FB = "(5 * FLOOR(({x}) / 7) + LEAST(({x}) % 7, 5))"
+
+_BIZDAYS_BODY = f"""
+WITH d AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         {{dd_s}} AS s, {{dd_e}} AS e
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(e - s AS BIGINT) AS calendar_days,
+       CAST({_FB.format(x='e')} - {_FB.format(x='s')} AS BIGINT)
+         AS business_days
+FROM d ORDER BY l_orderkey, l_linenumber LIMIT 2000
+"""
+
+_GAPS_ISLANDS = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL
+), k AS (
+  SELECT user_id, d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM act
+), runs AS (
+  SELECT user_id, MIN(d) AS run_start, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM (SELECT user_id, d, DATEDIFF({args}) - rn AS grp FROM k) g
+  GROUP BY user_id, grp
+), best AS (
+  SELECT user_id, run_start, run_len,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY run_len DESC, run_start) AS rk
+  FROM runs
+)
+SELECT user_id, run_start AS longest_run_start, run_len AS longest_run_days
+FROM best WHERE rk = 1 ORDER BY user_id
+"""
+
 _FK_SELECT = """
 SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
        CAST(n_sents AS BIGINT) AS n_sents,
@@ -652,5 +695,29 @@ QUERIES: dict[str, Q] = {
         FROM c GROUP BY brand ORDER BY brand
         """,
         ("lineitem", "part"),
+    ),
+    # Business days between order placement and line shipment — the
+    # dialect-proof integer-day formula (see _FB above; EXTRACT(DOW)
+    # numbers weekdays differently across engines, epoch-day modular
+    # arithmetic does not). Broadcast-joins orders' date onto lineitem.
+    "expr_business_days": sql_q(
+        _BIZDAYS_BODY.format(
+            dd_s="DATEDIFF(o.o_orderdate, DATE '1969-12-29')",
+            dd_e="DATEDIFF(l.l_shipdate, DATE '1969-12-29')",
+        ),
+        ("lineitem", "orders"),
+        oracle=_BIZDAYS_BODY.format(
+            dd_s="DATEDIFF('day', DATE '1969-12-29', o.o_orderdate)",
+            dd_e="DATEDIFF('day', DATE '1969-12-29', l.l_shipdate)",
+        ),
+    ),
+    # Gaps-and-islands: each user's longest run of consecutive active
+    # days via the classic date-minus-row_number grouping key. One
+    # shuffle on user_id; the per-user series is the distinct-day
+    # reduction, calendar-bounded.
+    "series_gaps_islands": sql_q(
+        _GAPS_ISLANDS.format(args="d, DATE '1970-01-01'"),
+        ("events",),
+        oracle=_GAPS_ISLANDS.format(args="'day', DATE '1970-01-01', d"),
     ),
 }

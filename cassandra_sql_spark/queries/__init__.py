@@ -168,6 +168,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "stat_pareto_share",    # parts covering 80% of brand revenue
     "expr_business_days",   # integer-day weekday-span formula
     "series_gaps_islands",  # longest consecutive-day run per user
+    "stat_spearman_corr",   # midrank Spearman from integer power sums
+    "event_session_conversion",  # 30-min sessions, purchase share
 )
 
 _ALL: dict[str, Q] = {}

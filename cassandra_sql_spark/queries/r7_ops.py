@@ -720,4 +720,88 @@ QUERIES: dict[str, Q] = {
         ("events",),
         oracle=_GAPS_ISLANDS.format(args="'day', DATE '1970-01-01', d"),
     ),
+    # Spearman rank correlation with midrank ties (quantity vs price per
+    # return flag): doubled midranks are exact integers (the Mann-Whitney
+    # trick — 2*rank = 2*cum_before + nt + 1 per distinct value, joined
+    # back to rows), so Pearson-on-ranks reduces to integer power sums
+    # and one closed-form double expression. The rank tables are
+    # distinct-value reductions; the join back is on (group, value).
+    "stat_spearman_corr": sql_q(
+        """
+        WITH x AS (
+          SELECT l_returnflag AS flag,
+                 CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+                 CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
+          FROM lineitem
+        ), rq AS (
+          SELECT flag, q,
+                 2 * (SUM(cnt) OVER (PARTITION BY flag ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - cnt) + cnt + 1 AS r2
+          FROM (SELECT flag, q, COUNT(*) AS cnt FROM x GROUP BY flag, q) t
+        ), rp AS (
+          SELECT flag, p,
+                 2 * (SUM(cnt) OVER (PARTITION BY flag ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - cnt) + cnt + 1 AS r2
+          FROM (SELECT flag, p, COUNT(*) AS cnt FROM x GROUP BY flag, p) t
+        ), j AS (
+          SELECT x.flag, rq.r2 AS a, rp.r2 AS b
+          FROM x JOIN rq ON x.flag = rq.flag AND x.q = rq.q
+                 JOIN rp ON x.flag = rp.flag AND x.p = rp.p
+        ), s AS (
+          SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(a) AS sa, SUM(b) AS sb, SUM(a * b) AS sab,
+                 SUM(a * a) AS saa, SUM(b * b) AS sbb
+          FROM j GROUP BY flag
+        )
+        SELECT flag, n,
+               CAST(n * sab - sa * sb AS DOUBLE)
+                 / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+                    * SQRT(CAST(n * sbb - sb * sb AS DOUBLE)))
+                 AS spearman_rho
+        FROM s ORDER BY flag
+        """,
+        ("lineitem",),
+    ),
+    # Session conversion rate: 30-minute-inactivity sessions (the same
+    # gap rule as event_sessionize_batch), share of sessions containing
+    # a purchase, by session-start day. One shuffle on user_id shared by
+    # the gap window and the session rollup, then a tiny daily rollup.
+    "event_session_conversion": sql_q(
+        """
+        WITH e AS (
+          SELECT user_id, ts, event_id, event_type
+          FROM events WHERE ts IS NOT NULL
+        ), flagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                           OR ts > LAG(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                                + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e
+        ), sess AS (
+          SELECT user_id, ts, event_type,
+                 SUM(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sid
+          FROM flagged
+        ), per AS (
+          SELECT user_id, sid, CAST(MIN(ts) AS DATE) AS start_day,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+          FROM sess GROUP BY user_id, sid
+        )
+        SELECT start_day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS conversion_rate
+        FROM per GROUP BY start_day ORDER BY start_day
+        """,
+        ("events",),
+    ),
 }

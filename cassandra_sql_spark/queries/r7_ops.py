@@ -749,16 +749,25 @@ QUERIES: dict[str, Q] = {
           SELECT x.flag, rq.r2 AS a, rp.r2 AS b
           FROM x JOIN rq ON x.flag = rq.flag AND x.q = rq.q
                  JOIN rp ON x.flag = rp.flag AND x.p = rp.p
+        ), jc AS (
+          -- doubled midranks sum to exactly n(n+1) (ties preserve the
+          -- total), so the exact mean is n+1: centering BEFORE the
+          -- power sums bounds every product by n^3 — the uncentered
+          -- n*saa form overflows BIGINT past ~2M rows/group (hit at
+          -- sf0.1 under ANSI mode)
+          SELECT flag,
+                 a - (COUNT(*) OVER (PARTITION BY flag) + 1) AS da,
+                 b - (COUNT(*) OVER (PARTITION BY flag) + 1) AS db
+          FROM j
         ), s AS (
           SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
-                 SUM(a) AS sa, SUM(b) AS sb, SUM(a * b) AS sab,
-                 SUM(a * a) AS saa, SUM(b * b) AS sbb
-          FROM j GROUP BY flag
+                 SUM(da * db) AS sab,
+                 SUM(da * da) AS saa, SUM(db * db) AS sbb
+          FROM jc GROUP BY flag
         )
         SELECT flag, n,
-               CAST(n * sab - sa * sb AS DOUBLE)
-                 / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
-                    * SQRT(CAST(n * sbb - sb * sb AS DOUBLE)))
+               CAST(sab AS DOUBLE)
+                 / (SQRT(CAST(saa AS DOUBLE)) * SQRT(CAST(sbb AS DOUBLE)))
                  AS spearman_rho
         FROM s ORDER BY flag
         """,

@@ -954,6 +954,7 @@ def winnow_fingerprints(
     text_col: str,
     k: int = 8,
     window: int = 16,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS).
 
@@ -970,13 +971,27 @@ def winnow_fingerprints(
     Per 300-char doc: one normalize pass, ~300 xxhash64s, ~300x16 long
     compares — map-side, no shuffle. Density is 2/(window+1): each doc
     keeps ~12% of gram hashes as fingerprints.
+
+    ``hash_family="md5"`` swaps the gram hash for the engine-portable
+    md5-prefix integer (same spelling in DuckDB — see bloom_decontam),
+    making the WHOLE operator oracle-checkable: selection windows, tie
+    behavior, df-cutoff, and pair counts included. ~3x the per-gram
+    cost; xxhash64 stays the scale default.
     """
+
+    def gram_hash(t, i):
+        if hash_family == "md5":
+            return F.conv(
+                F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15), 16, 10
+            ).cast("bigint")
+        return F.xxhash64(t.substr(i, F.lit(k)))
+
     fp = _let(
         normalize_text(F.col(text_col)),
         lambda t: _let(
             F.transform(
                 F.sequence(F.lit(1), F.length(t) - (k - 1)),
-                lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+                lambda i: gram_hash(t, i),
             ),
             lambda h: F.array_distinct(
                 F.transform(
@@ -1004,6 +1019,7 @@ def winnow_pairs(
     window: int = 16,
     min_shared: int = 1,
     df_cutoff: int | None = 100,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(da, db, n_shared) for docs sharing >= min_shared winnowing
     fingerprints — candidate pairs containing a copied substring of
@@ -1021,7 +1037,7 @@ def winnow_pairs(
     df_cutoff²/2 per fingerprint at any corpus size — without it the
     operator degenerates on templated corpora.
     """
-    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    fp = winnow_fingerprints(df, id_col, text_col, k, window, hash_family)
     ex = fp.select("_id", F.explode("fingerprints").alias("_f"))
     if df_cutoff is not None:
         hot = (

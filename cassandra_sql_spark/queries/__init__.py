@@ -170,6 +170,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "series_gaps_islands",  # longest consecutive-day run per user
     "stat_spearman_corr",   # midrank Spearman from integer power sums
     "event_session_conversion",  # 30-min sessions, purchase share
+    "dedup_substring_winnow",  # rows-only -> oracle-checked (md5 grams)
 )
 
 _ALL: dict[str, Q] = {}

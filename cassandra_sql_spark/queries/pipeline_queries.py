@@ -280,7 +280,12 @@ QUERIES: dict[str, Q] = {
     # winnowing guarantee + density are asserted in tests.
     # df_cutoff drops template/boilerplate fingerprints (quadratic join
     # hazard on templated corpora); min_shared=5 keeps pairs with a
-    # substantial copied region, not one shared phrase.
+    # substantial copied region, not one shared phrase. Oracle-checked
+    # since round 7 via the md5 gram-hash family (portable to DuckDB —
+    # same conversion as decontam_bloom): the oracle re-derives the
+    # char-8-gram hashes, the window-16 min selection, the df-cutoff,
+    # and the pair counts. xxhash64 stays the scale default in
+    # dedup.winnow_pairs.
     "dedup_substring_winnow": df_q(
         lambda spark, sf: dedup.winnow_pairs(
             load(spark, sf, "documents"),
@@ -288,9 +293,38 @@ QUERIES: dict[str, Q] = {
             "text",
             min_shared=5,
             df_cutoff=20,
+            hash_family="md5",
         ),
         ("documents",),
-        oracle=None,
+        oracle="""
+        WITH norm AS (
+          SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 [('0x' || substring(md5(substring(t, i, 8)), 1, 15))::BIGINT
+                  for i in range(1, len(t) - 6)] AS h
+          FROM norm WHERE len(t) >= 8
+        ), fp AS (
+          SELECT doc_id,
+                 list_distinct([list_min(h[j:j+15])
+                                for j in range(1,
+                                               greatest(len(h) - 15, 1) + 1)])
+                   AS fps
+          FROM grams
+        ), ex AS (
+          SELECT doc_id AS id, UNNEST(fps) AS f FROM fp
+        ), keep AS (
+          SELECT f FROM ex GROUP BY f HAVING COUNT(*) <= 20
+        ), ex2 AS (
+          SELECT ex.id, ex.f FROM ex JOIN keep USING (f)
+        )
+        SELECT a.id AS da, b.id AS db, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ex2 a JOIN ex2 b ON a.f = b.f AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING COUNT(*) >= 5
+        """,
     ),
     # SimHash Hamming pairs — hash-family-specific, rows-only here;
     # recall vs the Jaccard ground truth asserted in tests.

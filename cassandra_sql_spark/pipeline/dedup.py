@@ -1059,19 +1059,39 @@ def winnow_pairs(
     )
 
 
-def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per row: per-bit majority vote of shingle xxhash64 bits.
 
     Shingles (not bare words) are the feature set — on a small vocabulary
     word-level SimHash collapses (every doc shares most words). Implemented
     as explode -> 64 conditional sums -> bit reassembly; one shuffle on id,
     all JVM expressions.
+
+    ``hash_family="md5"``: md5-prefix integer gram hashes (the portable
+    family — bloom_decontam/winnow_fingerprints) so a DuckDB oracle can
+    re-derive the votes bit by bit. md5-prefix ints are < 2^60, so bits
+    60-63 vote all-negative and stay 0 — a 60-effective-bit signature,
+    acceptable for the verification twin; xxhash64 keeps all 64.
     """
-    # hashed_shingles already IS xxhash64 over each gram (same seed as
-    # F.xxhash64(string)), so the exploded value is used directly as _h.
+    if hash_family == "md5":
+        grams = F.transform(
+            word_shingles(F.col(text_col)),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        )
+    else:
+        # hashed_shingles already IS xxhash64 over each gram (same seed
+        # as F.xxhash64(string)), so the exploded value is used directly.
+        grams = hashed_shingles(F.col(text_col))
     ex = spread(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(hashed_shingles(F.col(text_col))).alias("_h"),
+        F.explode(grams).alias("_h"),
     )
     votes = ex.groupBy("_id").agg(
         *[
@@ -1088,11 +1108,18 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming (<= 3 guaranteed
-    findable by 4x16-bit chunk banding via pigeonhole)."""
-    sig = simhash_signature(df, id_col, text_col)
+    findable by 4x16-bit chunk banding via pigeonhole; above 3 the output
+    contract is banded-candidates-then-exact-hamming — a pair must share
+    at least one 16-bit chunk, which a SQL oracle expresses as a 4-way
+    chunk-equality disjunction)."""
+    sig = simhash_signature(df, id_col, text_col, hash_family)
     chunks = sig.select(
         "_id",
         "simhash",

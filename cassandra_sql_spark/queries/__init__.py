@@ -171,6 +171,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "stat_spearman_corr",   # midrank Spearman from integer power sums
     "event_session_conversion",  # 30-min sessions, purchase share
     "dedup_substring_winnow",  # rows-only -> oracle-checked (md5 grams)
+    "dedup_simhash",        # rows-only -> oracle-checked (md5 bit votes)
 )
 
 _ALL: dict[str, Q] = {}

@@ -95,6 +95,44 @@ def _lsh_topk_oracle(
     LIMIT {k}
     """
 
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    """DuckDB replica of the md5-family SimHash pipeline: per-bit majority
+    votes over md5-prefix gram hashes (bits 60-63 are always 0 — the
+    prefix int is < 2^60), banded candidates as a 4-way 16-bit chunk
+    equality disjunction (the >3-Hamming output contract of
+    dedup.simhash_pairs), exact Hamming cut via bit_count(xor())."""
+    bits = "\n       + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(h, x -> (x >> {j}) & 1))"
+        f" > len(h) THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(60)
+    )
+    chunk = "((a.sg >> {c}) & 65535) = ((b.sg >> {c}) & 65535)"
+    probe = "\n     OR ".join(chunk.format(c=16 * c) for c in range(4))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS s
+      FROM toks WHERE len(w) >= 3
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(s, g ->
+               ('0x' || substring(md5(g), 1, 15))::BIGINT) AS h
+      FROM sh WHERE len(s) > 0
+    ), sig AS (
+      SELECT doc_id, {bits} AS sg FROM hs
+    )
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE ( {probe} )
+      AND bit_count(xor(a.sg, b.sg)) <= {max_hamming}
+    """
+
+
 _HEX = "0123456789abcdef"
 
 
@@ -326,14 +364,22 @@ QUERIES: dict[str, Q] = {
         HAVING COUNT(*) >= 5
         """,
     ),
-    # SimHash Hamming pairs — hash-family-specific, rows-only here;
-    # recall vs the Jaccard ground truth asserted in tests.
+    # SimHash Hamming pairs. Oracle-checked since round 7 via the md5
+    # gram-hash family: the DuckDB oracle re-derives the per-bit majority
+    # votes (60 effective bits — md5-prefix ints are < 2^60), the 4x16-bit
+    # banded candidate rule as a chunk-equality disjunction, and the exact
+    # Hamming cut. recall vs the Jaccard ground truth stays in tests;
+    # xxhash64 remains the scale default in dedup.simhash_pairs.
     "dedup_simhash": df_q(
         lambda spark, sf: dedup.simhash_pairs(
-            load(spark, sf, "documents"), "doc_id", "text", max_hamming=8
+            load(spark, sf, "documents"),
+            "doc_id",
+            "text",
+            max_hamming=8,
+            hash_family="md5",
         ),
         ("documents",),
-        oracle=None,
+        oracle=_simhash_oracle(max_hamming=8),
     ),
     # Embedding-cosine near-dup pairs — exact O(n^2) all-pairs. Kept as the
     # BASELINE/VERIFIER for dedup_embedding_lsh below; the LSH entry is the

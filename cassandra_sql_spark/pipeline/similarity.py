@@ -405,6 +405,92 @@ def ivf_train(
     return centroids
 
 
+def kmeans_exact(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd k-means in EXACT integer arithmetic — the oracle-checkable
+    clustering twin of ivf_train's float path.
+
+    Every quantity either engine computes is an int64:
+    - vectors quantize once to round(x * scale) (map-side, same FLOOR
+      formula both engines);
+    - assignment is argmin of the integer squared Euclidean distance
+      (<= 64 * (4e6)^2 ~ 1e15, well inside int64), ties to the lowest
+      cluster id;
+    - the centroid update is round-half-up of the exact rational mean,
+      floor((2*sum + n) / (2*n)), via true floor division — so centroids
+      stay int64 coordinates and no float ever enters the loop;
+    - seeds are the n_clusters smallest (md5(id), id) — the portable
+      hash family.
+    Distributed cost per iteration: one map-only assignment scan plus a
+    (k x dim)-row exact integer shuffle; driver state is k*dim ints.
+    A DuckDB oracle replays the whole loop bit-for-bit (the unrolled
+    CTE chain in queries/pipeline_r6._KMEANS_ORACLE).
+    """
+    emb = nonzero(emb, vec_col)
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + 0.5).cast("bigint"),
+    )
+    base = emb.select(F.col(id_col), xq.alias("_xq"))
+    seeds = (
+        base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = [list(r["_xq"]) for r in seeds]
+    if not cents:
+        return base.select(
+            id_col, F.lit(None).cast("long").alias("cluster_key")
+        ).limit(0)
+    dim = len(cents[0])
+
+    def dist(c: list) -> Column:
+        arr = F.array(*[F.lit(int(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(F.col("_xq"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    def assign_col(cs: list) -> Column:
+        dists = F.array(*[dist(c) for c in cs])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(iters):
+        stats = (
+            base.select(assign_col(cents).alias("_cid"), F.posexplode("_xq"))
+            .groupBy("_cid", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # k*dim rows: bounded model fetch
+        )
+        by: dict[int, list] = {}
+        for r in stats:
+            by.setdefault(r["_cid"], [None] * dim)[r["pos"]] = (r["s"], r["n"])
+        # Python // IS floor division: identical to the oracle's
+        # (a - pmod(a, b)) / b spelling. Empty clusters keep their
+        # previous centroid.
+        cents = [
+            [(2 * s + n) // (2 * n) for (s, n) in by[i]] if i in by else old
+            for i, old in enumerate(cents)
+        ]
+    assigned = base.select(id_col, assign_col(cents).alias("_cid"))
+    relabel = assigned.groupBy("_cid").agg(F.min(id_col).alias("cluster_key"))
+    return (
+        assigned.join(F.broadcast(relabel), "_cid")
+        .select(
+            id_col, F.col("cluster_key").cast("long").alias("cluster_key")
+        )
+        .orderBy(id_col)
+    )
+
+
 def topk_ivf(
     emb: DataFrame,
     query_id: int,

@@ -172,6 +172,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "event_session_conversion",  # 30-min sessions, purchase share
     "dedup_substring_winnow",  # rows-only -> oracle-checked (md5 grams)
     "dedup_simhash",        # rows-only -> oracle-checked (md5 bit votes)
+    "emb_kmeans_clusters",  # rows-only -> oracle-checked (exact-int Lloyd)
 )
 
 _ALL: dict[str, Q] = {}

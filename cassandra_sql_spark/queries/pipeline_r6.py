@@ -32,6 +32,7 @@ from cassandra_sql_spark.io import load
 from cassandra_sql_spark.pipeline.similarity import (
     ivf_assign_col,
     ivf_train,
+    kmeans_exact,
     nonzero,
 )
 from cassandra_sql_spark.queries.base import Q, df_q, sql_q
@@ -225,28 +226,80 @@ _INTERP_DUCK = _interp_sql(
 def _kmeans(spark, sf):
     """Standalone k-means clustering over the embedding corpus.
 
-    Hash-seeded deterministic Lloyd (the IVF coarse trainer) + map-only
-    assignment; cluster ids relabeled by each cluster's smallest vec_id
-    so the output is stable under any seeding permutation. Rows-only:
-    iterative training is not SQL-expressible; the full entry is pinned
-    against an exact sequential-fold replica in
+    Round 7: the entry runs similarity.kmeans_exact — md5-seeded Lloyd
+    in EXACT int64 arithmetic (quantized coordinates, integer squared
+    distances, rational-rounded centroid updates) — so the iterative
+    training IS SQL-expressible and the entry carries a full DuckDB
+    value-hash oracle (unrolled 3-iteration CTE chain below). The float
+    trainer (ivf_train) remains the IVF path; the exact-int variant is
+    additionally pinned against a pure-Python fold replica in
     tests/test_pipeline.py::test_kmeans_entry_matches_python_fold_replica.
     """
-    emb = nonzero(load(spark, sf, "embeddings"))
-    cents = ivf_train(emb, n_centroids=8, iters=3)
-    assigned = emb.select(
-        "vec_id", ivf_assign_col(F.col("embedding"), cents).alias("_cid")
+    return kmeans_exact(
+        load(spark, sf, "embeddings"), n_clusters=8, iters=3
     )
-    relabel = assigned.groupBy("_cid").agg(
-        F.min("vec_id").alias("cluster_key")
-    )
+
+
+def _kmeans_dist(c: str) -> str:
     return (
-        assigned.join(F.broadcast(relabel), "_cid")
-        .select(
-            "vec_id", F.col("cluster_key").cast("long").alias("cluster_key")
-        )
-        .orderBy("vec_id")
+        f"list_sum([(e.xq[i] - {c}[i]) * (e.xq[i] - {c}[i])"
+        " for i in range(1, 65)])"
     )
+
+
+def _kmeans_iter(t: int) -> str:
+    prev, cur = f"c{t}", f"c{t + 1}"
+    return f"""
+a{t} AS (
+  SELECT vec_id, xq, cid FROM (
+    SELECT e.vec_id, e.xq, {prev}.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_kmeans_dist(f'{prev}.c')}, {prev}.cid) AS rk
+    FROM e, {prev}
+  ) WHERE rk = 1
+), u{t} AS (
+  SELECT cid, i, SUM(x) AS s, COUNT(*) AS n FROM (
+    SELECT cid, UNNEST(xq) AS x, generate_subscripts(xq, 1) AS i
+    FROM a{t}
+  ) GROUP BY cid, i
+), nc{t} AS (
+  -- round-half-up of the exact rational mean via true floor division:
+  -- floor((2s+n)/(2n)) spelled (a - pmod(a, b)) / b in integers
+  SELECT cid, list(CAST((2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n)))
+                        / (2*n) AS BIGINT) ORDER BY i) AS c
+  FROM u{t} GROUP BY cid
+), {cur} AS (
+  SELECT {prev}.cid, COALESCE(nc{t}.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN nc{t} ON {prev}.cid = nc{t}.cid
+)"""
+
+
+_KMEANS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+             x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cid, xq AS c
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),{_kmeans_iter(0)},{_kmeans_iter(1)},{_kmeans_iter(2)},
+fin AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c3.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_kmeans_dist('c3.c')}, c3.cid) AS rk
+    FROM e, c3
+  ) WHERE rk = 1
+), lab AS (
+  SELECT cid, MIN(vec_id) AS cluster_key FROM fin GROUP BY cid
+)
+SELECT fin.vec_id, CAST(lab.cluster_key AS BIGINT) AS cluster_key
+FROM fin JOIN lab ON fin.cid = lab.cid
+ORDER BY fin.vec_id
+"""
 
 
 QUERIES: dict[str, Q] = {
@@ -282,8 +335,11 @@ QUERIES: dict[str, Q] = {
         ("events",),
         oracle=_INTERP_DUCK,
     ),
-    # Standalone k-means clustering (rows-only; deterministic seeding).
-    "emb_kmeans_clusters": df_q(_kmeans, ("embeddings",), None),
+    # Standalone k-means clustering — oracle-checked since round 7 via
+    # the exact-integer Lloyd (similarity.kmeans_exact): the DuckDB
+    # oracle unrolls all three iterations and replays seeding,
+    # assignment, and centroid updates bit-for-bit in int64.
+    "emb_kmeans_clusters": df_q(_kmeans, ("embeddings",), _KMEANS_ORACLE),
     # Edit-distance fuzzy key consolidation (entity resolution on short
     # keys: product names, vendor strings, column headers). The scale
     # move is aggregate-FIRST: the corpus collapses to its distinct-key

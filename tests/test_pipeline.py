@@ -907,10 +907,14 @@ def test_pq_index_probe_matches_inline_and_prunes_columns(
 
 
 def test_kmeans_entry_matches_python_fold_replica(spark, sf_dir):
-    """emb_kmeans_clusters == exact replica: same hash-seeded centroids,
-    assignment re-derived with the same sequential double fold the JVM
-    lambda runs (identical IEEE order, so equality is exact), cluster ids
-    canonicalized to the member-minimum vec_id."""
+    """emb_kmeans_clusters == pure-Python replica of the exact-integer
+    Lloyd (similarity.kmeans_exact): md5-smallest seeds, int64 squared
+    distances with ties to the lowest cluster, round-half-up rational
+    centroid updates — every value is an integer, so equality is exact
+    by construction (no IEEE-order argument needed)."""
+    import hashlib
+    import math
+
     from cassandra_sql_spark.queries.pipeline_r6 import _kmeans
 
     out1 = {r.vec_id: r.cluster_key for r in _kmeans(spark, sf_dir).collect()}
@@ -918,16 +922,36 @@ def test_kmeans_entry_matches_python_fold_replica(spark, sf_dir):
     assert out1 == out2  # deterministic end to end
 
     emb = similarity.nonzero(load(spark, sf_dir, "embeddings"))
-    cents = similarity.ivf_train(emb, n_centroids=8, iters=3)
-    assign = {}
-    for r in emb.select("vec_id", "embedding").collect():
-        scores = []
-        for c in cents:
-            acc = 0.0
-            for x, w in zip(r.embedding, c):
-                acc = acc + float(x) * w
-            scores.append(acc)
-        assign[r.vec_id] = scores.index(max(scores))
+    data = [
+        (r.vec_id, [int(math.floor(float(x) * 1_000_000 + 0.5))
+                    for x in r.embedding])
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    seeds = sorted(
+        data,
+        key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+    )[:8]
+    cents = [list(s[1]) for s in seeds]
+
+    def nearest(xq):
+        return min(
+            range(len(cents)),
+            key=lambda c: (
+                sum((a - b) * (a - b) for a, b in zip(xq, cents[c])), c
+            ),
+        )
+
+    for _ in range(3):
+        members: dict[int, list] = {}
+        for vid, xq in data:
+            members.setdefault(nearest(xq), []).append(xq)
+        cents = [
+            [(2 * sum(m[i] for m in ms) + len(ms)) // (2 * len(ms))
+             for i in range(len(cents[c]))]
+            if (ms := members.get(c)) else cents[c]
+            for c in range(len(cents))
+        ]
+    assign = {vid: nearest(xq) for vid, xq in data}
     min_id: dict[int, int] = {}
     for vid, cid in assign.items():
         min_id[cid] = min(min_id.get(cid, vid), vid)

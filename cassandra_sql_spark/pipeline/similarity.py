@@ -405,6 +405,109 @@ def ivf_train(
     return centroids
 
 
+def quantized_vectors(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    unit: bool = False,
+) -> DataFrame:
+    """(id, _xq) with _xq = round(x * scale) int64 coords — the shared
+    input quantization of the exact-integer family (kmeans_exact,
+    topk_ivf_exact); zero-norm vectors dropped like every cosine path.
+
+    ``unit=True`` re-projects onto the scale-radius sphere:
+    uq_i = round(xq_i * scale / sqrt(sum xq^2)). Still bit-exact across
+    engines — the norm's radicand is an exact integer (so sqrt, being
+    correctly rounded, is identical), xq_i * scale stays under 2^53 (so
+    the dividend is exact), and one IEEE division of identical operands
+    gives identical quotients. On the unit sphere L2 routing is
+    monotone in cosine — the right geometry for cosine-IVF."""
+    emb = nonzero(emb, vec_col)
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + 0.5).cast("bigint"),
+    )
+    base = emb.select(F.col(id_col), xq.alias("_xq"))
+    if not unit:
+        return base
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_xq"), lambda a: a * a),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).cast("double")
+    )
+    uq = F.transform(
+        F.col("_xq"),
+        lambda a: F.floor(
+            a.cast("double") * scale / norm + 0.5
+        ).cast("bigint"),
+    )
+    return base.select(id_col, uq.alias("_xq"))
+
+
+def int_sq_dist(c: list) -> Column:
+    """Integer squared Euclidean distance from the _xq column to a
+    driver-side integer centroid (exact int64 fold)."""
+    arr = F.array(*[F.lit(int(v)) for v in c])
+    return F.aggregate(
+        F.zip_with(F.col("_xq"), arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def int_assign_col(cents: list) -> Column:
+    """Nearest integer centroid id, ties to the lowest id (first min)."""
+    dists = F.array(*[int_sq_dist(c) for c in cents])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_exact_centroids(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    unit: bool = False,
+) -> list:
+    """The exact-integer Lloyd trainer (see kmeans_exact): returns the
+    final k integer centroid coordinate lists."""
+    base = quantized_vectors(emb, id_col, vec_col, scale, unit)
+    seeds = (
+        base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = [list(r["_xq"]) for r in seeds]
+    if not cents:
+        return []
+    dim = len(cents[0])
+    for _ in range(iters):
+        stats = (
+            base.select(
+                int_assign_col(cents).alias("_cid"), F.posexplode("_xq")
+            )
+            .groupBy("_cid", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # k*dim rows: bounded model fetch
+        )
+        by: dict[int, list] = {}
+        for r in stats:
+            by.setdefault(r["_cid"], [None] * dim)[r["pos"]] = (r["s"], r["n"])
+        # Python // IS floor division: identical to the oracle's
+        # (a - pmod(a, b)) / b spelling. Empty clusters keep their
+        # previous centroid.
+        cents = [
+            [(2 * s + n) // (2 * n) for (s, n) in by[i]] if i in by else old
+            for i, old in enumerate(cents)
+        ]
+    return cents
+
+
 def kmeans_exact(
     emb: DataFrame,
     n_clusters: int = 8,
@@ -432,55 +535,15 @@ def kmeans_exact(
     A DuckDB oracle replays the whole loop bit-for-bit (the unrolled
     CTE chain in queries/pipeline_r6._KMEANS_ORACLE).
     """
-    emb = nonzero(emb, vec_col)
-    xq = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * scale + 0.5).cast("bigint"),
+    base = quantized_vectors(emb, id_col, vec_col, scale)
+    cents = kmeans_exact_centroids(
+        emb, n_clusters, iters, id_col, vec_col, scale
     )
-    base = emb.select(F.col(id_col), xq.alias("_xq"))
-    seeds = (
-        base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h", id_col)
-        .limit(n_clusters)
-        .collect()
-    )
-    cents = [list(r["_xq"]) for r in seeds]
     if not cents:
         return base.select(
             id_col, F.lit(None).cast("long").alias("cluster_key")
         ).limit(0)
-    dim = len(cents[0])
-
-    def dist(c: list) -> Column:
-        arr = F.array(*[F.lit(int(v)) for v in c])
-        return F.aggregate(
-            F.zip_with(F.col("_xq"), arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-
-    def assign_col(cs: list) -> Column:
-        dists = F.array(*[dist(c) for c in cs])
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    for _ in range(iters):
-        stats = (
-            base.select(assign_col(cents).alias("_cid"), F.posexplode("_xq"))
-            .groupBy("_cid", "pos")
-            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()  # k*dim rows: bounded model fetch
-        )
-        by: dict[int, list] = {}
-        for r in stats:
-            by.setdefault(r["_cid"], [None] * dim)[r["pos"]] = (r["s"], r["n"])
-        # Python // IS floor division: identical to the oracle's
-        # (a - pmod(a, b)) / b spelling. Empty clusters keep their
-        # previous centroid.
-        cents = [
-            [(2 * s + n) // (2 * n) for (s, n) in by[i]] if i in by else old
-            for i, old in enumerate(cents)
-        ]
-    assigned = base.select(id_col, assign_col(cents).alias("_cid"))
+    assigned = base.select(id_col, int_assign_col(cents).alias("_cid"))
     relabel = assigned.groupBy("_cid").agg(F.min(id_col).alias("cluster_key"))
     return (
         assigned.join(F.broadcast(relabel), "_cid")
@@ -489,6 +552,68 @@ def kmeans_exact(
         )
         .orderBy(id_col)
     )
+
+
+def topk_ivf_exact(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2-IVF approximate top-k with the exact-integer coarse quantizer
+    (FAISS IndexIVFFlat shape): kmeans_exact centroids trained on
+    UNIT-quantized vectors (quantized_vectors unit=True — on the sphere
+    L2 is monotone in cosine, the right routing geometry for cosine
+    retrieval), integer-L2 list assignment and probe selection, exact
+    cosine re-score of the probed lists only. Because every routing
+    decision is int64 arithmetic (and the unit projection is itself
+    bit-exact cross-engine), the WHOLE pipeline — training included —
+    replays in DuckDB (the oracle extends the k-means CTE chain with
+    probe + scoring); the cosine scores take the usual DECIMAL(18,6)
+    hop. Scan cost: nprobe/k of the corpus, same as the float topk_ivf;
+    at rest the lists are pruned partitions (topk_ivf_pruned)."""
+    import math
+
+    cents = kmeans_exact_centroids(
+        emb, n_centroids, iters, id_col, vec_col, unit=True
+    )
+    emb = nonzero(emb, vec_col)
+    qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).first()
+    empty = emb.select(id_col, F.lit(0.0).alias("score")).limit(0)
+    if not cents or qrow is None or qrow[0] is None:
+        return empty
+    qv = [float(x) for x in qrow[0]]
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    if qnorm == 0.0:
+        return empty
+    quant = quantized_vectors(emb, id_col, vec_col, unit=True)
+    qq = [
+        int(v)
+        for v in quant.filter(F.col(id_col) == query_id).first()["_xq"]
+    ]  # 1-row bounded fetch: the query's unit-quantized coords
+    probe = sorted(
+        range(len(cents)),
+        key=lambda c: (
+            sum((a - b) * (a - b) for a, b in zip(qq, cents[c])), c
+        ),
+    )[:nprobe]
+    base = quant.join(emb.select(id_col, vec_col), id_col)
+    cands = base.filter(
+        int_assign_col(cents).isin(probe) & (F.col(id_col) != query_id)
+    )
+    qlit = F.array(*[F.lit(x) for x in qv])
+    scored = cands.select(
+        id_col,
+        (
+            dot(F.col(vec_col), qlit)
+            / (F.sqrt(dot(F.col(vec_col), F.col(vec_col))) * F.lit(qnorm))
+        ).cast("decimal(18,6)").cast("double").alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
 def topk_ivf(

@@ -173,6 +173,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "dedup_substring_winnow",  # rows-only -> oracle-checked (md5 grams)
     "dedup_simhash",        # rows-only -> oracle-checked (md5 bit votes)
     "emb_kmeans_clusters",  # rows-only -> oracle-checked (exact-int Lloyd)
+    "sim_ivf_topk",         # rows-only -> oracle-checked (int-L2 IVF)
 )
 
 _ALL: dict[str, Q] = {}

@@ -95,6 +95,59 @@ def _lsh_topk_oracle(
     LIMIT {k}
     """
 
+def _ivf_exact_oracle(
+    k: int = 10, nprobe: int = 4, query_id: int = 0
+) -> str:
+    """DuckDB replica of topk_ivf_exact: the exact-integer k-means CTE
+    chain (pipeline_r6.kmeans_ctes, UNIT quantization) extended with
+    integer-L2 probe selection, integer-L2 list assignment, and exact
+    cosine scoring of the probed lists (DECIMAL(18,6) hop, ties broken
+    by vec_id)."""
+    from cassandra_sql_spark.queries.pipeline_r6 import _int_l2, kmeans_ctes
+
+    return f"""{kmeans_ctes(unit=True)},
+    ev AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), q AS (
+      SELECT xq AS qxq FROM e WHERE vec_id = {query_id}
+    ), qv AS (
+      SELECT v AS qv FROM ev WHERE vec_id = {query_id}
+    ), probe AS (
+      SELECT cid FROM (
+        SELECT c3.cid,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_int_l2('q.qxq', 'c3.c')}, c3.cid) AS rk
+        FROM c3, q
+      ) WHERE rk <= {nprobe}
+    ), asn AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c3.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_kmeans_dist_c3()}, c3.cid) AS rk
+        FROM e, c3
+      ) WHERE rk = 1
+    )
+    SELECT ev.vec_id,
+           CAST(CAST({_COSINE.format(a='ev.v', b='qv.qv')}
+                     AS DECIMAL(18,6)) AS DOUBLE) AS score
+    FROM ev
+    JOIN asn ON ev.vec_id = asn.vec_id
+    JOIN probe ON asn.cid = probe.cid
+    CROSS JOIN qv
+    WHERE ev.vec_id != {query_id}
+    ORDER BY score DESC, ev.vec_id
+    LIMIT {k}
+    """
+
+
+def _kmeans_dist_c3() -> str:
+    from cassandra_sql_spark.queries.pipeline_r6 import _int_l2
+
+    return _int_l2("e.xq", "c3.c")
+
+
 def _simhash_oracle(max_hamming: int = 8) -> str:
     """DuckDB replica of the md5-family SimHash pipeline: per-bit majority
     votes over md5-prefix gram hashes (bits 60-63 are always 0 — the
@@ -449,16 +502,21 @@ QUERIES: dict[str, Q] = {
         ("embeddings",),
         oracle=_lsh_topk_oracle(planes=4, k=10, query_id=0, multiprobe=2),
     ),
-    # IVF approximate top-k (the other scale path): deterministic k-means
-    # coarse quantizer, map-side assignment expression, nprobe-pruned
-    # candidate scan — rows-only; recall vs brute force in tests.
+    # IVF approximate top-k (the other scale path). Oracle-checked since
+    # round 7: the entry runs the L2-IVF form (FAISS IndexIVFFlat shape)
+    # on the exact-integer coarse quantizer, so training, list
+    # assignment, and probe selection are all int64 arithmetic the
+    # DuckDB oracle replays verbatim (it extends the k-means trainer CTE
+    # chain with probe + exact cosine scoring). The float cosine-routed
+    # topk_ivf remains for the pruned on-disk index paths; recall vs
+    # brute force stays pinned in tests.
     "sim_ivf_topk": df_q(
-        lambda spark, sf: similarity.topk_ivf(
+        lambda spark, sf: similarity.topk_ivf_exact(
             load(spark, sf, "embeddings"),
             query_id=0, k=10, n_centroids=8, nprobe=4,
         ),
         ("embeddings",),
-        oracle=None,
+        oracle=_ivf_exact_oracle(k=10, nprobe=4, query_id=0),
     ),
     # Product-quantization ANN (Jegou et al. 2011): ADC shortlist over the
     # ~50x-compressed codes table, exact re-rank of the shortlist only.

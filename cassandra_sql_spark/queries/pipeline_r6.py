@@ -240,11 +240,16 @@ def _kmeans(spark, sf):
     )
 
 
-def _kmeans_dist(c: str) -> str:
+def _int_l2(a: str, b: str) -> str:
+    """Exact int64 squared L2 between two DuckDB integer lists."""
     return (
-        f"list_sum([(e.xq[i] - {c}[i]) * (e.xq[i] - {c}[i])"
+        f"list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
         " for i in range(1, 65)])"
     )
+
+
+def _kmeans_dist(c: str) -> str:
+    return _int_l2("e.xq", c)
 
 
 def _kmeans_iter(t: int) -> str:
@@ -274,18 +279,48 @@ a{t} AS (
 )"""
 
 
-_KMEANS_ORACLE = f"""
-WITH e AS (
+# Shared trainer CTE chain: quantized vectors -> md5 seeds -> three
+# unrolled exact-integer Lloyd iterations -> final centroids c3. Reused
+# by the k-means entry below (raw quantization) and by sim_ivf_topk's
+# oracle (queries/pipeline_queries.py; unit quantization — see
+# similarity.quantized_vectors for why the unit projection is bit-exact),
+# which extends it with probe + scoring.
+_E_RAW = """e AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
              x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS xq
   FROM embeddings
   WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
-), c0 AS (
+)"""
+
+_E_UNIT = """e AS (
+  SELECT vec_id,
+         list_transform(xq0, a -> CAST(FLOOR(CAST(a AS DOUBLE) * 1000000
+             / sqrt(CAST(list_sum(list_transform(xq0, t -> t * t))
+                         AS DOUBLE)) + 0.5) AS BIGINT)) AS xq
+  FROM (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+               x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS xq0
+    FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+  )
+)"""
+
+
+def kmeans_ctes(unit: bool = False) -> str:
+    e = _E_UNIT if unit else _E_RAW
+    return f"""
+WITH {e}, c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
            - 1 AS cid, xq AS c
   FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
-),{_kmeans_iter(0)},{_kmeans_iter(1)},{_kmeans_iter(2)},
+),{_kmeans_iter(0)},{_kmeans_iter(1)},{_kmeans_iter(2)}"""
+
+
+KMEANS_CTES = kmeans_ctes(unit=False)
+
+_KMEANS_ORACLE = f"""{KMEANS_CTES},
 fin AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c3.cid,

@@ -115,6 +115,23 @@ def test_gaps_islands_runs_fit_observed_activity(spark, sf_dir):
         assert 1 <= r.longest_run_days <= days[r.user_id], r
 
 
+def test_ivf_exact_recall_and_score_exactness(spark, sf_dir):
+    """The exact-int IVF entry keeps the float path's recall floor
+    (probing half the lists recovers most of the true top-k) and every
+    returned score equals the brute-force score for that vector (the
+    re-score stage is exact, only the candidate set is approximate)."""
+    brute = {
+        r.vec_id: r.score
+        for r in _rows(spark, sf_dir, "sim_topk_bruteforce")
+    }
+    approx = _rows(spark, sf_dir, "sim_ivf_topk")
+    assert len(approx) == 10
+    assert len({r.vec_id for r in approx} & set(brute)) >= 5
+    for r in approx:
+        if r.vec_id in brute:
+            assert r.score == brute[r.vec_id], r
+
+
 def test_reciprocity_is_a_fraction(spark, sf_dir):
     r = _rows(spark, sf_dir, "graph_reciprocity")[0]
     assert 0 <= r.n_reciprocal <= r.n_edges

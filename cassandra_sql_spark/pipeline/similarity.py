@@ -464,18 +464,16 @@ def int_assign_col(cents: list) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-def kmeans_exact_centroids(
-    emb: DataFrame,
-    n_clusters: int = 8,
-    iters: int = 3,
+def lloyd_int(
+    base: DataFrame,
+    n_clusters: int,
+    iters: int,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    scale: int = 1_000_000,
-    unit: bool = False,
 ) -> list:
-    """The exact-integer Lloyd trainer (see kmeans_exact): returns the
-    final k integer centroid coordinate lists."""
-    base = quantized_vectors(emb, id_col, vec_col, scale, unit)
+    """The exact-integer Lloyd loop over an already-quantized
+    (id, _xq int64 list) frame — shared by kmeans_exact_centroids (full
+    vectors) and pq_train_exact (per-subspace slices). Seeds are the
+    n_clusters smallest (md5(id), id) rows' coordinates."""
     seeds = (
         base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
         .orderBy("_h", id_col)
@@ -506,6 +504,21 @@ def kmeans_exact_centroids(
             for i, old in enumerate(cents)
         ]
     return cents
+
+
+def kmeans_exact_centroids(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    unit: bool = False,
+) -> list:
+    """The exact-integer Lloyd trainer (see kmeans_exact): returns the
+    final k integer centroid coordinate lists."""
+    base = quantized_vectors(emb, id_col, vec_col, scale, unit)
+    return lloyd_int(base, n_clusters, iters, id_col)
 
 
 def kmeans_exact(
@@ -614,6 +627,104 @@ def topk_ivf_exact(
         ).cast("decimal(18,6)").cast("double").alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def pq_topk_exact(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 100,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN in exact integer arithmetic: each of the
+    m subspaces trains its own 16-codeword codebook via the exact-int
+    Lloyd on unit-quantized subvector slices, codes are integer-L2
+    argmins, and the ADC shortlist distance is a sum of m precomputed
+    integer table lookups — so codebooks, codes, shortlist membership,
+    and shortlist order are all engine-portable, and the final exact
+    cosine re-rank takes the usual DECIMAL hop. Same compression story
+    as pq_topk_rerank (the float path kept for the codes-table format):
+    the scored scan reads m small codes per row, ~1/64 the vector bytes;
+    only the |shortlist| survivors read their full vectors."""
+    import math
+
+    quant = quantized_vectors(emb, id_col, vec_col, unit=True)
+    books = []
+    dim = DIM
+    subdim = dim // m
+    for s in range(m):
+        sliced = quant.select(
+            id_col, F.slice("_xq", s * subdim + 1, subdim).alias("_xq")
+        )
+        books.append(lloyd_int(sliced, k_codes, iters, id_col))
+    emb = nonzero(emb, vec_col)
+    qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).first()
+    empty = emb.select(id_col, F.lit(0.0).alias("score")).limit(0)
+    if not books or not books[0] or qrow is None or qrow[0] is None:
+        return empty
+    qv = [float(x) for x in qrow[0]]
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    if qnorm == 0.0:
+        return empty
+    qq = [
+        int(v)
+        for v in quant.filter(F.col(id_col) == query_id).first()["_xq"]
+    ]
+    # ADC lookup tables: dist from the query subvector to every codeword
+    adc_tables = [
+        [
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(qq[s * subdim: (s + 1) * subdim], cw)
+            )
+            for cw in books[s]
+        ]
+        for s in range(m)
+    ]
+
+    def sub_code(s: int) -> Column:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.slice("_xq", s * subdim + 1, subdim),
+                        F.array(*[F.lit(int(v)) for v in cw]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                )
+                for cw in books[s]
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(int(v)) for v in adc_tables[s]]),
+            sub_code(s) + 1,
+        )
+        adc = term if adc is None else adc + term
+    short = (
+        quant.filter(F.col(id_col) != query_id)
+        .select(id_col, adc.alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    qlit = F.array(*[F.lit(x) for x in qv])
+    rer = short.join(emb.select(id_col, vec_col), id_col).select(
+        id_col,
+        (
+            dot(F.col(vec_col), qlit)
+            / (F.sqrt(dot(F.col(vec_col), F.col(vec_col))) * F.lit(qnorm))
+        ).cast("decimal(18,6)").cast("double").alias("score"),
+    )
+    return rer.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
 def topk_ivf(

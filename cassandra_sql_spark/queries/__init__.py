@@ -174,6 +174,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "dedup_simhash",        # rows-only -> oracle-checked (md5 bit votes)
     "emb_kmeans_clusters",  # rows-only -> oracle-checked (exact-int Lloyd)
     "sim_ivf_topk",         # rows-only -> oracle-checked (int-L2 IVF)
+    "sim_pq_topk",          # rows-only -> oracle-checked (int ADC PQ)
 )
 
 _ALL: dict[str, Q] = {}

@@ -148,6 +148,87 @@ def _kmeans_dist_c3() -> str:
     return _int_l2("e.xq", "c3.c")
 
 
+def _pq_exact_oracle(
+    k: int = 10,
+    shortlist: int = 100,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    query_id: int = 0,
+) -> str:
+    """DuckDB replica of pq_topk_exact: per-subspace exact-integer
+    Lloyd codebooks (prefixed CTE chains from pipeline_r6), integer-L2
+    code assignment, integer ADC shortlist (ties by vec_id), exact
+    cosine re-rank with the DECIMAL(18,6) hop."""
+    from cassandra_sql_spark.queries.pipeline_r6 import (
+        _E_UNIT,
+        _int_l2,
+        _kmeans_iter,
+        _kmeans_seed_cte,
+    )
+
+    subdim = 64 // m
+    parts = []
+    for s in range(m):
+        p, e = f"s{s}", f"s{s}e"
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        chain = "".join(
+            "," + _kmeans_iter(t, p=p, ename=e, dim=subdim)
+            for t in range(iters)
+        )
+        parts.append(f"""
+{e} AS (
+  SELECT vec_id, xq[{lo}:{hi}] AS xq FROM e
+), {_kmeans_seed_cte(p=p, ename=e, k=k_codes)}{chain},
+{p}q AS (
+  SELECT xq[{lo}:{hi}] AS q FROM e WHERE vec_id = {query_id}
+), {p}qd AS (
+  SELECT {p}c{iters}.cid,
+         {_int_l2('q.q', f'{p}c{iters}.c', subdim)} AS d
+  FROM {p}c{iters}, {p}q q
+), {p}code AS (
+  SELECT vec_id, cid FROM (
+    SELECT {e}.vec_id, {p}c{iters}.cid,
+           ROW_NUMBER() OVER (PARTITION BY {e}.vec_id
+               ORDER BY {_int_l2(f'{e}.xq', f'{p}c{iters}.c', subdim)},
+                        {p}c{iters}.cid) AS rk
+    FROM {e}, {p}c{iters}
+  ) WHERE rk = 1
+)""")
+    sub_ctes = ",".join(parts)
+    code_joins = " ".join(
+        f"JOIN s{s}code USING (vec_id)" for s in range(1, m)
+    )
+    qd_joins = " ".join(
+        f"JOIN s{s}qd q{s} ON s{s}code.cid = q{s}.cid" for s in range(m)
+    )
+    adc_sum = " + ".join(f"q{s}.d" for s in range(m))
+    return f"""
+    WITH {_E_UNIT}, ev AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), qv AS (
+      SELECT v AS qv FROM ev WHERE vec_id = {query_id}
+    ),{sub_ctes},
+    adc AS (
+      SELECT s0code.vec_id, ({adc_sum}) AS adc
+      FROM s0code {code_joins} {qd_joins}
+    ), short AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc, vec_id) AS rk
+        FROM adc WHERE vec_id != {query_id}
+      ) WHERE rk <= {shortlist}
+    )
+    SELECT ev.vec_id,
+           CAST(CAST({_COSINE.format(a='ev.v', b='qv.qv')}
+                     AS DECIMAL(18,6)) AS DOUBLE) AS score
+    FROM ev JOIN short ON ev.vec_id = short.vec_id CROSS JOIN qv
+    ORDER BY score DESC, ev.vec_id
+    LIMIT {k}
+    """
+
+
 def _simhash_oracle(max_hamming: int = 8) -> str:
     """DuckDB replica of the md5-family SimHash pipeline: per-bit majority
     votes over md5-prefix gram hashes (bits 60-63 are always 0 — the
@@ -518,17 +599,23 @@ QUERIES: dict[str, Q] = {
         ("embeddings",),
         oracle=_ivf_exact_oracle(k=10, nprobe=4, query_id=0),
     ),
-    # Product-quantization ANN (Jegou et al. 2011): ADC shortlist over the
-    # ~50x-compressed codes table, exact re-rank of the shortlist only.
-    # Codebook training is hash-seeded Lloyd (engine-specific): rows-only;
-    # determinism, code-roundtrip, and recall@k asserted in tests.
+    # Product-quantization ANN (Jegou et al. 2011): ADC shortlist over
+    # the ~50x-compressed codes, exact re-rank of the shortlist only.
+    # Oracle-checked since round 7: the entry runs pq_topk_exact — four
+    # per-subspace exact-integer Lloyd codebooks, integer-L2 codes, and
+    # an integer ADC table sum — so the DuckDB oracle replays codebooks,
+    # codes, shortlist, and re-rank bit-for-bit. The float pq_train/
+    # pq_topk_rerank path remains for the on-disk codes-table format;
+    # determinism, code-roundtrip, and recall stay asserted in tests.
     "sim_pq_topk": df_q(
-        lambda spark, sf: similarity.pq_topk_rerank(
+        lambda spark, sf: similarity.pq_topk_exact(
             load(spark, sf, "embeddings"),
             query_id=0, k=10, shortlist=100, m=4, k_codes=16,
         ),
         ("embeddings",),
-        oracle=None,
+        oracle=_pq_exact_oracle(
+            k=10, shortlist=100, m=4, k_codes=16, iters=2, query_id=0
+        ),
     ),
     # Text analysis battery: token counts, quality, language-ID heuristic,
     # rolling-hash fingerprint — all JVM lambdas, oracle replays the exact

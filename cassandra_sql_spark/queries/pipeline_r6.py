@@ -240,11 +240,11 @@ def _kmeans(spark, sf):
     )
 
 
-def _int_l2(a: str, b: str) -> str:
+def _int_l2(a: str, b: str, dim: int = 64) -> str:
     """Exact int64 squared L2 between two DuckDB integer lists."""
     return (
         f"list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
-        " for i in range(1, 65)])"
+        f" for i in range(1, {dim + 1})])"
     )
 
 
@@ -252,30 +252,46 @@ def _kmeans_dist(c: str) -> str:
     return _int_l2("e.xq", c)
 
 
-def _kmeans_iter(t: int) -> str:
-    prev, cur = f"c{t}", f"c{t + 1}"
+def _kmeans_iter(
+    t: int, p: str = "", ename: str = "e", dim: int = 64
+) -> str:
+    """One unrolled exact-integer Lloyd iteration as CTEs. ``p`` prefixes
+    every CTE name so several trainers (e.g. PQ subspaces) can coexist
+    in one WITH chain; ``ename``/``dim`` select the quantized frame."""
+    prev, cur = f"{p}c{t}", f"{p}c{t + 1}"
     return f"""
-a{t} AS (
+{p}a{t} AS (
   SELECT vec_id, xq, cid FROM (
-    SELECT e.vec_id, e.xq, {prev}.cid,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-               ORDER BY {_kmeans_dist(f'{prev}.c')}, {prev}.cid) AS rk
-    FROM e, {prev}
+    SELECT {ename}.vec_id, {ename}.xq, {prev}.cid,
+           ROW_NUMBER() OVER (PARTITION BY {ename}.vec_id
+               ORDER BY {_int_l2(f'{ename}.xq', f'{prev}.c', dim)},
+                        {prev}.cid) AS rk
+    FROM {ename}, {prev}
   ) WHERE rk = 1
-), u{t} AS (
+), {p}u{t} AS (
   SELECT cid, i, SUM(x) AS s, COUNT(*) AS n FROM (
     SELECT cid, UNNEST(xq) AS x, generate_subscripts(xq, 1) AS i
-    FROM a{t}
+    FROM {p}a{t}
   ) GROUP BY cid, i
-), nc{t} AS (
+), {p}nc{t} AS (
   -- round-half-up of the exact rational mean via true floor division:
   -- floor((2s+n)/(2n)) spelled (a - pmod(a, b)) / b in integers
   SELECT cid, list(CAST((2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n)))
                         / (2*n) AS BIGINT) ORDER BY i) AS c
-  FROM u{t} GROUP BY cid
+  FROM {p}u{t} GROUP BY cid
 ), {cur} AS (
-  SELECT {prev}.cid, COALESCE(nc{t}.c, {prev}.c) AS c
-  FROM {prev} LEFT JOIN nc{t} ON {prev}.cid = nc{t}.cid
+  SELECT {prev}.cid, COALESCE({p}nc{t}.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN {p}nc{t} ON {prev}.cid = {p}nc{t}.cid
+)"""
+
+
+def _kmeans_seed_cte(
+    p: str = "", ename: str = "e", k: int = 8
+) -> str:
+    return f"""{p}c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cid, xq AS c
+  FROM {ename} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
 )"""
 
 
@@ -310,12 +326,10 @@ _E_UNIT = """e AS (
 
 def kmeans_ctes(unit: bool = False) -> str:
     e = _E_UNIT if unit else _E_RAW
-    return f"""
-WITH {e}, c0 AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-           - 1 AS cid, xq AS c
-  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
-),{_kmeans_iter(0)},{_kmeans_iter(1)},{_kmeans_iter(2)}"""
+    return (
+        f"\nWITH {e}, {_kmeans_seed_cte()},"
+        f"{_kmeans_iter(0)},{_kmeans_iter(1)},{_kmeans_iter(2)}"
+    )
 
 
 KMEANS_CTES = kmeans_ctes(unit=False)

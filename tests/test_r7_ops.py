@@ -132,6 +132,23 @@ def test_ivf_exact_recall_and_score_exactness(spark, sf_dir):
             assert r.score == brute[r.vec_id], r
 
 
+def test_pq_exact_shortlist_and_score_exactness(spark, sf_dir):
+    """The exact-int PQ entry returns k rows whose scores equal the
+    brute-force cosine for those vectors (only shortlist MEMBERSHIP is
+    approximate — isotropic fixtures are PQ's documented worst case, so
+    the recall floor is modest)."""
+    brute = {
+        r.vec_id: r.score
+        for r in _rows(spark, sf_dir, "sim_topk_bruteforce")
+    }
+    approx = _rows(spark, sf_dir, "sim_pq_topk")
+    assert len(approx) == 10
+    assert len({r.vec_id for r in approx} & set(brute)) >= 3
+    for r in approx:
+        if r.vec_id in brute:
+            assert r.score == brute[r.vec_id], r
+
+
 def test_reciprocity_is_a_fraction(spark, sf_dir):
     r = _rows(spark, sf_dir, "graph_reciprocity")[0]
     assert 0 <= r.n_reciprocal <= r.n_edges

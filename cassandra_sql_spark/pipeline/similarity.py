@@ -431,12 +431,20 @@ def quantized_vectors(
     base = emb.select(F.col(id_col), xq.alias("_xq"))
     if not unit:
         return base
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("_xq"), lambda a: a * a),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        ).cast("double")
+    # GREATEST(norm, 1): a nonzero integer vector has norm >= 1, so this
+    # only fires for vectors that QUANTIZE to zero (denormal magnitudes
+    # that pass the float nonzero() filter) — they stay all-zero instead
+    # of dividing by zero (ANSI error on Spark, engine-specific on
+    # DuckDB); caught by the adversarial embeddings net.
+    norm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("_xq"), lambda a: a * a),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).cast("double")
+        ),
+        F.lit(1.0),
     )
     uq = F.transform(
         F.col("_xq"),

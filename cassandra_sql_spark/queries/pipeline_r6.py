@@ -312,8 +312,8 @@ _E_RAW = """e AS (
 _E_UNIT = """e AS (
   SELECT vec_id,
          list_transform(xq0, a -> CAST(FLOOR(CAST(a AS DOUBLE) * 1000000
-             / sqrt(CAST(list_sum(list_transform(xq0, t -> t * t))
-                         AS DOUBLE)) + 0.5) AS BIGINT)) AS xq
+             / GREATEST(sqrt(CAST(list_sum(list_transform(xq0, t -> t * t))
+                                  AS DOUBLE)), 1.0) + 0.5) AS BIGINT)) AS xq
   FROM (
     SELECT vec_id,
            list_transform(embedding::DOUBLE[],

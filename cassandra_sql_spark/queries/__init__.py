@@ -175,6 +175,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "emb_kmeans_clusters",  # rows-only -> oracle-checked (exact-int Lloyd)
     "sim_ivf_topk",         # rows-only -> oracle-checked (int-L2 IVF)
     "sim_pq_topk",          # rows-only -> oracle-checked (int ADC PQ)
+    "stream_benford_digits",  # streaming first-digit audit, 9-row state
 )
 
 _ALL: dict[str, Q] = {}

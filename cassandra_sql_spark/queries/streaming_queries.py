@@ -102,6 +102,30 @@ def _static_enrich(spark, sf_dir):
     return spark.table("stream_static_q")
 
 
+def _benford_stream(spark, sf_dir):
+    """Streaming first-digit histogram: digits from exact integer cents
+    (same arithmetic as the batch stat_benford_first_digit), 9-row
+    complete-mode state, AvailableNow drain."""
+    import pyspark.sql.functions as F
+
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-benford-")
+    stream = ev.read_events_stream(spark, sf_dir)
+    d1 = stream.filter(F.col("value") > 0).select(
+        F.substring(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d1")
+    )
+    agg = d1.groupBy("d1").agg(F.count(F.lit(1)).alias("n"))
+    ev.run_available_now(agg, "benford_stream_q", ckpt, mode="complete")
+    return spark.table("benford_stream_q").select(
+        "d1", F.col("n").cast("long").alias("n")
+    )
+
+
 def _countmin_stream(spark, sf_dir):
     """Drain the streaming count-min grid (state = the fixed grid), then
     probe the batch-exact top-10 users against it with the sketch bounds
@@ -183,6 +207,26 @@ QUERIES: dict[str, Q] = {
           ORDER BY n DESC, user_id
           LIMIT 10
         )
+        """,
+    ),
+    # Streaming Benford first-digit audit (data-quality monitor running
+    # ON the stream): map-side digit extraction from exact integer
+    # cents, complete-mode grouped counts — state is at most 9 rows by
+    # construction, so like the count-min grid it costs the same
+    # however long the stream runs. Drained with AvailableNow, the
+    # counts equal the batch audit exactly (count is associative);
+    # oracle = the batch SQL.
+    "stream_benford_digits": Q(
+        _benford_stream,
+        """
+        SELECT d1, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+          SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(value * 100 + 0.5)
+                                          AS BIGINT) AS VARCHAR), 1, 1)
+                      AS BIGINT) AS d1
+          FROM events WHERE value > 0
+        )
+        GROUP BY d1 ORDER BY d1
         """,
     ),
     "stream_window_agg": Q(

@@ -345,6 +345,170 @@ def decode_resize_bmp(
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL codec #2: RIFF/WAVE PCM16 mono audio (r7 verdict task #3 — the BMP
+# recipe transplanted to a second modality). wav_decode is a genuine RIFF
+# chunk walker: it locates fmt/data by iterating chunks (not by assuming
+# byte offset 44 — fixtures embed a JUNK chunk before data on odd ids to
+# catch exactly that shortcut), validates PCM16 mono, and reads the sample
+# rate from the fmt chunk (fixtures vary it by id so an echoed constant
+# fails). Features are windowed RMS + zero crossings: every RMS radicand
+# is an exact int64 ratio, so sqrt is correctly rounded and identical on
+# both engines and the DuckDB oracle replays the whole computation from
+# the closed-form sample formula.
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples, sample_rate: int, junk: bool = False) -> bytes:
+    """Encode an int16 numpy array as RIFF/WAVE PCM16 mono. ``junk=True``
+    inserts a 12-byte JUNK chunk between fmt and data — legal RIFF that
+    breaks any parser assuming sample data starts at byte offset 44."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
+    if junk:
+        chunks.append(b"JUNK" + struct.pack("<I", 12) + b"\x00" * 12)
+    chunks.append(b"data" + struct.pack("<I", len(data)) + data)
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes):
+    """Decode RIFF/WAVE PCM16 mono to (sample_rate, int16 array) by
+    honestly walking the chunk list (fmt may sit anywhere before data;
+    unknown chunks are skipped with RIFF even-byte padding). Raises
+    ValueError on anything that is not PCM16 mono — the strict-mode
+    contract line (REAL-CODEC.md)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_fields, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from(
+            "<I", payload, pos + 4
+        )[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt_fields = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+            break  # fmt is required to precede data in canonical WAV
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even length
+    if fmt_fields is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt_fields
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+        )
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def synth_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV fixtures: per doc, n = 64 + (id%3)*32 PCM16
+    samples with the closed form s_i = ((id*37 + i*13) % 4001) - 2000 at
+    sample rate 8000 + (id%2)*3050, JUNK chunk present on odd ids — so a
+    SQL oracle recomputes every decoded statistic symbolically while the
+    Spark side must genuinely parse the bytes (chunk walk + fmt read)."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n = 64 + (d % 3) * 32
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * 37 + i * 13) % 4001) - 2000
+                payloads.append(
+                    wav_encode(
+                        s.astype(np.int16),
+                        8000 + (d % 2) * 3050,
+                        junk=bool(d % 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+AUDIO_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("rms_q1", DoubleType()),
+        StructField("rms_q2", DoubleType()),
+        StructField("rms_q3", DoubleType()),
+        StructField("rms_q4", DoubleType()),
+    ]
+)
+
+
+def audio_features_wav(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL decode + feature kernel in the mapInPandas slot: parse the
+    WAV (chunk walk), emit peak amplitude, strict sign-change zero
+    crossings, and quarter-window RMS. Each RMS is sqrt(sumsq/cnt) with
+    an exact-int64 sumsq and cnt — one IEEE division + correctly-rounded
+    sqrt, bit-identical cross-engine (determinism note: integer radicand
+    discipline, same as quantized_vectors' unit norm)."""
+    import math
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_REAL_SCHEMA.fields}
+            for d, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                rate, s = wav_decode(p)
+                s64 = s.astype(np.int64)
+                n = len(s64)
+                out["doc_id"].append(int(d))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(n)
+                out["n_bytes"].append(len(p))
+                out["peak_abs"].append(
+                    int(np.abs(s64).max()) if n else 0
+                )
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(s64[1:] * s64[:-1] < 0))
+                )
+                q = n // 4
+                for w in range(4):
+                    win = s64[w * q: (w + 1) * q]
+                    sumsq = int((win * win).sum())
+                    out[f"rms_q{w + 1}"].append(
+                        math.sqrt(sumsq / len(win)) if len(win) else 0.0
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, AUDIO_REAL_SCHEMA
+    )
+
+
 def extract_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

@@ -19,6 +19,7 @@ from cassandra_sql_spark.queries import (
     pipeline_queries,
     pipeline_r6,
     r7_ops,
+    r8_ops,
     relational,
     selection_queries,
     setops,
@@ -53,86 +54,26 @@ _MODULES = (
     pipeline_r6,
     analytics_r6c,
     r7_ops,
+    r8_ops,
 )
 
 # The correctness driver grades only the FIRST 50 registry entries. The
 # window ROTATES per round so every oracle-checked entry eventually gets a
-# hard-signal driver row (r1-r6 graded 181 distinct entries, all green at
-# latest grading; see CORRECTNESS_r0*.json). Round-7 window = 50 of the
-# 53 round-6 additions that have never been driver-graded (the r6 verdict's
-# top task: oldest / highest-novelty first — graph, behavioral, series,
-# text, and modern-SQL entries), in the order they were staged in the r6
-# NEXT_WINDOW. The 3 that do not fit plus the 10 r2-graded regression
-# leftovers are staged at the FRONT of the r8 window below.
+# hard-signal driver row (r1-r7 graded 231 distinct entries, all green at
+# latest grading; see CORRECTNESS_r0*.json). Round-8 window = the full
+# 45-entry round-7 NEXT_WINDOW queue (35 never-driver-graded entries — the
+# 32 round-7 additions/conversions plus 3 round-6 leftovers — and the 10
+# r2-graded regression leftovers), closing the never-graded tail to ZERO
+# (the r7 verdict's top task), plus 5 regrades of the entries whose latest
+# driver grading is oldest (first graded r1, latest r3).
 # ``tests/test_registry.py`` pins this composition and caps the
 # never-graded tail at one window's capacity.
 PRIORITY: tuple[str, ...] = (
-    # Round-6 additions, never driver-graded — first driver grading.
-    "agg_group_by_all",
-    "select_star_except",
-    "unpivot_measures",
-    "subq_quantified",
-    "expr_string_funcs2",
-    "expr_regexp_funcs",
-    "sketch_countmin_hh",
-    "stream_countmin_hh",
-    "event_funnel",
-    "event_retention_cohort",
-    "event_purchase_then_error",
-    "graph_pagerank",
-    "text_tfidf_topterms",
-    "dedup_url_canonical",
-    "series_gap_fill_interp",
-    "asof_join_forward",
-    "expr_interval_typed",
-    "expr_width_bucket",
-    "explode_ordinality",
-    "expr_ansi_string_spellings",
-    "agg_mode_deterministic",
-    "scd2_intervals",
-    "event_path_trigrams",
-    "agg_higher_moments",
-    "win_ratio_to_report",
-    "pivot_native",
-    "dedup_fuzzy_names",
-    "sketch_kmv_distinct",
-    "sample_weighted",
-    "series_resample_ohlc",
-    "stream_resample_ohlc",
-    "fetch_with_ties",
-    "agg_grouping_function",
-    "text_oov_rate",
-    "win_rolling_corr",
-    "stat_chi_square",
-    "stat_ab_welch_z",
-    "agg_mad_robust",
-    "agg_trimmed_mean",
-    "series_pct_change",
-    "win_leave_one_out",
-    "text_char_entropy",
-    "graph_triangle_count",
-    "text_pmi_collocations",
-    "text_zipf_fit",
-    "series_ewma",
-    "win_cumprod_growth",
-    "event_markov_transitions",
-    "win_rolling_median",
-    "graph_degree_distribution",
-)
-
-# Oracle-checked entries queued for the ROUND-8 window: the 3 round-6
-# additions that did not fit the 50-slot r7 window, the 10 r2-graded
-# regression leftovers deferred since r6, then any entries ADDED during
-# round 7 (appended as they land). Keep in sync as round-7 work lands;
-# tests/test_registry.py enforces that window + NEXT_WINDOW + graded
-# union covers every oracle-checked entry AND that this queue never
-# exceeds one window's capacity.
-NEXT_WINDOW: tuple[str, ...] = (
-    # round-6 additions that did not fit the r7 window
+    # round-6 additions never driver-graded (did not fit the r7 window)
     "text_ttr_diversity",
     "event_rfm_segmentation",
     "event_interarrival_stats",
-    # r2-graded, deferred from the r6/r7 windows
+    # r2-graded regression leftovers, deferred since r6
     "agg_expr",
     "agg_global",
     "join_cross",
@@ -143,39 +84,54 @@ NEXT_WINDOW: tuple[str, ...] = (
     "point_lookup",
     "pred_or_not",
     "sort_multicol",
-    # round-7 additions/conversions, in landing order
-    "sim_lsh_topk",      # rows-only -> oracle-checked (embedded-plane oracle)
-    "decontam_bloom",    # rows-only -> oracle-checked (md5 probe family)
-    "expr_interval_arith",  # typed DayTimeInterval column arithmetic
-    "multimodal_decode_real",  # real BMP decode+box-resize kernel
-    "sim_lsh_multiprobe",   # multi-probe LSH, embedded-plane oracle
-    "series_drawdown",      # running peak / max drawdown
-    "series_autocorr",      # daily-count ACF at lags 1 and 7
-    "event_attribution",    # first-touch attribution
-    "stat_ks_two_sample",   # Kolmogorov-Smirnov D
-    "stat_gini",            # Gini concentration per event type
-    "agg_percentile_disc",  # PERCENTILE_DISC semantics
-    "order_cohort_ltv",     # first-order-month cohort revenue
-    "stat_mann_whitney",    # rank-sum U + tie-corrected z
-    "basket_pair_lift",     # market-basket pair lift
-    "pred_is_distinct_from",  # ANSI null-safe inequality
-    "graph_reciprocity",    # reverse-edge fraction of page graph
-    "text_readability_fk",  # Flesch-Kincaid grade (exact rational)
-    "stat_benford_first_digit",  # Benford audit, literal expectations
-    "series_cusum_changepoint",  # CUSUM argmax day, scaled-int exact
-    "asof_join_nearest",    # nearest-in-time as-of, ties backward
-    "agg_weighted_median",  # integer-threshold weighted median
-    "stat_pareto_share",    # parts covering 80% of brand revenue
-    "expr_business_days",   # integer-day weekday-span formula
-    "series_gaps_islands",  # longest consecutive-day run per user
-    "stat_spearman_corr",   # midrank Spearman from integer power sums
-    "event_session_conversion",  # 30-min sessions, purchase share
-    "dedup_substring_winnow",  # rows-only -> oracle-checked (md5 grams)
-    "dedup_simhash",        # rows-only -> oracle-checked (md5 bit votes)
-    "emb_kmeans_clusters",  # rows-only -> oracle-checked (exact-int Lloyd)
-    "sim_ivf_topk",         # rows-only -> oracle-checked (int-L2 IVF)
-    "sim_pq_topk",          # rows-only -> oracle-checked (int ADC PQ)
-    "stream_benford_digits",  # streaming first-digit audit, 9-row state
+    # round-7 additions/conversions, never driver-graded, in landing order
+    "sim_lsh_topk",
+    "decontam_bloom",
+    "expr_interval_arith",
+    "multimodal_decode_real",
+    "sim_lsh_multiprobe",
+    "series_drawdown",
+    "series_autocorr",
+    "event_attribution",
+    "stat_ks_two_sample",
+    "stat_gini",
+    "agg_percentile_disc",
+    "order_cohort_ltv",
+    "stat_mann_whitney",
+    "basket_pair_lift",
+    "pred_is_distinct_from",
+    "graph_reciprocity",
+    "text_readability_fk",
+    "stat_benford_first_digit",
+    "series_cusum_changepoint",
+    "asof_join_nearest",
+    "agg_weighted_median",
+    "stat_pareto_share",
+    "expr_business_days",
+    "series_gaps_islands",
+    "stat_spearman_corr",
+    "event_session_conversion",
+    "dedup_substring_winnow",
+    "dedup_simhash",
+    "emb_kmeans_clusters",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "stream_benford_digits",
+    # oldest-graded regrades (first driver row r1, latest r3)
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "join_salted_skew",
+    "agg_approx_distinct_bound",
+)
+
+# Oracle-checked entries queued for the ROUND-9 window: entries ADDED
+# during round 8 are appended as they land, followed by the oldest
+# regrades if slots remain. tests/test_registry.py enforces that
+# window + NEXT_WINDOW + graded union covers every oracle-checked entry
+# AND that this queue never exceeds one window's capacity.
+NEXT_WINDOW: tuple[str, ...] = (
+    "audio_decode_real",  # REAL WAV/PCM16 codec, closed-form fixtures
 )
 
 _ALL: dict[str, Q] = {}

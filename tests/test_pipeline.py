@@ -957,3 +957,92 @@ def test_kmeans_entry_matches_python_fold_replica(spark, sf_dir):
         min_id[cid] = min(min_id.get(cid, vid), vid)
     expected = {vid: min_id[cid] for vid, cid in assign.items()}
     assert out1 == expected
+
+
+# --- REAL codec #2: RIFF/WAVE PCM16 (r8) -----------------------------------
+
+
+def test_wav_roundtrip_with_and_without_junk_chunk():
+    import numpy as np
+
+    s = np.array([0, 1000, -1000, 32767, -32768, 5], dtype=np.int16)
+    for junk in (False, True):
+        rate, out = multimodal.wav_decode(
+            multimodal.wav_encode(s, 11025, junk=junk)
+        )
+        assert rate == 11025
+        assert np.array_equal(out, s), junk
+
+
+def test_wav_decode_walks_chunks_not_offset_44():
+    """A JUNK chunk before data shifts the payload past offset 44 — the
+    decoder must find data by chunk id, and must skip odd-sized chunks
+    with RIFF even padding."""
+    import struct
+
+    import numpy as np
+
+    s = np.arange(-8, 8, dtype=np.int16)
+    buf = multimodal.wav_encode(s, 8000, junk=True)
+    assert buf[36:40] == b"JUNK"  # data is NOT at 44 in this file
+    rate, out = multimodal.wav_decode(buf)
+    assert rate == 8000 and np.array_equal(out, s)
+    # odd-sized unknown chunk: pad byte must be skipped
+    fmt = buf[12:36]
+    data = buf[56:]
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body = b"WAVE" + fmt + odd + data
+    crafted = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, out = multimodal.wav_decode(crafted)
+    assert rate == 8000 and np.array_equal(out, s)
+
+
+def test_wav_decode_rejects_non_pcm16_mono_and_truncated():
+    import struct
+
+    import numpy as np
+
+    s = np.arange(4, dtype=np.int16)
+    ok = multimodal.wav_encode(s, 8000)
+    with pytest.raises(ValueError):
+        multimodal.wav_decode(b"RIFXWAVE" + bytes(40))
+    with pytest.raises(ValueError):
+        multimodal.wav_decode(ok[:30])  # truncated fmt/data
+    for field_off, val in ((20, 3), (22, 2), (34, 8)):
+        bad = bytearray(ok)  # float fmt / stereo / 8-bit
+        struct.pack_into("<H", bad, field_off, val)
+        with pytest.raises(ValueError):
+            multimodal.wav_decode(bytes(bad))
+
+
+def test_audio_features_match_hand_computation(spark):
+    """Kernel vs a from-scratch recomputation on one fixture id — RMS
+    radicands exact, zero crossings strict sign changes."""
+    import math
+
+    import numpy as np
+
+    d = 7  # odd: junk chunk present, n = 96, rate = 11050
+    row = (
+        multimodal.audio_features_wav(
+            multimodal.synth_wav_payload(
+                spark.range(d, d + 1).withColumnRenamed("id", "doc_id")
+            )
+        )
+        .collect()[0]
+    )
+    n = 64 + (d % 3) * 32
+    i = np.arange(n, dtype=np.int64)
+    s = ((d * 37 + i * 13) % 4001) - 2000
+    assert row["sample_rate"] == 8000 + (d % 2) * 3050
+    assert row["n_samples"] == n
+    assert row["n_bytes"] == 44 + 2 * n + 20 * (d % 2)
+    assert row["peak_abs"] == int(np.abs(s).max())
+    assert row["zero_crossings"] == int(
+        np.count_nonzero(s[1:] * s[:-1] < 0)
+    )
+    q = n // 4
+    for w in range(4):
+        win = s[w * q: (w + 1) * q]
+        want = math.sqrt(int((win * win).sum()) / q)
+        assert row[f"rms_q{w + 1}"] == want, w

@@ -122,14 +122,33 @@ def test_canaries_in_window():
     assert not missing, f"representation-changed canaries not graded: {missing}"
 
 
-def test_window_grades_never_graded_entries_first():
-    """The r7 window's 50 slots all go to entries with no driver row
-    through r6 — the r6 verdict's top task (the never-graded tail, 63
-    entries, exceeds one window; oldest-staged first, remainder at the
-    front of NEXT_WINDOW)."""
-    graded = _graded_union(through=6)
-    already = set(PRIORITY) & graded
-    assert not already, f"window slots wasted on already-graded: {already}"
+def test_window_closes_never_graded_tail():
+    """The r8 window contains EVERY oracle-checked entry with no driver
+    row through r7 — the r7 verdict's top task (45 such entries fit one
+    window; the 5 remaining slots regrade the oldest driver rows)."""
+    graded = _graded_union(through=7)
+    oracle_checked = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
+    never_graded = oracle_checked - graded
+    # entries ADDED during round 8 stage in NEXT_WINDOW for the r9 window;
+    # everything never-graded at rotation time must be in THIS window
+    missing = never_graded - set(PRIORITY) - set(NEXT_WINDOW)
+    assert not missing, f"never-graded entries left out of the window: {missing}"
+
+
+def test_window_fillers_are_oldest_regrades():
+    """The 5 non-tail slots go to the entries whose latest driver grading
+    is oldest (first graded r1, latest r3) — regression re-coverage, not
+    padding."""
+    graded7 = _graded_union(through=7)
+    regrades = set(PRIORITY) & graded7
+    assert regrades == {
+        "agg_expr", "agg_global", "join_cross", "join_orderby_limit",
+        "join_self", "limit_zero", "literal_select", "point_lookup",
+        "pred_or_not", "sort_multicol",
+        "q3_shipping_priority", "q10_returned_items",
+        "q18_large_volume_customer", "join_salted_skew",
+        "agg_approx_distinct_bound",
+    }
 
 
 def test_ungraded_tail_fits_one_window():

@@ -509,6 +509,47 @@ def audio_features_wav(
     )
 
 
+HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("hist_csv", StringType()),
+    ]
+)
+
+
+def byte_histogram_csv(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Scalar twin of extract_features for the hash gate (the r5
+    ARRAY-fix pattern): the SAME byte-bucket kernel in the same Arrow
+    mapInPandas slot, emitting the exact integer bucket counts as a CSV
+    string instead of decode_stub's rounded fractions (counts/n_bytes
+    reproduce them). Counts are exact, so a DuckDB oracle replays the
+    bucketing per byte; zero-length payloads are excluded (a histogram
+    over nothing is the one case decode_stub fudges with max(n, 1))."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, csv = [], [], []
+            for d, p in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                counts = np.bincount(b % FEATURE_DIM, minlength=FEATURE_DIM)
+                ids.append(int(d))
+                nb.append(len(b))
+                csv.append(",".join(str(int(c)) for c in counts))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes": nb, "hist_csv": csv}
+            )
+
+    return (
+        df.filter(F.octet_length(F.col(payload_col)) > 0)
+        .select(id_col, payload_col)
+        .mapInPandas(run, HIST_SCHEMA)
+    )
+
+
 def extract_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

@@ -132,6 +132,11 @@ PRIORITY: tuple[str, ...] = (
 # AND that this queue never exceeds one window's capacity.
 NEXT_WINDOW: tuple[str, ...] = (
     "audio_decode_real",  # REAL WAV/PCM16 codec, closed-form fixtures
+    "stream_sessionize",  # rows-only -> oracle-checked (drain == closed
+    #                       batch sessions; emission condition in
+    #                       streaming_queries.py)
+    "multimodal_features",  # rows-only -> oracle-checked (exact-count
+    #                         byte-histogram scalar twin)
 )
 
 _ALL: dict[str, Q] = {}

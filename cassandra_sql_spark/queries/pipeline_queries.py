@@ -1550,14 +1550,41 @@ QUERIES: dict[str, Q] = {
         FROM r
         """,
     ),
-    # Arrow-batched feature extraction (stubbed codec) — rows-only; the
-    # deterministic fake features are value-tested in tests.
+    # Arrow-batched feature extraction. Oracle-checked since round 8 via
+    # the scalar twin (r5 ARRAY-fix pattern): the same byte-bucket kernel
+    # in the same mapInPandas slot emits exact integer bucket counts as
+    # CSV (decode_stub's fractions are counts/n_bytes), and the oracle
+    # replays the bucketing per byte — the corpus is ASCII, so DuckDB's
+    # per-char code points equal the kernel's UTF-8 bytes (non-ASCII
+    # byte handling stays pinned in pytest on the library form).
     "multimodal_features": df_q(
-        lambda spark, sf: multimodal.extract_features(
+        lambda spark, sf: multimodal.byte_histogram_csv(
             multimodal.with_binary_payload(load(spark, sf, "documents"))
         ),
         ("documents",),
-        oracle=None,
+        oracle="""
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE length(text) > 0
+        ), b AS (
+          SELECT doc_id, ord(substring(text, i, 1)) % 8 AS bucket
+          FROM d, UNNEST(generate_series(1, length(text))) AS t(i)
+        ), h AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS c0,
+                 SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS c1,
+                 SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS c2,
+                 SUM(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS c3,
+                 SUM(CASE WHEN bucket = 4 THEN 1 ELSE 0 END) AS c4,
+                 SUM(CASE WHEN bucket = 5 THEN 1 ELSE 0 END) AS c5,
+                 SUM(CASE WHEN bucket = 6 THEN 1 ELSE 0 END) AS c6,
+                 SUM(CASE WHEN bucket = 7 THEN 1 ELSE 0 END) AS c7
+          FROM b GROUP BY doc_id
+        )
+        SELECT h.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+               c0 || ',' || c1 || ',' || c2 || ',' || c3 || ',' ||
+               c4 || ',' || c5 || ',' || c6 || ',' || c7 AS hist_csv
+        FROM h JOIN d USING (doc_id)
+        """,
     ),
     # SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —
     # near-dup pairs from banded-LSH candidates + exact cosine verify

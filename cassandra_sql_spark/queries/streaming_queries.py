@@ -247,7 +247,56 @@ QUERIES: dict[str, Q] = {
         GROUP BY 1, 2
         """,
     ),
-    "stream_sessionize": Q(_sessions, None),
+    # Gap-based sessionization ON the stream (applyInPandasWithState).
+    # Oracle-checked since round 8: the AvailableNow drain is
+    # deterministic — a session emits iff (a) a later same-user event
+    # closed it by exceeding the 30-min gap, or (b) the final no-data
+    # microbatch's watermark (global max ts - 1 min) passed its
+    # event-time timeout (end + 30 min, STRICT <). Both conditions are
+    # SQL-expressible, so the oracle computes batch sessions with the
+    # same gap rule and keeps exactly the closed ones (probed equal to
+    # the drain at sf0.001/0.01/0.1; the mid-stream watermark is always
+    # <= the final one, so batch splitting cannot change the set).
+    # Session totals are exact integer cents; timestamps truncate to
+    # microseconds on both sides (the stream stores ts.value // 1000).
+    "stream_sessionize": Q(
+        _sessions,
+        """
+        WITH e AS (
+          SELECT user_id, ts, event_id, value
+          FROM events WHERE ts IS NOT NULL
+        ), mx AS (
+          SELECT MAX(ts) AS maxts FROM e
+        ), flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), assigned AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sno
+          FROM flagged
+        ), sess AS (
+          SELECT user_id, sno,
+                 CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+                 CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100 AS total_value
+          FROM assigned GROUP BY user_id, sno
+        ), last AS (
+          SELECT user_id, MAX(sno) AS max_sno FROM sess GROUP BY user_id
+        )
+        SELECT s.user_id, s.session_start, s.session_end,
+               s.n_events, s.total_value
+        FROM sess s JOIN last l USING (user_id), mx
+        WHERE s.sno < l.max_sno
+           OR s.session_end + INTERVAL 30 MINUTE
+                < mx.maxts - INTERVAL 1 MINUTE
+        """,
+    ),
     # Streaming OHLC candlesticks: incremental min_by/max_by bars per
     # (day, event_type); complete-mode drain equals the batch resample
     # (series_resample_ohlc) restricted to rows WITH an event time —

@@ -1,26 +1,31 @@
-"""Materialize an sf1-scale dataset (~6M lineitem rows) for the scale
-curve, derived from the read-only driver fixtures at sf0.1.
+"""Materialize scaled datasets (sf1 ~6M lineitem rows, sf10 ~60M) for
+the scale curve, derived from the read-only driver fixtures at sf0.1.
 
-The driver provides sf0.001/0.01/0.1 only; SCALE.md's curve needs a
-point where the data term clears the ~4s orchestration floor. sf1 is
-built as TEN key-offset copies of sf0.1 (offset 10,000,000 per copy —
+The driver provides sf0.001/0.01/0.1 only; SCALE.md's curve needs
+points where the data term clears the ~4s orchestration floor. sfN is
+built as 10N key-offset copies of sf0.1 (offset 10,000,000 per copy —
 far above every real key) so all FK relationships hold within each
 copy and the join/agg cardinality profile scales linearly, exactly
 like TPC-H's own scaling rules (region/nation stay fixed).
 
-Text/dedup realism: a verbatim 10x copy would give every document nine
-exact clones — candidate generation then scales quadratically in the
-copy count, which is a property of the COPYING, not the corpus. Each
-copy i>0 therefore prefixes every WORD with a copy tag ("c<i>"): the
+Text/dedup realism: a verbatim copy would give every document exact
+clones — candidate generation then scales quadratically in the copy
+count, which is a property of the COPYING, not the corpus. Each copy
+i>0 therefore prefixes every WORD with a copy tag ("c<i>"): the
 transformation is uniform within a copy, so within-copy near-dup
 structure (shingle sets, Jaccard values, cluster sizes) is preserved
 EXACTLY, while cross-copy vocabularies are disjoint — zero shared
 shingles, zero cross-copy candidates. (A word-order rotation was tried
 first and rejected: rotating a sequence breaks only the ~2k shingles
 at the cut points, so long documents stayed >0.8 Jaccard across
-copies.) n_chars is recomputed from the tagged text. Deterministic.
+copies. Building sf10 from sf1 was also rejected: re-tagging sf1's
+copy 0 with 'c2' would collide with sf1's own 'c2' vocabulary and
+fabricate cross-copy near-dups — every scale builds straight from
+sf0.1 with globally distinct tags.) n_chars is recomputed from the
+tagged text. Deterministic.
 
-Usage: python scripts/make_sf1.py [out_dir]   (default .scale/sf1)
+Usage: python scripts/make_sf1.py [out_dir] [copies]
+       (defaults .scale/sf1, 10 copies; sf10 = 100 copies)
 Output: parquet per table, same schemas as the driver fixtures.
 """
 
@@ -32,7 +37,6 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
 OFF = 10_000_000  # per-copy key offset; > any sf0.1 key (max 149,999)
 
 # per-table: columns to offset by copy_index * OFF
@@ -53,8 +57,10 @@ def main() -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scale", "sf1",
     )
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    rng = f"(SELECT range AS i FROM range({copies})) r"
 
     for t in FIXED:
         con.sql(
@@ -69,41 +75,32 @@ def main() -> int:
                 f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
             ).fetchall()
         ]
-        selects = []
-        for i in range(COPIES):
-            proj = ", ".join(
-                f"{c} + {i * OFF} AS {c}" if c in keys else c for c in cols
-            )
-            selects.append(f"SELECT {proj} FROM '{SRC}/{t}.parquet'")
+        proj = ", ".join(
+            f"t.{c} + r.i * {OFF} AS {c}" if c in keys else f"t.{c}"
+            for c in cols
+        )
         con.sql(
-            f"COPY ({' UNION ALL '.join(selects)}) "
-            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY (SELECT {proj} FROM '{SRC}/{t}.parquet' t CROSS JOIN "
+            f"{rng}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
 
     # documents: offset doc_id AND tag every word with the copy index
     # (copy 0 is verbatim sf0.1).
-    selects = []
-    for i in range(COPIES):
-        if i == 0:
-            selects.append(f"SELECT * FROM '{SRC}/documents.parquet'")
-            continue
-        selects.append(
-            f"""
-            SELECT doc_id + {i * OFF} AS doc_id,
-                   array_to_string(
-                     list_transform(string_split(text, ' '),
-                                    w -> 'c{i}' || w), ' ') AS text,
-                   lang, source,
-                   len(array_to_string(
-                     list_transform(string_split(text, ' '),
-                                    w -> 'c{i}' || w), ' '))::BIGINT
-                     AS n_chars
-            FROM '{SRC}/documents.parquet'
-            """
-        )
+    tagged = (
+        "array_to_string(list_transform(string_split(t.text, ' '), "
+        "w -> 'c' || r.i || w), ' ')"
+    )
     con.sql(
-        f"COPY ({' UNION ALL '.join(selects)}) "
-        f"TO '{out}/documents.parquet' (FORMAT PARQUET)"
+        f"""
+        COPY (
+          SELECT t.doc_id + r.i * {OFF} AS doc_id,
+                 CASE WHEN r.i = 0 THEN t.text ELSE {tagged} END AS text,
+                 t.lang, t.source,
+                 CASE WHEN r.i = 0 THEN t.n_chars
+                      ELSE len({tagged})::BIGINT END AS n_chars
+          FROM '{SRC}/documents.parquet' t CROSS JOIN {rng}
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
     )
 
     for t in list(KEYED) + FIXED + ["documents"]:

@@ -26,6 +26,8 @@ import pytest
 from cassandra_sql_spark.queries import REGISTRY
 from cassandra_sql_spark.testing import compare
 
+pytestmark = pytest.mark.slow
+
 ADV_ROWS = [
     (1, "", "en", "src0", 0),
     (2, "one", "en", "src0", 3),

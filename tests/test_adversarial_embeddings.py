@@ -18,6 +18,8 @@ import pytest
 from cassandra_sql_spark.queries import REGISTRY
 from cassandra_sql_spark.testing import compare
 
+pytestmark = pytest.mark.slow
+
 DIM = 64
 
 

@@ -21,6 +21,8 @@ import pytest
 from cassandra_sql_spark.queries import REGISTRY
 from cassandra_sql_spark.testing import compare
 
+pytestmark = pytest.mark.slow
+
 
 def _ts(day, h, m=0, s=0):
     return datetime.datetime(1995, 3, day, h, m, s)

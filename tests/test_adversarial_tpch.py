@@ -24,6 +24,8 @@ import pytest
 from cassandra_sql_spark.queries import REGISTRY
 from cassandra_sql_spark.testing import compare
 
+pytestmark = pytest.mark.slow
+
 D = datetime.datetime
 
 ADV_TABLES = {

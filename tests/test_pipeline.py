@@ -1046,3 +1046,23 @@ def test_audio_features_match_hand_computation(spark):
         win = s[w * q: (w + 1) * q]
         want = math.sqrt(int((win * win).sum()) / q)
         assert row[f"rms_q{w + 1}"] == want, w
+
+
+def test_byte_histogram_twin_reproduces_decode_stub(spark, docs):
+    """The hash-graded scalar twin (exact counts CSV) and the ARRAY
+    library form (rounded fractions) are the same kernel: counts/n must
+    reproduce decode_stub's features exactly."""
+    payloads = multimodal.with_binary_payload(docs)
+    twin = {
+        r.doc_id: (r.n_bytes, [int(c) for c in r.hist_csv.split(",")])
+        for r in multimodal.byte_histogram_csv(payloads).collect()
+    }
+    lib = {
+        r.doc_id: r.features
+        for r in multimodal.extract_features(payloads).collect()
+        if r.n_bytes > 0
+    }
+    assert set(twin) == set(lib) and twin
+    for doc_id, (n, counts) in twin.items():
+        assert sum(counts) == n
+        assert lib[doc_id] == [round(c / n, 9) for c in counts], doc_id

@@ -67,6 +67,7 @@ def test_partial_final_aggregation(spark, sf_dir, name):
 
 # --- joins ------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_no_cartesian_outside_cross_join(spark, sf_dir):
     for name in sorted(REGISTRY):
         if name in ("join_cross",):

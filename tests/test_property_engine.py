@@ -16,6 +16,8 @@ from hypothesis import strategies as st
 
 from cassandra_sql_spark.engine import Engine, EngineError
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def eng(spark, tmp_path_factory):

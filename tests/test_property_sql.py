@@ -19,6 +19,9 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
+
+pytestmark = pytest.mark.slow
 
 # --- predicate grammar ------------------------------------------------------
 

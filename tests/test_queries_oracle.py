@@ -9,6 +9,8 @@ import pytest
 from cassandra_sql_spark.queries import REGISTRY
 from cassandra_sql_spark.testing import compare
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, duck, sf_dir):

@@ -23,6 +23,8 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import pytest
+
 from cassandra_sql_spark.queries import NEXT_WINDOW, PRIORITY, REGISTRY
 
 _REPO = Path(__file__).resolve().parent.parent
@@ -203,6 +205,7 @@ def test_next_window_closes_oracle_checked_tail():
 _INTENTIONALLY_EMPTY = {"limit_zero"}
 
 
+@pytest.mark.slow
 def test_no_vacuous_fixtures_at_driver_sf():
     """Every oracle-checked entry must yield >=1 row at sf0.01 — the
     scale the correctness driver grades at. A predicate stack that
@@ -231,6 +234,7 @@ def test_no_vacuous_fixtures_at_driver_sf():
     assert not vacuous, f"vacuous 0-row fixtures: {vacuous}"
 
 
+@pytest.mark.slow
 def test_oracle_checked_outputs_respect_hash_boundary(spark, duck, sf_dir):
     """Round-4 postmortem contract: the driver's hasher crashes on
     ARRAY/MAP Spark output columns, and DuckDB HUGEINT/DECIMAL oracle

@@ -333,3 +333,59 @@ def test_ohlc_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in ev.ohlc_stream(load(spark, sf_dir, "events")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_sessionize_equals_batch_replica_on_fixtures(spark, sf_dir):
+    """r7 verdict task #6: the rows-only stream_sessionize entry gets a
+    stream==batch equality pin against the 30-min gap rule. Every
+    session the drain emits must equal a batch-computed session tuple
+    exactly (boundaries, counts, cent-exact totals); the only sessions
+    allowed to be absent are each user's LAST one (it may remain open —
+    whether the final-watermark timeout fires depends on how far the
+    user's tail sits behind the stream's max event time)."""
+    from cassandra_sql_spark.io import load
+    from cassandra_sql_spark.queries import REGISTRY
+
+    out = REGISTRY["stream_sessionize"].fn(spark, sf_dir).collect()
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.total_value * 100))
+        for r in out
+    }
+    assert streamed, "drain emitted no closed sessions"
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .filter("ts IS NOT NULL")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    batch, last_per_user = set(), set()
+    gap_s = 30 * 60
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: r.ts)
+        sessions = []
+        start = last = evs[0].ts
+        n, cents = 0, 0
+        for e in evs:
+            if (e.ts - last).total_seconds() > gap_s and n > 0:
+                sessions.append((uid, start, last, n, cents))
+                start, n, cents = e.ts, 0, 0
+            last = max(last, e.ts)
+            n += 1
+            cents += round(float(e.value) * 100)  # same fn as the stream
+        sessions.append((uid, start, last, n, cents))
+        batch.update(sessions)
+        last_per_user.add(sessions[-1])
+
+    assert streamed <= batch, (
+        f"streamed sessions not in batch: {sorted(streamed - batch)[:5]}"
+    )
+    missing = batch - streamed
+    assert missing <= last_per_user, (
+        f"non-final sessions missing from drain: "
+        f"{sorted(missing - last_per_user)[:5]}"
+    )

@@ -137,6 +137,13 @@ NEXT_WINDOW: tuple[str, ...] = (
     #                       streaming_queries.py)
     "multimodal_features",  # rows-only -> oracle-checked (exact-count
     #                         byte-histogram scalar twin)
+    "graph_clustering_coeff",   # per-node closed-wedge ratio
+    "graph_jaccard_neighbors",  # structural equivalence, wedge-join
+    "stat_kendall_tau",         # tau-b, exact pair counts + tie term
+    "stat_theil_sen",           # median pairwise slope, rational pick
+    "stat_ols_trend",           # per-type OLS from integer power sums
+    "stat_kruskal_wallis",      # H over doubled centered midranks
+    "event_stickiness",         # DAU/MAU engagement ratio per month
 )
 
 _ALL: dict[str, Q] = {}

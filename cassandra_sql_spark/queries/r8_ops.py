@@ -5,6 +5,11 @@
   task #3). The reference has no media handling at all (its closest
   analog is opaque BLOB storage, kv/TableMetadata.java); this is part of
   the north-star training-data-pipeline surface.
+- graph depth (clustering coefficient, neighbor Jaccard) on the same
+  page-transition graph as graph_pagerank/graph_triangle_count.
+- robust/rank statistics (Kendall tau-b, Theil-Sen, OLS,
+  Kruskal-Wallis) in the exact-integer midrank/power-sum discipline.
+- event_stickiness (DAU/MAU), the classic engagement ratio.
 """
 
 from __future__ import annotations
@@ -13,7 +18,195 @@ from pyspark.sql import functions as F
 
 from cassandra_sql_spark.io import load
 from cassandra_sql_spark.pipeline import multimodal
-from cassandra_sql_spark.queries.base import Q, df_q
+from cassandra_sql_spark.queries.base import Q, df_q, sql_q
+
+# Page-transition graph shared with behavior.py's entries: nodes are
+# props.$.k ids, edges are consecutive same-user events, canonicalized
+# undirected (a < b). The json extraction is the only dialect split.
+_SPARK_K = "TRY_CAST(get_json_object(props, '$.k') AS BIGINT)"
+_DUCK_K = (
+    "TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)"
+    " THEN JSON_EXTRACT_STRING(props, '$.k') END AS BIGINT)"
+)
+
+_EDGES = """
+pages AS (
+  SELECT user_id, ts, event_id, {k} AS page
+  FROM events WHERE ts IS NOT NULL
+),
+hops AS (
+  SELECT page AS src,
+         LEAD(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM pages
+),
+edges AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM hops
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+)"""
+
+# Per-node local clustering coefficient: closed wedges / possible
+# wedges. Triangles enumerate once over the canonical edge set (the
+# same two-join shape as graph_triangle_count — |edges| shuffle rows,
+# never the event log), then each triangle credits its three corners.
+# 2T and d(d-1) are exact ints; one double division per node.
+_CLUSTERING_BODY = f"""
+WITH {_EDGES},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+  ) tn GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+  ) dn GROUP BY node
+)
+SELECT deg.node AS page, deg.d AS degree,
+       CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN CAST(2 * COALESCE(tcnt.t, 0) AS DOUBLE)
+                 / (deg.d * (deg.d - 1))
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+ORDER BY page
+"""
+
+# Structural-equivalence mining: page pairs ranked by neighbor-set
+# Jaccard. Candidates come from the wedge join (pairs sharing >= 1
+# neighbor — sum(deg^2) fan-out, the usual degree-cap lever at scale),
+# |A union B| = dA + dB - shared, all exact ints.
+_JACCARD_NEIGHBORS_BODY = f"""
+WITH {_EDGES},
+und AS (
+  SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u),
+wedge AS (
+  SELECT n1.u AS p, n2.u AS q
+  FROM und n1 JOIN und n2 ON n1.v = n2.v AND n1.u < n2.u
+),
+shared AS (
+  SELECT p, q, CAST(COUNT(*) AS BIGINT) AS c FROM wedge GROUP BY p, q
+)
+SELECT s.p AS page_a, s.q AS page_b, s.c AS shared_neighbors,
+       da.d AS deg_a, db.d AS deg_b,
+       CAST(s.c AS DOUBLE) / (da.d + db.d - s.c) AS jaccard
+FROM shared s
+JOIN deg da ON s.p = da.u
+JOIN deg db ON s.q = db.u
+ORDER BY jaccard DESC, page_a, page_b
+LIMIT 20
+"""
+
+# Kendall tau-b over the daily event-count series: x = calendar day
+# (distinct, so no x-ties), y = count. Concordance/discordance from the
+# pairwise join over the DAILY reduction (bounded by calendar size,
+# like series_autocorr); tie correction n2 = sum t(t-1)/2 over tied
+# counts. Every term is an exact int64; the one sqrt has an
+# exactly-representable product radicand (n0 < 2^26 at any horizon).
+_KENDALL_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
+),
+pairs AS (
+  SELECT CASE WHEN b.n > a.n THEN 1
+              WHEN b.n < a.n THEN -1 ELSE 0 END AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+         CAST(COUNT(*) AS BIGINT) AS n0
+  FROM pairs
+),
+ties AS (
+  SELECT CAST(COALESCE(CAST(FLOOR(SUM(t * (t - 1)) / 2) AS BIGINT), 0)
+              AS BIGINT) AS n2
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY n) g
+  WHERE t > 1
+)
+SELECT agg.n0 AS n_pairs, agg.c AS concordant, agg.dd AS discordant,
+       ties.n2 AS y_tie_pairs,
+       CAST(agg.c - agg.dd AS DOUBLE)
+         / SQRT(CAST(agg.n0 AS DOUBLE) * CAST(agg.n0 - ties.n2 AS DOUBLE))
+         AS tau_b
+FROM agg, ties
+"""
+
+# Theil-Sen robust trend: the median of all pairwise slopes of the
+# daily series. Slopes stay (dy BIGINT, dx BIGINT) pairs; ordering is
+# by the IEEE quotient (exact int operands -> identical on both
+# engines) with (dy, dx) tie-breaks for a deterministic total order;
+# the median is the lower-middle order statistic (no averaging).
+_THEIL_SEN_BODY = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
+),
+slopes AS (
+  SELECT b.n - a.n AS dy, CAST({dd} AS BIGINT) AS dx
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+ranked AS (
+  SELECT dy, dx, CAST(dy AS DOUBLE) / dx AS slope,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS rn,
+         COUNT(*) OVER () AS m
+  FROM slopes
+)
+SELECT CAST(m AS BIGINT) AS n_pairs, CAST(dy AS BIGINT) AS med_dy,
+       CAST(dx AS BIGINT) AS med_dx, slope AS theil_sen_slope
+FROM ranked WHERE rn = CAST(FLOOR((m + 1) / 2.0) AS BIGINT)
+"""
+
+# OLS trend per event type from integer power sums: x = days since
+# 2024-01-01 (centered anchor keeps every sum far inside int64), y =
+# daily count. slope/intercept/r^2 are the closed forms over exact
+# integer sums; r^2 squares in double (operands < 2^53, so the products
+# are correctly rounded identically on both engines).
+_OLS_BODY = """
+WITH daily0 AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+daily AS (
+  SELECT event_type, CAST({dd} AS BIGINT) AS x, y FROM daily0
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       (CAST(n * sxy - sx * sy AS DOUBLE)
+        * CAST(n * sxy - sx * sy AS DOUBLE))
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+FROM s
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY event_type
+"""
 
 # The oracle replays the WHOLE pipeline symbolically from the fixture's
 # closed form: samples s_i = ((id*37 + i*13) % 4001) - 2000, n and the
@@ -63,7 +256,121 @@ SELECT doc_id,
 FROM a
 """
 
+# Kruskal-Wallis H across event types over exact integer cents.
+# Doubled midranks (2*cum_before + cnt + 1) are exact ints; centering
+# by the mean doubled rank (N+1) keeps per-group sums small enough
+# that their squares are exact in double (|Sg| < 2^40 at any realistic
+# N). H = 3/(N(N+1)) * sum Sg^2/ng over doubled centered ranks; the
+# tie correction divides by 1 - sum(t^3 - t)/(N^3 - N).
+_KRUSKAL_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+dist AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY c
+),
+mr AS (
+  SELECT c, t,
+         2 * (SUM(t) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) + t + 1
+           AS dr2
+  FROM dist
+),
+mr0 AS (
+  SELECT c, t, COALESCE(dr2, t + 1) AS dr FROM mr
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+g AS (
+  SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(mr0.dr - (n.n + 1)) AS BIGINT) AS sg
+  FROM v JOIN mr0 ON v.c = mr0.c CROSS JOIN n
+  GROUP BY v.event_type
+),
+h AS (
+  SELECT CAST(SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+               / CAST(ng AS DOUBLE)) AS DOUBLE) AS ssq,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+),
+tie AS (
+  SELECT CAST(SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+               - CAST(t AS DOUBLE)) AS DOUBLE) AS tsum
+  FROM dist WHERE t > 1
+)
+SELECT n.n AS n_obs, h.k AS n_groups,
+       3.0 / (CAST(n.n AS DOUBLE) * CAST(n.n + 1 AS DOUBLE)) * h.ssq
+         AS h_stat,
+       (3.0 / (CAST(n.n AS DOUBLE) * CAST(n.n + 1 AS DOUBLE)) * h.ssq)
+         / (1.0 - COALESCE(tie.tsum, 0.0)
+              / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)
+                 * CAST(n.n AS DOUBLE) - CAST(n.n AS DOUBLE)))
+         AS h_tie_corrected
+FROM n, h, tie
+"""
+
+# DAU/MAU stickiness per calendar month: the engagement ratio every
+# product-analytics stack ships. Integer month key (y*12+m — the
+# date_trunc dialect trap avoided), exact integer numerators, one
+# double division.
+_STICKINESS_SQL = """
+WITH du AS (
+  SELECT CAST(ts AS DATE) AS d, user_id
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY CAST(ts AS DATE), user_id
+),
+m AS (
+  SELECT CAST(EXTRACT(YEAR FROM d) * 12 + EXTRACT(MONTH FROM d)
+              AS BIGINT) AS mkey,
+         d, user_id
+  FROM du
+),
+dau AS (
+  SELECT mkey, d, CAST(COUNT(*) AS BIGINT) AS a FROM m GROUP BY mkey, d
+),
+mau AS (
+  SELECT mkey, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM m GROUP BY mkey
+),
+s AS (
+  SELECT mkey, CAST(SUM(a) AS BIGINT) AS sum_dau,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM dau GROUP BY mkey
+)
+SELECT s.mkey AS month_key, s.n_days, s.sum_dau, mau.mau,
+       CAST(s.sum_dau AS DOUBLE) / (s.n_days * mau.mau) AS stickiness
+FROM s JOIN mau ON s.mkey = mau.mkey
+ORDER BY month_key
+"""
+
 QUERIES: dict[str, Q] = {
+    "graph_clustering_coeff": df_q(
+        lambda spark, sf: spark.sql(_CLUSTERING_BODY.format(k=_SPARK_K)),
+        ("events",),
+        oracle=_CLUSTERING_BODY.format(k=_DUCK_K),
+    ),
+    "graph_jaccard_neighbors": df_q(
+        lambda spark, sf: spark.sql(
+            _JACCARD_NEIGHBORS_BODY.format(k=_SPARK_K)
+        ),
+        ("events",),
+        oracle=_JACCARD_NEIGHBORS_BODY.format(k=_DUCK_K),
+    ),
+    "stat_kendall_tau": sql_q(_KENDALL_SQL, ("events",)),
+    "stat_theil_sen": sql_q(
+        _THEIL_SEN_BODY.format(dd="DATEDIFF(b.d, a.d)"),
+        ("events",),
+        oracle=_THEIL_SEN_BODY.format(dd="date_diff('day', a.d, b.d)"),
+    ),
+    "stat_ols_trend": sql_q(
+        _OLS_BODY.format(dd="DATEDIFF(d, DATE'2024-01-01')"),
+        ("events",),
+        oracle=_OLS_BODY.format(
+            dd="date_diff('day', DATE '2024-01-01', d)"
+        ),
+    ),
+    "stat_kruskal_wallis": sql_q(_KRUSKAL_SQL, ("events",)),
+    "event_stickiness": sql_q(_STICKINESS_SQL, ("events",)),
     "audio_decode_real": df_q(
         lambda spark, sf: multimodal.audio_features_wav(
             multimodal.synth_wav_payload(

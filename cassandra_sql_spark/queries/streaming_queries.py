@@ -283,7 +283,8 @@ QUERIES: dict[str, Q] = {
                  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
                  CAST(MAX(ts) AS TIMESTAMP) AS session_end,
                  CAST(COUNT(*) AS BIGINT) AS n_events,
-                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                 CAST(COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5)
+                                        AS BIGINT)), 0)
                       AS DOUBLE) / 100 AS total_value
           FROM assigned GROUP BY user_id, sno
         ), last AS (

@@ -487,8 +487,14 @@ def sessionize(
             return
         times, values = [], []
         for pdf in batches:
-            times.extend(int(t.value // 1000) for t in pdf["ts"])
-            values.extend(float(v) for v in pdf["value"])
+            for t, v in zip(pdf["ts"], pdf["value"]):
+                if pd.isna(t):
+                    # an event-time session is undefined without a
+                    # timestamp — same exclusion as the batch oracle's
+                    # WHERE ts IS NOT NULL
+                    continue
+                times.append(int(t.value // 1000))
+                values.append(float(v) if not pd.isna(v) else None)
         if not times:
             return
         order = sorted(range(len(times)), key=lambda i: times[i])
@@ -505,7 +511,8 @@ def sessionize(
                 start_us, n, cents = t, 0, 0
             last_us = max(last_us, t)
             n += 1
-            cents += round(v * 100)
+            if v is not None:  # SQL SUM skips NULLs; COUNT(*) does not
+                cents += round(v * 100)
         state.update((start_us, last_us, n, cents))
         state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
         if closed:

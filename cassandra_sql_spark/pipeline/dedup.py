@@ -193,20 +193,22 @@ def _jaccard(a: Column, b: Column) -> Column:
     )
 
 
-def ngram_jaccard_pairs(
+def _ngram_pair_intersections(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.5,
     k: int = 3,
     df_cutoff: int | None = None,
 ) -> DataFrame:
-    """All pairs with shingle-Jaccard >= threshold.
+    """(da, db, na, nb, _inter) for every candidate doc pair sharing a
+    (non-hot) shingle — the shared cascade under ngram_jaccard_pairs and
+    ngram_containment_pairs.
 
-    Candidate generation via inverted index on shingles (complete: J >= t
-    implies a shared shingle), then exact verification. ``df_cutoff``
-    optionally drops shingles occurring in more than that many docs —
-    trades completeness for bounded fan-out at scale.
+    Candidate generation via inverted index on shingles (complete: any
+    overlap metric above 0 implies a shared shingle), then exact
+    counting. ``df_cutoff`` optionally drops shingles occurring in more
+    than that many docs — trades completeness for bounded fan-out at
+    scale.
 
     Two physical strategies (same result where both are defined):
 
@@ -221,8 +223,8 @@ def ngram_jaccard_pairs(
       collect_list'd into single rows.
 
     Shingle lists are distinct per doc, so the per-pair match count IS
-    |A ∩ B|; |A ∪ B| = |A| + |B| - |A ∩ B|. Everything stays JVM-side —
-    no per-pair array intersection (measured 5x the cost).
+    |A ∩ B|. Everything stays JVM-side — no per-pair array intersection
+    (measured 5x the cost).
     """
     # The exploded value carries (shingle-count, gram-hash) structs built
     # ONCE per row inside a _let binding. An expensive sibling column next
@@ -278,39 +280,42 @@ def ngram_jaccard_pairs(
             .select("_a", F.explode("_ds").alias("_b"))
             .filter(F.col("_a._id") < F.col("_b._id"))
         )
-        pairs = (
-            cand.groupBy(
-                F.col("_a._id").alias("da"),
-                F.col("_b._id").alias("db"),
-                F.col("_a._n").alias("na"),
-                F.col("_b._n").alias("nb"),
+        inter = cand.groupBy(
+            F.col("_a._id").alias("da"),
+            F.col("_b._id").alias("db"),
+            F.col("_a._n").alias("na"),
+            F.col("_b._n").alias("nb"),
+        ).agg(F.count(F.lit(1)).alias("_inter"))
+    else:
+        flat = ex.select(
+            F.col("_d._id").alias("_id"), F.col("_d._n").alias("_n"), "_g"
+        )
+        inter = (
+            flat.alias("a")
+            .join(flat.alias("b"), (F.col("a._g") == F.col("b._g"))
+                  & (F.col("a._id") < F.col("b._id")))
+            .groupBy(
+                F.col("a._id").alias("da"),
+                F.col("b._id").alias("db"),
+                F.col("a._n").alias("na"),
+                F.col("b._n").alias("nb"),
             )
             .agg(F.count(F.lit(1)).alias("_inter"))
-            .select(
-                "da",
-                "db",
-                (
-                    F.col("_inter").cast("double")
-                    / (F.col("na") + F.col("nb") - F.col("_inter"))
-                ).alias("jaccard"),
-            )
         )
-        return pairs.filter(F.col("jaccard") >= threshold)
-    flat = ex.select(
-        F.col("_d._id").alias("_id"), F.col("_d._n").alias("_n"), "_g"
-    )
-    inter = (
-        flat.alias("a")
-        .join(flat.alias("b"), (F.col("a._g") == F.col("b._g"))
-              & (F.col("a._id") < F.col("b._id")))
-        .groupBy(
-            F.col("a._id").alias("da"),
-            F.col("b._id").alias("db"),
-            F.col("a._n").alias("na"),
-            F.col("b._n").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
+    return inter
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+    df_cutoff: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard >= threshold
+    (|A ∪ B| = |A| + |B| - |A ∩ B|; see _ngram_pair_intersections)."""
+    inter = _ngram_pair_intersections(df, id_col, text_col, k, df_cutoff)
     pairs = inter.select(
         "da",
         "db",
@@ -320,6 +325,40 @@ def ngram_jaccard_pairs(
         ).alias("jaccard"),
     )
     return pairs.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    df_cutoff: int | None = None,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """Near-SUBSET detection: containment C = |A ∩ B| / min(|A|, |B|).
+
+    Jaccard misses the boilerplate-wrapper case — a short document
+    embedded verbatim inside a much longer one scores |A|/|B| << 1 on
+    Jaccard but 1.0 on containment (Broder's original distinction).
+    Same single-scan posting-list cascade as ngram_jaccard_pairs;
+    ``min_shingles`` drops pairs where the smaller side is too tiny for
+    the ratio to mean anything (and guards the 0/0 of shingle-less
+    docs). C stays an exact-int ratio evaluated once in double."""
+    inter = _ngram_pair_intersections(df, id_col, text_col, k, df_cutoff)
+    pairs = inter.filter(
+        F.least(F.col("na"), F.col("nb")) >= min_shingles
+    ).select(
+        "da",
+        "db",
+        F.col("na"),
+        F.col("nb"),
+        (
+            F.col("_inter").cast("double")
+            / F.least(F.col("na"), F.col("nb"))
+        ).alias("containment"),
+    )
+    return pairs.filter(F.col("containment") >= threshold)
 
 
 def dup_clusters(

@@ -933,6 +933,48 @@ def topk_lsh(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def range_search_lsh(
+    emb: DataFrame,
+    query_id: int,
+    threshold: float = 0.4,
+    planes: int = 4,
+    multiprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Threshold (range) similarity search: every vector with cosine >=
+    threshold against the query, scanning only the query's LSH bucket
+    plus `multiprobe` Hamming-1 neighbors — the radius-query complement
+    of topk_lsh (same bucketing, same pruning, no k cut). The filter
+    applies to the DECIMAL(18,6)-hopped score so the >= boundary is
+    engine-exact. At rest the probe is a pruned partition IN-list
+    (write_lsh_partitioned), identical to the top-k path."""
+    bucketed = emb.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    probes = F.array(
+        F.col("_bucket"),
+        *[
+            F.col("_bucket").bitwiseXOR(F.lit(2**p))
+            for p in range(min(multiprobe, planes))
+        ],
+    )
+    bucketed = nonzero(bucketed, vec_col)
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv"), probes.alias("_qbs")
+    )
+    cands = bucketed.join(
+        F.broadcast(q), F.array_contains(F.col("_qbs"), F.col("_bucket"))
+    ).filter(F.col(id_col) != query_id)
+    scored = cands.select(
+        id_col,
+        cosine(F.col(vec_col), F.col("_qv"))
+        .cast("decimal(18,6)").cast("double")
+        .alias("score"),
+    )
+    return scored.filter(F.col("score") >= threshold).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (Jegou/Douze/Schmid, "Product Quantization for
 # Nearest Neighbor Search", PAMI 2011). The vector is split into M

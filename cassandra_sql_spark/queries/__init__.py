@@ -144,6 +144,11 @@ NEXT_WINDOW: tuple[str, ...] = (
     "stat_ols_trend",           # per-type OLS from integer power sums
     "stat_kruskal_wallis",      # H over doubled centered midranks
     "event_stickiness",         # DAU/MAU engagement ratio per month
+    "sim_range_search",         # threshold cosine search, LSH-pruned
+    "stream_cusum_changepoint",  # streaming CUSUM == batch changepoint
+    "text_sentence_dedup",      # C4-style sentence-duplication audit
+    "sketch_approx_quantile_bound",  # GK sketch, exact rank-error check
+    "dedup_containment",        # near-subset pairs (Broder containment)
 )
 
 _ALL: dict[str, Q] = {}

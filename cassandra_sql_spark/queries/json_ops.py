@@ -41,7 +41,12 @@ QUERIES: dict[str, Q] = {
     # here: the filter gets pushed below the project, so whichever
     # expression is used is evaluated twice per surviving row — single-path
     # streaming extraction beats materializing a from_json struct twice
-    # (0.38s vs 0.50s at sf0.1; variant_get 0.43s).
+    # (0.38s vs 0.50s at sf0.1; variant_get 0.43s). Re-measured round 8
+    # after two rounds of driver-ratio drift (1.25x -> 1.40x): with the
+    # variants INTERLEAVED over 12 reps on a quiet box, get_json_object
+    # med 0.415s vs variant_get 0.432s — still the right strategy; the
+    # driver ratio is calibration noise (sequential A/Bs invert under
+    # JVM drift; SCALE.md §10 records the protocol).
     "json_filter_agg": sql_q(
         """
         SELECT event_type,

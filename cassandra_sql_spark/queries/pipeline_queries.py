@@ -39,6 +39,29 @@ WHERE a.doc_id < b.doc_id
         / len(list_distinct(list_concat(a.s, b.s))) >= {t}
 """
 
+# Near-subset containment (Broder): |A n B| / min(|A|,|B|) — catches a
+# short doc embedded verbatim in a longer one, which Jaccard dilutes to
+# |A|/|B|. Oracle = uncapped brute force (the df-capped Spark cascade
+# is lossless on the fixtures, same as _JACCARD_ORACLE's entries).
+_CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w)-1)]) AS s
+  FROM toks
+), f AS (SELECT doc_id, s FROM sh WHERE len(s) >= {m})
+SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(len(a.s) AS BIGINT) AS na, CAST(len(b.s) AS BIGINT) AS nb,
+       len(list_intersect(a.s, b.s))::DOUBLE
+         / LEAST(len(a.s), len(b.s)) AS containment
+FROM f a, f b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.s, b.s))::DOUBLE
+        / LEAST(len(a.s), len(b.s)) >= {t}
+"""
+
 _COSINE = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
@@ -46,7 +69,11 @@ _COSINE = (
 
 
 def _lsh_topk_oracle(
-    planes: int = 4, k: int = 10, query_id: int = 0, multiprobe: int = 0
+    planes: int = 4,
+    k: int = 10,
+    query_id: int = 0,
+    multiprobe: int = 0,
+    threshold: float | None = None,
 ) -> str:
     """Full DuckDB replica of the sign-LSH top-k — hash family included.
 
@@ -76,6 +103,17 @@ def _lsh_topk_oracle(
             f"xor(q.qb, {2 ** p})" for p in range(min(multiprobe, planes))
         )
         probe = f"b.bucket IN (q.qb, {alts})"
+    # threshold mode (range search): no k cut — filter on the hopped
+    # score instead, so the >= boundary is the engine-exact DECIMAL one
+    tail = (
+        f"LIMIT {k}" if threshold is None
+        else ""
+    )
+    having = (
+        "" if threshold is None
+        else f"AND CAST(CAST({_COSINE.format(a='b.v', b='q.qv')} "
+             f"AS DECIMAL(18,6)) AS DOUBLE) >= {threshold!r}"
+    )
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v
@@ -90,9 +128,9 @@ def _lsh_topk_oracle(
            CAST(CAST({_COSINE.format(a='b.v', b='q.qv')}
                      AS DECIMAL(18,6)) AS DOUBLE) AS score
     FROM b, q
-    WHERE {probe} AND b.vec_id != {query_id}
+    WHERE {probe} AND b.vec_id != {query_id} {having}
     ORDER BY score DESC, b.vec_id
-    LIMIT {k}
+    {tail}
     """
 
 def _ivf_exact_oracle(
@@ -436,6 +474,30 @@ QUERIES: dict[str, Q] = {
         ("documents",),
         oracle=_JACCARD_ORACLE.format(t=0.5),
     ),
+    # Near-subset containment pairs (same cascade, different ratio —
+    # see ngram_containment_pairs). na/nb cast long to match the
+    # oracle's BIGINT lengths.
+    "dedup_containment": df_q(
+        lambda spark, sf: (
+            lambda p: p.select(
+                "da", "db",
+                F.col("na").cast("long").alias("na"),
+                F.col("nb").cast("long").alias("nb"),
+                "containment",
+            )
+        )(
+            dedup.ngram_containment_pairs(
+                load(spark, sf, "documents"),
+                "doc_id",
+                "text",
+                threshold=0.8,
+                df_cutoff=64,
+                min_shingles=5,
+            )
+        ),
+        ("documents",),
+        oracle=_CONTAINMENT_ORACLE.format(t=0.8, m=5),
+    ),
     # MinHash + banded LSH, Jaccard-verified: output provably equals the
     # exact answer at threshold 0.8 (collision-miss p < 1e-7 at J >= 0.9,
     # and the corpus has no pairs in (0.07, 0.9)).
@@ -591,6 +653,21 @@ QUERIES: dict[str, Q] = {
     # chain with probe + exact cosine scoring). The float cosine-routed
     # topk_ivf remains for the pruned on-disk index paths; recall vs
     # brute force stays pinned in tests.
+    # Threshold (range) similarity search: everything with cosine >=
+    # 0.12 against the query (the fixture embeddings are near-random,
+    # so absolute cosines are small; the boundary sits mid-distribution) inside the LSH probe set — the radius-query
+    # complement of the top-k entries, same bucketing/pruning, oracle
+    # re-derives buckets + probes + the DECIMAL-hopped >= boundary.
+    "sim_range_search": df_q(
+        lambda spark, sf: similarity.range_search_lsh(
+            load(spark, sf, "embeddings"),
+            query_id=0, threshold=0.12, planes=4, multiprobe=2,
+        ),
+        ("embeddings",),
+        oracle=_lsh_topk_oracle(
+            planes=4, query_id=0, multiprobe=2, threshold=0.12
+        ),
+    ),
     "sim_ivf_topk": df_q(
         lambda spark, sf: similarity.topk_ivf_exact(
             load(spark, sf, "embeddings"),
@@ -1553,10 +1630,11 @@ QUERIES: dict[str, Q] = {
     # Arrow-batched feature extraction. Oracle-checked since round 8 via
     # the scalar twin (r5 ARRAY-fix pattern): the same byte-bucket kernel
     # in the same mapInPandas slot emits exact integer bucket counts as
-    # CSV (decode_stub's fractions are counts/n_bytes), and the oracle
-    # replays the bucketing per byte — the corpus is ASCII, so DuckDB's
-    # per-char code points equal the kernel's UTF-8 bytes (non-ASCII
-    # byte handling stays pinned in pytest on the library form).
+    # CSV (decode_stub's fractions are counts/n_bytes). The oracle is
+    # byte-faithful for ALL of Unicode: DuckDB has no blob indexing, so
+    # it expands each code point to its UTF-8 byte sequence
+    # arithmetically (the adversarial corpus's multibyte doc caught the
+    # earlier chars==bytes shortcut).
     "multimodal_features": df_q(
         lambda spark, sf: multimodal.byte_histogram_csv(
             multimodal.with_binary_payload(load(spark, sf, "documents"))
@@ -1565,11 +1643,25 @@ QUERIES: dict[str, Q] = {
         oracle="""
         WITH d AS (
           SELECT doc_id, text FROM documents WHERE length(text) > 0
-        ), b AS (
-          SELECT doc_id, ord(substring(text, i, 1)) % 8 AS bucket
+        ), cp AS (
+          SELECT doc_id, ord(substring(text, i, 1)) AS c
           FROM d, UNNEST(generate_series(1, length(text))) AS t(i)
-        ), h AS (
+        ), byt AS (
           SELECT doc_id,
+                 UNNEST(CASE
+                   WHEN c < 128 THEN [c]
+                   WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
+                   WHEN c < 65536 THEN [224 + c // 4096,
+                                        128 + (c // 64) % 64,
+                                        128 + c % 64]
+                   ELSE [240 + c // 262144, 128 + (c // 4096) % 64,
+                         128 + (c // 64) % 64, 128 + c % 64]
+                 END) AS byte
+          FROM cp
+        ), bk AS (
+          SELECT doc_id, byte % 8 AS bucket FROM byt
+        ), h AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
                  SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS c0,
                  SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS c1,
                  SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS c2,
@@ -1578,12 +1670,12 @@ QUERIES: dict[str, Q] = {
                  SUM(CASE WHEN bucket = 5 THEN 1 ELSE 0 END) AS c5,
                  SUM(CASE WHEN bucket = 6 THEN 1 ELSE 0 END) AS c6,
                  SUM(CASE WHEN bucket = 7 THEN 1 ELSE 0 END) AS c7
-          FROM b GROUP BY doc_id
+          FROM bk GROUP BY doc_id
         )
-        SELECT h.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+        SELECT doc_id, nb AS n_bytes,
                c0 || ',' || c1 || ',' || c2 || ',' || c3 || ',' ||
                c4 || ',' || c5 || ',' || c6 || ',' || c7 AS hist_csv
-        FROM h JOIN d USING (doc_id)
+        FROM h
         """,
     ),
     # SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —

@@ -343,7 +343,106 @@ FROM s JOIN mau ON s.mkey = mau.mkey
 ORDER BY month_key
 """
 
+# Sentence-level duplication audit (the C4 / RefinedWeb line-dedup
+# primitive): split docs to sentences, count each sentence corpus-wide,
+# report per-doc duplicated-sentence share. One explode + one groupBy
+# + one broadcast-size join back — the shuffle carries distinct
+# sentences, not the corpus. Spark splits on the regex-escaped dot;
+# DuckDB on the literal dot (same result).
+_SENT_DEDUP_BODY = """
+WITH s AS (
+  SELECT doc_id, trim(sv) AS sent FROM {src}
+),
+f AS (SELECT doc_id, sent FROM s WHERE sent <> ''),
+g AS (SELECT sent, CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY sent)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sents,
+       CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_sents,
+       CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_ratio
+FROM f JOIN g ON f.sent = g.sent
+GROUP BY f.doc_id ORDER BY f.doc_id
+"""
+
+_SENT_SPARK_SRC = (
+    "(SELECT doc_id, explode(split(text, '\\\\.')) AS sv FROM documents)"
+)
+_SENT_DUCK_SRC = (
+    "(SELECT doc_id, UNNEST(string_split(text, '.')) AS sv"
+    " FROM documents)"
+)
+
+# Approximate-quantile sketch with a hard rank-error bound check (the
+# agg_approx_distinct_bound pattern): Spark's Greenwald-Khanna
+# approx_percentile(accuracy=1000) must land within n/100 + 1/2 ranks
+# of the true median (the half-rank slack is the discreteness floor —
+# an ODD n makes |2*rank - n| >= 1 even for the perfect median) — the
+# flag is computed from exact integer counts
+# (50*|2*rank - n| <= n + 50), the oracle emits the literal 1 plus the same
+# exact median. The exact median runs the cumulative window over the
+# DISTINCT cent values (domain-bounded, never the row count).
+_QUANTILE_BOUND_SPARK = """
+WITH ap AS (
+  SELECT approx_percentile(o_totalprice, 0.5, 1000) AS apx FROM orders
+),
+r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o.o_totalprice <= ap.apx THEN 1 ELSE 0 END)
+              AS BIGINT) AS rk
+  FROM orders o CROSS JOIN ap
+  WHERE o.o_totalprice IS NOT NULL
+),
+cents AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+dist AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM cents GROUP BY v),
+w AS (
+  SELECT v,
+         SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cw,
+         SUM(t) OVER () AS tw
+  FROM dist
+),
+med AS (SELECT MIN(CASE WHEN 2 * cw >= tw THEN v END) AS med_c FROM w)
+SELECT r.n, CAST(med.med_c AS DOUBLE) / 100 AS exact_median,
+       CASE WHEN 50 * ABS(2 * r.rk - r.n) <= r.n + 50 THEN 1 ELSE 0 END
+         AS within_bound
+FROM r, med
+"""
+
+_QUANTILE_BOUND_ORACLE = """
+WITH cents AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+dist AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM cents GROUP BY v),
+w AS (
+  SELECT v,
+         SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cw,
+         SUM(t) OVER () AS tw
+  FROM dist
+),
+med AS (SELECT MIN(CASE WHEN 2 * cw >= tw THEN v END) AS med_c FROM w)
+SELECT n.n, CAST(med.med_c AS DOUBLE) / 100 AS exact_median,
+       1 AS within_bound
+FROM n, med
+"""
+
 QUERIES: dict[str, Q] = {
+    "text_sentence_dedup": sql_q(
+        _SENT_DEDUP_BODY.format(src=_SENT_SPARK_SRC),
+        ("documents",),
+        oracle=_SENT_DEDUP_BODY.format(src=_SENT_DUCK_SRC),
+    ),
+    "sketch_approx_quantile_bound": sql_q(
+        _QUANTILE_BOUND_SPARK,
+        ("orders",),
+        oracle=_QUANTILE_BOUND_ORACLE,
+    ),
     "graph_clustering_coeff": df_q(
         lambda spark, sf: spark.sql(_CLUSTERING_BODY.format(k=_SPARK_K)),
         ("events",),

@@ -2,8 +2,9 @@
 
 The windowed aggregation drains the file stream with Trigger.AvailableNow
 and returns the sink contents — which must equal the batch GROUP BY
-date_trunc('hour') the DuckDB oracle runs. Sessionization is stateful with
-no SQL equivalent: rows-only (semantics pinned in tests/test_streaming.py).
+date_trunc('hour') the DuckDB oracle runs. Sessionization (stateful,
+applyInPandasWithState) is oracle-checked since round 8: the drain's
+emission set is deterministic (see the entry's comment).
 """
 
 from __future__ import annotations
@@ -163,7 +164,86 @@ def _countmin_stream(spark, sf_dir):
     )
 
 
+def _cusum_stream(spark, sf_dir):
+    """Streaming CUSUM drift monitor: the stream maintains per-(type,
+    day) counts (complete mode — state bounded by types x calendar
+    days, the OHLC-bar pattern), and the changepoint finisher runs over
+    the drained day table. Counts are associative, so the drain equals
+    the batch daily reduction exactly and the oracle is the batch
+    series_cusum_changepoint SQL verbatim."""
+    import pyspark.sql.functions as F
+
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-cusum-")
+    stream = ev.read_events_stream(spark, sf_dir)
+    daily = (
+        stream.filter(F.col("ts").isNotNull())
+        .groupBy(F.col("event_type"), F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ev.run_available_now(daily, "cusum_days_q", ckpt, mode="complete")
+    spark.table("cusum_days_q").createOrReplaceTempView("cusum_days_v")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT event_type, d, CAST(x AS BIGINT) AS x FROM cusum_days_v
+        ), tot AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx
+          FROM daily GROUP BY event_type
+        ), cus AS (
+          SELECT daily.event_type, d,
+                 SUM(tot.n * x - tot.sx) OVER (
+                     PARTITION BY daily.event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c_scaled,
+                 tot.n AS n
+          FROM daily JOIN tot ON daily.event_type = tot.event_type
+        ), ranked AS (
+          SELECT event_type, d, c_scaled, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY ABS(c_scaled) DESC, d) AS rk
+          FROM cus
+        )
+        SELECT event_type, d AS changepoint_day,
+               CAST(ABS(c_scaled) AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS max_cusum
+        FROM ranked WHERE rk = 1 ORDER BY event_type
+        """
+    )
+
+
+_CUSUM_BATCH_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+), tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx
+  FROM daily GROUP BY event_type
+), cus AS (
+  SELECT daily.event_type, d,
+         SUM(tot.n * x - tot.sx) OVER (
+             PARTITION BY daily.event_type ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c_scaled,
+         tot.n AS n
+  FROM daily JOIN tot ON daily.event_type = tot.event_type
+), ranked AS (
+  SELECT event_type, d, c_scaled, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(c_scaled) DESC, d) AS rk
+  FROM cus
+)
+SELECT event_type, d AS changepoint_day,
+       CAST(ABS(c_scaled) AS DOUBLE) / CAST(n AS DOUBLE) AS max_cusum
+FROM ranked WHERE rk = 1 ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Q] = {
+    # Streaming CUSUM changepoint (drift monitor ON the stream):
+    # day-count state bounded by types x calendar, drain == batch CUSUM.
+    "stream_cusum_changepoint": Q(_cusum_stream, _CUSUM_BATCH_ORACLE),
     # Stream-stream interval self-join (click -> purchase attribution);
     # drained result equals the batch interval join the oracle runs.
     "stream_stream_join": Q(

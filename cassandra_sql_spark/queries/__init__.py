@@ -149,6 +149,10 @@ NEXT_WINDOW: tuple[str, ...] = (
     "text_sentence_dedup",      # C4-style sentence-duplication audit
     "sketch_approx_quantile_bound",  # GK sketch, exact rank-error check
     "dedup_containment",        # near-subset pairs (Broder containment)
+    "text_hapax_ratio",         # hapax legomena share per source
+    "text_burstiness",          # Church/Gale variance-to-mean ratio
+    "series_seasonal_naive",    # weekday seasonal index, exact ratios
+    "event_churn_weekly",       # week-over-week churn/retention
 )
 
 _ALL: dict[str, Q] = {}

@@ -432,7 +432,186 @@ SELECT n.n, CAST(med.med_c AS DOUBLE) / 100 AS exact_median,
 FROM n, med
 """
 
+# Weekday seasonal index of the event series: weekday via epoch-day
+# mod 7 against the Monday anchor (EXTRACT(DOW) numbering differs
+# between engines), index = weekday-mean / overall-mean via exact
+# integer cross-products.
+_SEASONAL_BODY = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
+),
+wd AS (SELECT CAST({dd} AS BIGINT) % 7 AS weekday, n FROM daily),
+per AS (
+  SELECT weekday, CAST(COUNT(*) AS BIGINT) AS nw,
+         CAST(SUM(n) AS BIGINT) AS sw
+  FROM wd GROUP BY weekday
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(n) AS BIGINT) AS st
+  FROM wd
+)
+SELECT weekday, nw AS n_days,
+       CAST(sw AS DOUBLE) / nw AS mean_count,
+       CAST(sw * tot.nt AS DOUBLE) / CAST(per.nw * tot.st AS DOUBLE)
+         AS seasonal_index
+FROM per, tot ORDER BY weekday
+"""
+
+# Week-over-week churn: users active in week w but not w+1. Week key =
+# epoch-days // 7 (Monday anchor); the last week is excluded (it has no
+# successor to churn into). LEFT JOIN on (user, next week) keeps the
+# shuffle on the distinct (week, user) reduction.
+_CHURN_BODY = """
+WITH act AS (
+  SELECT DISTINCT
+         CAST(FLOOR({dd} / 7.0) AS BIGINT) AS wk, user_id
+  FROM (
+    SELECT CAST(ts AS DATE) AS d, user_id
+    FROM events WHERE ts IS NOT NULL
+  ) e
+),
+r AS (
+  SELECT a.wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained
+  FROM act a
+  LEFT JOIN act b ON b.wk = a.wk + 1 AND b.user_id = a.user_id
+  GROUP BY a.wk
+),
+mx AS (SELECT MAX(wk) AS last_wk FROM act)
+SELECT r.wk AS week_key, r.n_active, r.n_retained,
+       r.n_active - r.n_retained AS n_churned,
+       CAST(r.n_active - r.n_retained AS DOUBLE) / r.n_active
+         AS churn_rate
+FROM r, mx WHERE r.wk < mx.last_wk ORDER BY week_key
+"""
+
 QUERIES: dict[str, Q] = {
+    # Hapax legomena share per source — the classic vocabulary-quality
+    # signal (a source whose vocabulary is mostly one-off tokens is
+    # OCR noise or boilerplate-free prose; one drifting upward is
+    # degenerating). Shuffle carries (source, token) pairs.
+    "text_hapax_ratio": df_q(
+        lambda spark, sf: (
+            load(spark, sf, "documents")
+            .select(
+                "source",
+                F.explode(
+                    F.split(F.trim(F.col("text")), r"\s+")
+                ).alias("tok"),
+            )
+            .groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("vocab"),
+                F.sum((F.col("c") == 1).cast("long"))
+                .cast("long").alias("hapax"),
+                (
+                    F.sum((F.col("c") == 1).cast("long")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("hapax_ratio"),
+            )
+            .orderBy("source")
+        ),
+        ("documents",),
+        oracle="""
+        WITH tc AS (
+          SELECT source, tok, COUNT(*) AS c FROM (
+            SELECT source,
+                   UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+          ) t GROUP BY source, tok
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hapax,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS hapax_ratio
+        FROM tc GROUP BY source ORDER BY source
+        """,
+    ),
+    # Term burstiness (Church/Gale): variance-to-mean ratio of per-doc
+    # counts over ALL docs (zeros included — algebraically folded in:
+    # VMR = (N*sum(x^2) - (sum x)^2) / (N*sum x), every term an exact
+    # int64). Top-20 by corpus frequency; function words sit near
+    # Poisson (VMR ~ 1), topical words burst (VMR >> 1).
+    "text_burstiness": df_q(
+        lambda spark, sf: (
+            lambda docs: (
+                docs.select(
+                    "doc_id",
+                    F.explode(
+                        F.split(F.trim(F.col("text")), r"\s+")
+                    ).alias("tok"),
+                )
+                .groupBy("tok", "doc_id")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("tok")
+                .agg(
+                    F.sum("c").cast("long").alias("s"),
+                    F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+                    F.count(F.lit(1)).cast("long").alias("nd"),
+                )
+                .crossJoin(
+                    F.broadcast(
+                        docs.agg(
+                            F.count(F.lit(1)).cast("long").alias("nn")
+                        )
+                    )
+                )
+                .select(
+                    "tok",
+                    F.col("s").alias("total_tf"),
+                    F.col("nd").alias("n_docs_present"),
+                    (
+                        (F.col("nn") * F.col("ss") - F.col("s") * F.col("s"))
+                        .cast("double")
+                        / (F.col("nn") * F.col("s")).cast("double")
+                    ).alias("vmr"),
+                )
+                .orderBy(F.desc("total_tf"), "tok")
+                .limit(20)
+            )
+        )(load(spark, sf, "documents")),
+        ("documents",),
+        oracle="""
+        WITH tc AS (
+          SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+          ) t GROUP BY tok, doc_id
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+        a AS (
+          SELECT tok, CAST(SUM(c) AS BIGINT) AS s,
+                 CAST(SUM(c * c) AS BIGINT) AS ss,
+                 CAST(COUNT(*) AS BIGINT) AS nd
+          FROM tc GROUP BY tok
+        )
+        SELECT tok, s AS total_tf, nd AS n_docs_present,
+               CAST(nn.nn * a.ss - a.s * a.s AS DOUBLE)
+                 / CAST(nn.nn * a.s AS DOUBLE) AS vmr
+        FROM a, nn
+        ORDER BY total_tf DESC, tok LIMIT 20
+        """,
+    ),
+    "series_seasonal_naive": sql_q(
+        _SEASONAL_BODY.format(dd="DATEDIFF(d, DATE'1969-12-29')"),
+        ("events",),
+        oracle=_SEASONAL_BODY.format(
+            dd="date_diff('day', DATE '1969-12-29', d)"
+        ),
+    ),
+    "event_churn_weekly": sql_q(
+        _CHURN_BODY.format(dd="DATEDIFF(d, DATE'1969-12-29')"),
+        ("events",),
+        oracle=_CHURN_BODY.format(
+            dd="date_diff('day', DATE '1969-12-29', d)"
+        ),
+    ),
     "text_sentence_dedup": sql_q(
         _SENT_DEDUP_BODY.format(src=_SENT_SPARK_SRC),
         ("documents",),

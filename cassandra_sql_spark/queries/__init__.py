@@ -153,6 +153,10 @@ NEXT_WINDOW: tuple[str, ...] = (
     "text_burstiness",          # Church/Gale variance-to-mean ratio
     "series_seasonal_naive",    # weekday seasonal index, exact ratios
     "event_churn_weekly",       # week-over-week churn/retention
+    "series_revenue_mom_yoy",   # monthly revenue, MoM + YoY growth
+    "agg_hypothetical_rank",    # SQL:2003 hypothetical-set aggregates
+    "emb_norm_quantiles",       # embedding-norm decile audit
+    "stream_distinct_users_bound",  # streaming HLL cardinality bound
 )
 
 _ALL: dict[str, Q] = {}

@@ -46,7 +46,7 @@ QUERIES: dict[str, Q] = {
     # variants INTERLEAVED over 12 reps on a quiet box, get_json_object
     # med 0.415s vs variant_get 0.432s — still the right strategy; the
     # driver ratio is calibration noise (sequential A/Bs invert under
-    # JVM drift; SCALE.md §10 records the protocol).
+    # JVM drift; SCALE.md §9 records the measurement protocol).
     "json_filter_agg": sql_q(
         """
         SELECT event_type,

@@ -487,7 +487,102 @@ SELECT r.wk AS week_key, r.n_active, r.n_retained,
 FROM r, mx WHERE r.wk < mx.last_wk ORDER BY week_key
 """
 
+# Monthly revenue with month-over-month and year-over-year growth on
+# the orders table (it spans 1992-1998; events span one month). Exact
+# integer cents through both LAGs; growth ratios are single double
+# divisions of exact ints. Integer y*12+m month keys (the date_trunc
+# dialect trap avoided).
+_REVENUE_MOM_YOY = """
+WITH m AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders
+  WHERE o_orderdate IS NOT NULL
+  GROUP BY EXTRACT(YEAR FROM o_orderdate) * 12
+           + EXTRACT(MONTH FROM o_orderdate)
+),
+l AS (
+  SELECT mkey, rev_c,
+         LAG(rev_c, 1) OVER (ORDER BY mkey) AS prev_m,
+         LAG(rev_c, 12) OVER (ORDER BY mkey) AS prev_y
+  FROM m
+)
+SELECT mkey AS month_key,
+       CAST(rev_c AS DOUBLE) / 100 AS revenue,
+       CAST(rev_c - prev_m AS DOUBLE) / prev_m AS mom_growth,
+       CAST(rev_c - prev_y AS DOUBLE) / prev_y AS yoy_growth
+FROM l ORDER BY month_key
+"""
+
+# SQL:2003 hypothetical-set aggregates — RANK/DENSE_RANK/PERCENT_RANK
+# of a hypothetical value x WITHIN GROUP (ORDER BY value). Neither
+# Spark nor DuckDB ships the ordered-aggregate syntax, so the entry
+# implements the standard's defining formulas (rank = 1 + count(v<x),
+# dense = 1 + count(distinct v<x), pct = (rank-1)/N) — identical
+# counting SQL on both engines, exact ints until the one division.
+_HYPOTHETICAL_RANK = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(1 + COUNT(CASE WHEN value < 500.0 THEN 1 END) AS BIGINT)
+         AS rank_500,
+       CAST(1 + COUNT(DISTINCT CASE WHEN value < 500.0 THEN value END)
+            AS BIGINT) AS dense_rank_500,
+       CAST(COUNT(CASE WHEN value < 500.0 THEN 1 END) AS DOUBLE)
+         / COUNT(*) AS percent_rank_500
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+# Embedding-norm decile audit (vector hygiene: truncated/denormal/
+# blown-up rows show up as distribution tails before they poison
+# training). Norms quantize to exact int64 (sum of squared 1e6-scaled
+# coords); deciles via the integer-threshold rule over the DISTINCT
+# norm values (domain-bounded window, never the row count).
+_NORM_QUANTILES_BODY = """
+WITH norms AS (
+  SELECT {n2} AS n2 FROM embeddings
+),
+dist AS (SELECT n2, CAST(COUNT(*) AS BIGINT) AS t FROM norms GROUP BY n2),
+w AS (
+  SELECT n2,
+         SUM(t) OVER (ORDER BY n2 ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cw,
+         SUM(t) OVER () AS tw
+  FROM dist
+),
+g AS (SELECT {grid} AS q)
+SELECT CAST(g.q AS BIGINT) AS decile,
+       CAST(MIN(CASE WHEN 10 * w.cw >= g.q * w.tw THEN w.n2 END)
+            AS BIGINT) AS norm_sq
+FROM g, w GROUP BY g.q ORDER BY decile
+"""
+
+_NORM_SPARK_N2 = (
+    "aggregate(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+    " * 1000000 + 0.5) AS BIGINT)), CAST(0 AS BIGINT),"
+    " (acc, y) -> acc + y * y)"
+)
+_NORM_DUCK_N2 = (
+    "CAST(list_sum(list_transform(list_transform(embedding::DOUBLE[],"
+    " x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)), y -> y * y))"
+    " AS BIGINT)"
+)
+
 QUERIES: dict[str, Q] = {
+    "series_revenue_mom_yoy": sql_q(_REVENUE_MOM_YOY, ("orders",)),
+    "agg_hypothetical_rank": sql_q(_HYPOTHETICAL_RANK, ("events",)),
+    "emb_norm_quantiles": sql_q(
+        _NORM_QUANTILES_BODY.format(
+            n2=_NORM_SPARK_N2, grid="explode(sequence(1, 9))"
+        ),
+        ("embeddings",),
+        oracle=_NORM_QUANTILES_BODY.format(
+            n2=_NORM_DUCK_N2, grid="UNNEST(generate_series(1, 9))"
+        ),
+    ),
     # Hapax legomena share per source — the classic vocabulary-quality
     # signal (a source whose vocabulary is mostly one-off tokens is
     # OCR noise or boilerplate-free prose; one drifting upward is

@@ -344,25 +344,28 @@ ORDER BY month_key
 """
 
 # Sentence-level duplication audit (the C4 / RefinedWeb line-dedup
-# primitive): split docs to sentences, count each sentence corpus-wide,
-# report per-doc duplicated-sentence share. One explode + one groupBy
-# + one broadcast-size join back — the shuffle carries distinct
-# sentences, not the corpus. Spark splits on the regex-escaped dot;
-# DuckDB on the literal dot (same result).
+# primitive): split docs to sentences, count each sentence corpus-wide
+# via a WINDOW over the exploded sentences — ONE corpus scan, one
+# shuffle on sentence, one on doc_id (the first draft joined the
+# exploded frame against its own aggregate: Catalyst has no
+# common-subplan reuse there, so it re-scanned + re-exploded the whole
+# corpus — the pagerank/ngram-cascade lesson again). Spark splits on
+# the regex-escaped dot; DuckDB on the literal dot (same result).
 _SENT_DEDUP_BODY = """
 WITH s AS (
   SELECT doc_id, trim(sv) AS sent FROM {src}
 ),
 f AS (SELECT doc_id, sent FROM s WHERE sent <> ''),
-g AS (SELECT sent, CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY sent)
-SELECT f.doc_id,
+c AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY sent) AS cnt FROM f
+)
+SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_sents,
-       CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dup_sents,
-       CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS dup_ratio
-FROM f JOIN g ON f.sent = g.sent
-GROUP BY f.doc_id ORDER BY f.doc_id
+FROM c GROUP BY doc_id ORDER BY doc_id
 """
 
 _SENT_SPARK_SRC = (
@@ -571,6 +574,101 @@ _NORM_DUCK_N2 = (
     " AS BIGINT)"
 )
 
+def _canonical_edges(spark, sf, view: str):
+    """Build the canonical undirected page-transition edge list ONCE
+    from the event log and localCheckpoint it (model-sized: at most
+    |pages|^2 rows). The pure-SQL CTE form re-expands `edges` under
+    Catalyst's CTE inlining — clustering-coefficient references it four
+    times and neighbor-Jaccard five, i.e. 4-5 full scans of the raw log
+    at 100 TB (the same trap _pagerank documented and dodged)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").filter(F.col("ts").isNotNull())
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.expr(_SPARK_K).alias("src"), "user_id", "ts", "event_id"
+    ).select("src", F.lead("src").over(w_user).alias("dst"))
+    edges = (
+        seq.filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView(view)
+    return edges
+
+
+_CLUSTERING_TAIL = """
+WITH tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {v} e1
+  JOIN {v} e2 ON e1.b = e2.a
+  JOIN {v} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+  ) tn GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (
+    SELECT a AS node FROM {v} UNION ALL SELECT b AS node FROM {v}
+  ) dn GROUP BY node
+)
+SELECT deg.node AS page, deg.d AS degree,
+       CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN CAST(2 * COALESCE(tcnt.t, 0) AS DOUBLE)
+                 / (deg.d * (deg.d - 1))
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+ORDER BY page
+"""
+
+_JACCARD_TAIL = """
+WITH und AS (
+  SELECT a AS u, b AS v FROM {v} UNION ALL SELECT b AS u, a AS v FROM {v}
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u),
+wedge AS (
+  SELECT n1.u AS p, n2.u AS q
+  FROM und n1 JOIN und n2 ON n1.v = n2.v AND n1.u < n2.u
+),
+shared AS (
+  SELECT p, q, CAST(COUNT(*) AS BIGINT) AS c FROM wedge GROUP BY p, q
+)
+SELECT s.p AS page_a, s.q AS page_b, s.c AS shared_neighbors,
+       da.d AS deg_a, db.d AS deg_b,
+       CAST(s.c AS DOUBLE) / (da.d + db.d - s.c) AS jaccard
+FROM shared s
+JOIN deg da ON s.p = da.u
+JOIN deg db ON s.q = db.u
+ORDER BY jaccard DESC, page_a, page_b
+LIMIT 20
+"""
+
+
+def _clustering_df(spark, sf):
+    _canonical_edges(spark, sf, "r8_edges_ccoef")
+    return spark.sql(_CLUSTERING_TAIL.format(v="r8_edges_ccoef"))
+
+
+def _jaccard_neighbors_df(spark, sf):
+    _canonical_edges(spark, sf, "r8_edges_jacc")
+    return spark.sql(_JACCARD_TAIL.format(v="r8_edges_jacc"))
+
+
 QUERIES: dict[str, Q] = {
     "series_revenue_mom_yoy": sql_q(_REVENUE_MOM_YOY, ("orders",)),
     "agg_hypothetical_rank": sql_q(_HYPOTHETICAL_RANK, ("events",)),
@@ -718,14 +816,12 @@ QUERIES: dict[str, Q] = {
         oracle=_QUANTILE_BOUND_ORACLE,
     ),
     "graph_clustering_coeff": df_q(
-        lambda spark, sf: spark.sql(_CLUSTERING_BODY.format(k=_SPARK_K)),
+        _clustering_df,
         ("events",),
         oracle=_CLUSTERING_BODY.format(k=_DUCK_K),
     ),
     "graph_jaccard_neighbors": df_q(
-        lambda spark, sf: spark.sql(
-            _JACCARD_NEIGHBORS_BODY.format(k=_SPARK_K)
-        ),
+        _jaccard_neighbors_df,
         ("events",),
         oracle=_JACCARD_NEIGHBORS_BODY.format(k=_DUCK_K),
     ),

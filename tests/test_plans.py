@@ -442,3 +442,41 @@ def test_basket_lift_joins_collapse_to_distinct_items_first(spark, sf_dir):
                        r"|\(\d+\) BroadcastHashJoin", plan)
     assert m_join, plan
     assert "HashAggregate" in plan
+
+
+# --- round-8 additions --------------------------------------------------
+
+
+def test_graph_depth_entries_never_rescan_the_event_log(spark, sf_dir):
+    """clustering-coefficient references the edge set 4x and
+    neighbor-Jaccard 5x — both must read the ONE checkpointed edge
+    list, never the raw log (the pagerank CTE-inlining trap)."""
+    for name in ("graph_clustering_coeff", "graph_jaccard_neighbors"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Scan parquet" not in plan, (name, plan)
+        assert "Scan ExistingRDD" in plan, (name, plan)
+
+
+def test_sentence_dedup_is_single_scan_single_window(spark, sf_dir):
+    """The corpus-wide sentence counts come from a WINDOW over the one
+    exploded scan — a join against a separate aggregate would re-scan
+    and re-explode the whole corpus (no common-subplan reuse)."""
+    plan = plan_of(spark, sf_dir, "text_sentence_dedup")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_burstiness_corpus_count_prunes_to_metadata(spark, sf_dir):
+    """text_burstiness's N comes from COUNT(*) over documents — that
+    side must not read the text column (ReadSchema pruned to nothing
+    or doc id only)."""
+    plan = plan_of(spark, sf_dir, "text_burstiness")
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any("text" not in ln for ln in scans), plan
+
+
+def test_range_search_broadcasts_the_one_row_query(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sim_range_search")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # threshold filter, not a top-k: no TakeOrdered global cut
+    assert "CartesianProduct" not in plan

@@ -20,6 +20,7 @@ from cassandra_sql_spark.queries import (
     pipeline_r6,
     r7_ops,
     r8_ops,
+    r8b_ops,
     relational,
     selection_queries,
     setops,
@@ -55,6 +56,7 @@ _MODULES = (
     analytics_r6c,
     r7_ops,
     r8_ops,
+    r8b_ops,
 )
 
 # The correctness driver grades only the FIRST 50 registry entries. The
@@ -157,6 +159,10 @@ NEXT_WINDOW: tuple[str, ...] = (
     "agg_hypothetical_rank",    # SQL:2003 hypothetical-set aggregates
     "emb_norm_quantiles",       # embedding-norm decile audit
     "stream_distinct_users_bound",  # streaming HLL cardinality bound
+    "stat_anova_weekday",       # one-way F, fixed-order group terms
+    "stat_wilcoxon_signed_rank",  # paired midrank test, exact ints
+    "shard_assignment",         # deterministic md5 corpus sharding
+    "pipeline_filter_funnel",   # quality-filter chain w/ attribution
 )
 
 _ALL: dict[str, Q] = {}

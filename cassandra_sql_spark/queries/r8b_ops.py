@@ -1,0 +1,220 @@
+"""Round-8 operator entries, part 2.
+
+- stat_anova_weekday: one-way ANOVA F over the 7 weekday groups of the
+  daily series. The 7 group keys are FIXED literals, so the
+  between-group sum of squares is a fixed-order nested expression —
+  never an unordered SUM over double terms (IEEE addition is not
+  associative; the fold-vs-SUM trap in the determinism notes).
+- stat_wilcoxon_signed_rank: paired first-half/second-half user spend,
+  doubled midranks over |diff| (exact ints end to end).
+- shard_assignment: deterministic md5 sharding of the corpus — the
+  write-side step of every distributed training-data layout.
+- pipeline_filter_funnel: FineWeb-style quality-filter chain with
+  first-failing-rule attribution, single map-side scan.
+"""
+
+from __future__ import annotations
+
+from cassandra_sql_spark.queries.base import Q, sql_q
+
+# -- one-way ANOVA across weekday groups ---------------------------------
+# Integer power sums per weekday (pivoted to fixed columns via MAX CASE
+# over at most 7 rows); SST's pieces are integer sums (associative, SUM
+# is safe); only the 7 SSB terms are doubles, combined left-to-right.
+
+_WD = list(range(7))
+
+
+def _anova_sql(dd: str) -> str:
+    piv = ",\n         ".join(
+        f"COALESCE(MAX(CASE WHEN weekday = {w} THEN {c} END), 0) AS {c}{w}"
+        for w in _WD
+        for c in ("nw", "sw", "qw")
+    )
+    ssb_terms = " + ".join(
+        f"(CASE WHEN nw{w} > 0 THEN CAST(sw{w} AS DOUBLE)"
+        f" * CAST(sw{w} AS DOUBLE) / CAST(nw{w} AS DOUBLE)"
+        f" ELSE 0.0 END)"
+        for w in _WD
+    )
+    k_eff = " + ".join(f"(CASE WHEN nw{w} > 0 THEN 1 ELSE 0 END)"
+                       for w in _WD)
+    n_tot = " + ".join(f"nw{w}" for w in _WD)
+    s_tot = " + ".join(f"sw{w}" for w in _WD)
+    q_tot = " + ".join(f"qw{w}" for w in _WD)
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
+),
+wd AS (
+  SELECT CAST({dd} AS BIGINT) % 7 AS weekday, y FROM daily
+),
+g AS (
+  SELECT weekday, CAST(COUNT(*) AS BIGINT) AS nw,
+         CAST(SUM(y) AS BIGINT) AS sw, CAST(SUM(y * y) AS BIGINT) AS qw
+  FROM wd GROUP BY weekday
+),
+p AS (
+  SELECT {piv}
+  FROM g
+),
+c AS (
+  SELECT CAST({n_tot} AS BIGINT) AS n, CAST({s_tot} AS BIGINT) AS s,
+         CAST({q_tot} AS BIGINT) AS q, CAST({k_eff} AS BIGINT) AS k,
+         ({ssb_terms}) AS ssb_raw
+  FROM p
+)
+SELECT n AS n_days, k AS n_groups,
+       ssb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         AS ss_between,
+       CAST(q AS DOUBLE)
+         - ssb_raw AS ss_within,
+       ((ssb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          / CAST(k - 1 AS DOUBLE))
+         / ((CAST(q AS DOUBLE) - ssb_raw) / CAST(n - k AS DOUBLE))
+         AS f_stat
+FROM c
+WHERE k >= 2 AND n > k AND CAST(q AS DOUBLE) - ssb_raw > 0
+"""
+
+
+# -- Wilcoxon signed-rank on paired user spend ----------------------------
+def _wilcoxon_sql(dd: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+ed AS (SELECT user_id, CAST({dd} AS BIGINT) AS ed, c FROM base),
+rng AS (
+  SELECT CAST(FLOOR((MIN(ed) + MAX(ed)) / 2.0) AS BIGINT) AS mid FROM ed
+),
+pu AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ed <= rng.mid THEN c ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(SUM(CASE WHEN ed > rng.mid THEN c ELSE 0 END) AS BIGINT)
+           AS c2
+  FROM ed, rng GROUP BY user_id
+),
+dif AS (SELECT c2 - c1 AS dd FROM pu WHERE c2 - c1 <> 0),
+ad AS (
+  SELECT ABS(dd) AS a, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM dif GROUP BY ABS(dd)
+),
+mr AS (
+  SELECT a, t, tp,
+         COALESCE(2 * SUM(t) OVER (ORDER BY a
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS dr
+  FROM ad
+),
+agg AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(tp * dr) AS BIGINT) AS w2,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie
+  FROM mr
+)
+SELECT n AS n_pairs, CAST(w2 AS DOUBLE) / 2 AS w_plus,
+       (CAST(2 * w2 - n * (n + 1) AS DOUBLE) / 4)
+         / SQRT(CAST(2 * n * (n + 1) * (2 * n + 1) - tie AS DOUBLE) / 48)
+         AS z_score
+FROM agg WHERE n > 0
+"""
+
+
+# -- deterministic md5 sharding -------------------------------------------
+_SHARD_SPARK = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         PMOD(CAST(CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 15),
+                        16, 10) AS BIGINT), 16) AS shard
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT)
+         AS max_doc
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+_SHARD_DUCK = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         ((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16)
+          + 16) % 16 AS shard
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT)
+         AS max_doc
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+# -- quality-filter funnel with first-failing-rule attribution ------------
+# Rules in precedence order (a doc is attributed to the FIRST rule it
+# fails): too_short (< 200 chars), too_few_words (< 30), word-length
+# band (mean word length outside [3, 10] — cross-multiplied, no
+# division), symbol_heavy (letters+digits+spaces < 70% of chars).
+# One map-side scan; the shuffle carries 5 rows.
+
+
+def _funnel_sql(ntok: str, alnum: str) -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS nch,
+         {ntok} AS ntok,
+         length(replace(text, ' ', '')) AS nosp,
+         {alnum} AS nalnum
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE
+           WHEN nch < 200 THEN 'r1_too_short'
+           WHEN ntok < 30 THEN 'r2_too_few_words'
+           WHEN nosp < 3 * ntok OR nosp > 10 * ntok
+             THEN 'r3_word_length_band'
+           WHEN 10 * nalnum < 7 * nch THEN 'r4_symbol_heavy'
+           ELSE 'keep'
+         END AS rule
+  FROM m
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r)
+SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE) / tot.n AS share
+FROM r, tot GROUP BY rule, tot.n ORDER BY rule
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "stat_anova_weekday": sql_q(
+        _anova_sql("DATEDIFF(d, DATE'1969-12-29')"),
+        ("events",),
+        oracle=_anova_sql("date_diff('day', DATE '1969-12-29', d)"),
+    ),
+    "stat_wilcoxon_signed_rank": sql_q(
+        _wilcoxon_sql("DATEDIFF(d, DATE'1969-12-29')"),
+        ("events",),
+        oracle=_wilcoxon_sql("date_diff('day', DATE '1969-12-29', d)"),
+    ),
+    "shard_assignment": sql_q(
+        _SHARD_SPARK, ("documents",), oracle=_SHARD_DUCK
+    ),
+    "pipeline_filter_funnel": sql_q(
+        _funnel_sql(
+            ntok="size(split(trim(text), '\\\\s+'))",
+            alnum="length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))",
+        ),
+        ("documents",),
+        oracle=_funnel_sql(
+            ntok="len(string_split_regex(trim(text), '\\s+'))",
+            alnum="length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))",
+        ),
+    ),
+}

@@ -448,6 +448,89 @@ def synth_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, schema)
 
 
+def synth_wav_square(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Square-wave WAV fixtures for the pitch detector: amplitude 1500,
+    half-period h = 3 + (id % 5) samples (so the fundamental period
+    2h ranges 6..14), n = 96 samples, rate 8000, JUNK chunk on odd ids.
+    s_i = +-1500 by (i // h) % 2 — closed form a SQL oracle replays."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(96, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                h = 3 + d % 5
+                s = np.where((i // h) % 2 == 0, 1500, -1500)
+                payloads.append(
+                    wav_encode(s.astype(np.int16), 8000, junk=bool(d % 2))
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+AUDIO_PITCH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("best_lag", LongType()),
+        StructField("r_best", LongType()),
+        StructField("r0", LongType()),
+    ]
+)
+
+
+def audio_pitch_wav(
+    df: DataFrame,
+    min_lag: int = 2,
+    max_lag: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Pitch (fundamental period) detection on REAL decoded WAV bytes:
+    integer autocorrelation R(L) = sum s_i * s_{i+L} over lags
+    [min_lag, max_lag], argmax with ties to the LOWEST lag. Every R(L)
+    is an exact int64 (|s| <= 32767, n bounded), so the oracle replays
+    the whole computation from the fixture's closed form. Feature #2 on
+    the round-8 codec seam — the kernel consumes wav_decode's output,
+    not the synth formula."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_PITCH_SCHEMA.fields}
+            for d, p in zip(pdf[id_col], pdf[payload_col]):
+                _, s = wav_decode(bytes(p))
+                s64 = s.astype(np.int64)
+                n = len(s64)
+                best_lag, best_r = None, None
+                for lag in range(min_lag, max_lag + 1):
+                    if lag >= n:
+                        break
+                    r = int(np.dot(s64[:-lag], s64[lag:]))
+                    if best_r is None or r > best_r:
+                        best_lag, best_r = lag, r
+                out["doc_id"].append(int(d))
+                out["n_samples"].append(n)
+                out["best_lag"].append(best_lag)
+                out["r_best"].append(best_r)
+                out["r0"].append(int(np.dot(s64, s64)))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, AUDIO_PITCH_SCHEMA
+    )
+
+
 AUDIO_REAL_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -163,6 +163,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "stat_wilcoxon_signed_rank",  # paired midrank test, exact ints
     "shard_assignment",         # deterministic md5 corpus sharding
     "pipeline_filter_funnel",   # quality-filter chain w/ attribution
+    "audio_pitch_autocorr",     # pitch via integer autocorrelation on
+    #                             real decoded WAV square waves
+    "series_peak_detection",    # strict local maxima of the daily series
 )
 
 _ALL: dict[str, Q] = {}

@@ -15,7 +15,11 @@
 
 from __future__ import annotations
 
-from cassandra_sql_spark.queries.base import Q, sql_q
+from pyspark.sql import functions as F
+
+from cassandra_sql_spark.io import load
+from cassandra_sql_spark.pipeline import multimodal
+from cassandra_sql_spark.queries.base import Q, df_q, sql_q
 
 # -- one-way ANOVA across weekday groups ---------------------------------
 # Integer power sums per weekday (pivoted to fixed columns via MAX CASE
@@ -192,7 +196,75 @@ FROM r, tot GROUP BY rule, tot.n ORDER BY rule
 """
 
 
+# Oracle for the WAV pitch detector: replay the square-wave samples
+# (s_i = +-1500 by (i // h) % 2, h = 3 + id%5, n = 96) per lag, take
+# argmax with ties to the lowest lag. The Spark side decodes REAL RIFF
+# bytes; only the oracle touches the closed form.
+_PITCH_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 5 AS h FROM documents WHERE doc_id < 200
+),
+lag AS (SELECT UNNEST(generate_series(2, 16)) AS l),
+s AS (
+  SELECT doc_id, h, l, UNNEST(generate_series(0, 95 - l)) AS i
+  FROM d, lag
+),
+v AS (
+  SELECT doc_id, l,
+         (CASE WHEN (i // h) % 2 = 0 THEN 1500 ELSE -1500 END)
+         * (CASE WHEN ((i + l) // h) % 2 = 0 THEN 1500 ELSE -1500 END)
+           AS p
+  FROM s
+),
+r AS (SELECT doc_id, l, CAST(SUM(p) AS BIGINT) AS rl FROM v GROUP BY doc_id, l),
+best AS (
+  SELECT doc_id, l, rl,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY rl DESC, l) AS rk
+  FROM r
+),
+e AS (
+  SELECT doc_id, CAST(96 AS BIGINT) AS n_samples,
+         CAST(96 * 1500 * 1500 AS BIGINT) AS r0
+  FROM d
+)
+SELECT e.doc_id, e.n_samples, CAST(b.l AS BIGINT) AS best_lag,
+       b.rl AS r_best, e.r0
+FROM best b JOIN e ON b.doc_id = e.doc_id WHERE b.rk = 1
+"""
+
+# Local maxima of the daily series (strict peaks) — the alerting
+# primitive under every monitoring dashboard. ANSI, same-string.
+_PEAKS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
+),
+l AS (
+  SELECT d, n,
+         LAG(n) OVER (ORDER BY d) AS pn,
+         LEAD(n) OVER (ORDER BY d) AS nn
+  FROM daily
+)
+SELECT d AS peak_day, n AS n_events
+FROM l
+WHERE pn IS NOT NULL AND nn IS NOT NULL AND n > pn AND n > nn
+ORDER BY peak_day
+"""
+
 QUERIES: dict[str, Q] = {
+    "audio_pitch_autocorr": df_q(
+        lambda spark, sf: multimodal.audio_pitch_wav(
+            multimodal.synth_wav_square(
+                load(spark, sf, "documents")
+                .select("doc_id")
+                .filter(F.col("doc_id") < 200)
+            )
+        ),
+        ("documents",),
+        oracle=_PITCH_ORACLE,
+    ),
+    "series_peak_detection": sql_q(_PEAKS_SQL, ("events",)),
     "stat_anova_weekday": sql_q(
         _anova_sql("DATEDIFF(d, DATE'1969-12-29')"),
         ("events",),

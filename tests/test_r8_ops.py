@@ -197,3 +197,55 @@ def test_hapax_ratio_bounds(spark, sf_dir):
     for r in _rows(spark, sf_dir, "text_hapax_ratio"):
         assert 0 <= r.hapax <= r.vocab, r
         assert abs(r.hapax_ratio - r.hapax / r.vocab) < 1e-12
+
+
+def test_audio_pitch_recovers_square_wave_period(spark, sf_dir):
+    """best_lag must equal the synth's fundamental period 2h exactly —
+    the detector runs on REAL decoded RIFF bytes, so a parser or
+    autocorrelation bug shifts the argmax."""
+    for r in _rows(spark, sf_dir, "audio_pitch_autocorr"):
+        h = 3 + r.doc_id % 5
+        assert r.best_lag == 2 * h, r
+        assert r.r0 == 96 * 1500 * 1500
+        assert r.r_best <= r.r0  # Cauchy-Schwarz
+
+
+def test_peak_detection_strict_maxima(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "series_peak_detection")
+    days = [r.peak_day for r in rows]
+    assert days == sorted(days)
+    # peaks are interior by construction: re-derive the daily series
+    daily = {
+        r.d: r.n
+        for r in load(spark, sf_dir, "events")
+        .filter("ts IS NOT NULL")
+        .selectExpr("CAST(ts AS DATE) AS d")
+        .groupBy("d")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    import datetime
+
+    for r in rows:
+        prev = daily.get(sorted(k for k in daily if k < r.peak_day)[-1])
+        nxt = daily.get(sorted(k for k in daily if k > r.peak_day)[0])
+        assert r.n_events > prev and r.n_events > nxt
+
+
+def test_filter_funnel_shares_sum_to_one(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "pipeline_filter_funnel")
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    assert sum(r.n_docs for r in rows) > 0
+
+
+def test_shard_assignment_is_balanced_and_total(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "shard_assignment")
+    assert sorted(r.shard for r in rows) == list(range(16))
+    total = sum(r.n_docs for r in rows)
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert total == n_docs
+    # md5 balance: no shard more than 3x the mean on >=500 docs
+    if n_docs >= 500:
+        mean = total / 16
+        assert max(r.n_docs for r in rows) < 3 * mean

@@ -166,6 +166,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "audio_pitch_autocorr",     # pitch via integer autocorrelation on
     #                             real decoded WAV square waves
     "series_peak_detection",    # strict local maxima of the daily series
+    "decontam_embedding",       # semantic decontam vs broadcast benchmark
+    "text_ngram_coverage",      # head-coverage curve of corpus trigrams
 )
 
 _ALL: dict[str, Q] = {}

@@ -290,3 +290,126 @@ QUERIES: dict[str, Q] = {
         ),
     ),
 }
+
+
+# -- embedding-space decontamination ---------------------------------------
+# The semantic complement of the n-gram/Bloom decontam family: corpus
+# vectors within cosine >= 0.25 (a 2-sigma tail for these near-random 64-dim fixtures) of ANY benchmark vector (vec_id < 20
+# plays the benchmark set) are flagged. The benchmark side is always
+# broadcast-small; the corpus streams map-side — at 100 TB this is the
+# same shape as the broadcast 5-gram decontam. Scores take the
+# DECIMAL(18,6) hop so the >= boundary is engine-exact.
+_DECONTAM_EMB_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+bench AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id < 20),
+corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+hits AS (
+  SELECT c.vec_id, b.bid,
+         CAST(CAST(list_dot_product(c.v, b.bv)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(b.bv, b.bv)))
+                   AS DECIMAL(18,6)) AS DOUBLE) AS score
+  FROM corpus c, bench b
+)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_benchmark_hits,
+       MAX(score) AS max_score
+FROM hits WHERE score >= 0.25
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def _decontam_embedding(spark, sf):
+    from cassandra_sql_spark.pipeline.similarity import cosine, nonzero
+
+    emb = nonzero(load(spark, sf, "embeddings"))
+    bench = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        cosine(F.col("embedding"), F.col("bv"))
+        .cast("decimal(18,6)").cast("double").alias("score"),
+    )
+    return (
+        scored.filter(F.col("score") >= 0.25)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_benchmark_hits"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# -- n-gram vocabulary coverage --------------------------------------------
+# What fraction of all corpus trigram OCCURRENCES do the top-k distinct
+# trigrams cover? The head-coverage curve point behind tokenizer and
+# cache sizing. Exact integer cumulative counts over the DISTINCT gram
+# reduction; ties broken (count DESC, gram) for a total order.
+_COVERAGE_BODY = """
+WITH g AS (
+  SELECT {gram} AS gram FROM {src}
+),
+c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+r AS (
+  SELECT cnt,
+         SUM(cnt) OVER (ORDER BY cnt DESC, gram
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS rk,
+         SUM(cnt) OVER () AS tot,
+         COUNT(*) OVER () AS n_grams
+  FROM c
+),
+ks AS (SELECT {grid} AS k)
+SELECT CAST(ks.k AS BIGINT) AS top_k,
+       CAST(MAX(CASE WHEN rk = ks.k THEN cum END) AS BIGINT) AS covered,
+       CAST(MAX(CASE WHEN rk = ks.k THEN tot END) AS BIGINT)
+         AS total_occurrences,
+       CAST(MAX(CASE WHEN rk = ks.k THEN cum END) AS DOUBLE)
+         / MAX(CASE WHEN rk = ks.k THEN tot END) AS coverage
+FROM r, ks
+WHERE ks.k <= (SELECT MAX(n_grams) FROM r)
+GROUP BY ks.k ORDER BY top_k
+"""
+
+# CASE guard: Spark sequence(1, 0) DESCENDS to [1, 0] (the empty-media
+# trap) and would index past short token arrays — docs under 3 tokens
+# contribute no grams, matching DuckDB's empty range().
+_COV_SPARK_SRC = (
+    "(SELECT explode(CASE WHEN size(w) >= 3 THEN"
+    " transform(sequence(1, size(w) - 2),"
+    " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+    " ELSE array() END) AS gram FROM"
+    " (SELECT split(trim(text), '\\\\s+') AS w FROM documents) t)"
+)
+_COV_DUCK_SRC = (
+    "(SELECT UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+    " for i in range(1, len(w) - 1)]) AS gram FROM"
+    " (SELECT string_split_regex(trim(text), '\\s+') AS w"
+    " FROM documents) t)"
+)
+
+QUERIES.update(
+    {
+        "decontam_embedding": df_q(
+            _decontam_embedding, ("embeddings",),
+            oracle=_DECONTAM_EMB_ORACLE,
+        ),
+        "text_ngram_coverage": sql_q(
+            _COVERAGE_BODY.format(
+                gram="gram", src=_COV_SPARK_SRC,
+                grid="explode(array(10, 100, 1000))",
+            ),
+            ("documents",),
+            oracle=_COVERAGE_BODY.format(
+                gram="gram", src=_COV_DUCK_SRC,
+                grid="UNNEST([10, 100, 1000])",
+            ),
+        ),
+    }
+)

@@ -469,7 +469,11 @@ def test_sentence_dedup_is_single_scan_single_window(spark, sf_dir):
 def test_burstiness_corpus_count_prunes_to_metadata(spark, sf_dir):
     """text_burstiness's N comes from COUNT(*) over documents — that
     side must not read the text column (ReadSchema pruned to nothing
-    or doc id only)."""
+    or doc id only). clearCache first: other suites cache
+    load(documents), and Spark's cache manager substitutes the cached
+    relation into any matching subtree, hiding the pruned parquet
+    scan this pin asserts on."""
+    spark.catalog.clearCache()
     plan = plan_of(spark, sf_dir, "text_burstiness")
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert any("text" not in ln for ln in scans), plan

@@ -168,6 +168,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "series_peak_detection",    # strict local maxima of the daily series
     "decontam_embedding",       # semantic decontam vs broadcast benchmark
     "text_ngram_coverage",      # head-coverage curve of corpus trigrams
+    "event_time_to_convert",    # signup->purchase latency percentiles
 )
 
 _ALL: dict[str, Q] = {}

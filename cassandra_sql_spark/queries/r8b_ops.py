@@ -413,3 +413,59 @@ QUERIES.update(
         ),
     }
 )
+
+
+# -- conversion latency percentiles ----------------------------------------
+# Time from each user's first signup to their first subsequent purchase,
+# in whole seconds (exact integers — CAST(interval AS BIGINT) on Spark
+# == FLOOR(epoch(...)) on DuckDB for non-negative gaps), p25/p50/p75/p90
+# via the integer-threshold rule over the DISTINCT latency values.
+_TTC_BODY = """
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase, f.first_signup
+  FROM events e JOIN f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+    AND f.first_signup IS NOT NULL AND e.ts >= f.first_signup
+  GROUP BY e.user_id, f.first_signup
+),
+lat AS (
+  SELECT {secs} AS s FROM p
+),
+dist AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS t FROM lat GROUP BY s),
+w AS (
+  SELECT s,
+         SUM(t) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cw,
+         SUM(t) OVER () AS tw
+  FROM dist
+),
+g AS (SELECT {grid} AS q)
+SELECT CAST(g.q AS BIGINT) AS pct,
+       CAST(MIN(CASE WHEN 100 * w.cw >= g.q * w.tw THEN w.s END)
+            AS BIGINT) AS latency_s
+FROM g, w GROUP BY g.q ORDER BY pct
+"""
+
+QUERIES.update(
+    {
+        "event_time_to_convert": sql_q(
+            _TTC_BODY.format(
+                secs="CAST(first_purchase - first_signup AS BIGINT)",
+                grid="explode(array(25, 50, 75, 90))",
+            ),
+            ("events",),
+            oracle=_TTC_BODY.format(
+                secs=(
+                    "CAST(FLOOR(epoch(first_purchase - first_signup))"
+                    " AS BIGINT)"
+                ),
+                grid="UNNEST([25, 50, 75, 90])",
+            ),
+        ),
+    }
+)

@@ -578,9 +578,14 @@ def audio_features_wav(
                 out["zero_crossings"].append(
                     int(np.count_nonzero(s64[1:] * s64[:-1] < 0))
                 )
-                q = n // 4
+                # window w = samples with (i*4)//n == w — the oracle's
+                # partition rule, exact for ANY n (the n//4 slicing it
+                # replaces silently dropped the last n%4 samples and
+                # agreed only because the synth formula keeps n % 4 == 0)
                 for w in range(4):
-                    win = s64[w * q: (w + 1) * q]
+                    lo = -(-w * n // 4)  # ceil(w*n/4)
+                    hi = -(-(w + 1) * n // 4)
+                    win = s64[lo:hi]
                     sumsq = int((win * win).sum())
                     out[f"rms_q{w + 1}"].append(
                         math.sqrt(sumsq / len(win)) if len(win) else 0.0
@@ -655,3 +660,287 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #3: PNG, 8-bit RGB non-interlaced (r8 verdict task #5 — the
+# BMP/WAV recipe's third modality kernel, feasible here because stdlib
+# zlib covers DEFLATE). png_decode is a genuine chunk walker + defilterer:
+# it validates every chunk's CRC32, concatenates ALL IDAT chunks (fixtures
+# split IDAT in two on odd ids to catch single-IDAT shortcuts), skips
+# ancillary chunks (fixtures insert tEXt on ids % 3 == 0), inflates, and
+# reverses the per-row filter — fixtures cycle through ALL FIVE filter
+# types (None/Sub/Up/Average/Paeth) keyed on (id + y) % 5, so a decoder
+# that ignores filtering or botches any one predictor reconstructs wrong
+# pixels and the closed-form oracle hash-mismatches. Interlacing, palettes
+# and non-8-bit depths are rejected honestly (ValueError), the strict-mode
+# contract line (REAL-CODEC.md).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (PNG spec §6.6) — numpy-vectorized over a row."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_filter_row(cur, prev, ftype: int):
+    """Apply filter `ftype` to raw scanline `cur` (int64 ndarray) given
+    the RAW previous scanline `prev` — encoding side (filters read
+    original bytes; decoding reverses against reconstructed ones)."""
+    import numpy as np
+
+    bpp = 3
+    a = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+    if ftype == 0:
+        return cur & 0xFF
+    if ftype == 1:
+        return (cur - a) & 0xFF
+    if ftype == 2:
+        return (cur - prev) & 0xFF
+    if ftype == 3:
+        return (cur - (a + prev) // 2) & 0xFF
+    if ftype == 4:
+        c = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        return (cur - _paeth(a, prev, c)) & 0xFF
+    raise ValueError(f"unknown PNG filter type {ftype}")
+
+
+def png_encode(img, row_filter=None, idat_split: int = 1,
+               text_chunk: bytes | None = None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG.
+
+    ``row_filter(y)`` picks the per-scanline filter type (default 0);
+    ``idat_split`` > 1 splits the compressed stream across that many IDAT
+    chunks; ``text_chunk`` inserts an ancillary tEXt chunk before IDAT —
+    both decoder traps the fixtures arm."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    stride = w * 3
+    flat = img.reshape(h, stride).astype(np.int64)
+    prev = np.zeros(stride, np.int64)
+    lines = []
+    for y in range(h):
+        f = row_filter(y) if row_filter else 0
+        enc = _png_filter_row(flat[y], prev, f)
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = flat[y]
+    comp = zlib.compress(b"".join(lines))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    parts = [_PNG_SIG, _png_chunk(b"IHDR", ihdr)]
+    if text_chunk is not None:
+        parts.append(_png_chunk(b"tEXt", text_chunk))
+    n = max(1, int(idat_split))
+    step = -(-len(comp) // n)
+    for j in range(0, len(comp), step):
+        parts.append(_png_chunk(b"IDAT", comp[j:j + step]))
+    parts.append(_png_chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def png_decode(payload: bytes):
+    """Decode an 8-bit truecolor non-interlaced PNG to ((h, w, 3) uint8
+    RGB array, n_chunks).
+
+    Walks chunks with CRC32 validation, concatenates all IDATs, inflates,
+    and reverses the per-row filter (None/Sub/Up/Average/Paeth) against
+    RECONSTRUCTED neighbor bytes. Raises ValueError on anything that is
+    not an 8-bit RGB (color type 2) non-interlaced PNG, on CRC damage,
+    and on truncation — the strict-mode contract (REAL-CODEC.md)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, n_chunks, iend = 8, None, [], 0, False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk data")
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in PNG chunk {typ!r}")
+        n_chunks += 1
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            iend = True
+            break
+    if ihdr is None or not iend or not idat:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}) — only 8-bit RGB non-interlaced"
+        )
+    bpp, stride = 3, w * 3
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:  # Up: depends only on prev row — vectorized
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # left-neighbor recurrence: per-pixel
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (cur[x] + (a + prev[x]) // 2) & 0xFF
+                else:
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, 3), n_chunks
+
+
+def synth_png_payload(
+    df: DataFrame, id_col: str = "doc_id", side: int = 8
+) -> DataFrame:
+    """Deterministic PNG fixtures: (side x side) RGB, pixels closed-form
+    in the id — r=(id*13+5i)%256, g=(id*29+3i)%254, b=(id*11+7i)%249 at
+    raster index i=y*side+x (a DIFFERENT formula family from the BMP
+    fixtures, so a kernel echoing those fails). Encoded with the real
+    png_encode, filter type (id + y) % 5 per row (all five filters in
+    every image set), IDAT split in two on odd ids, tEXt inserted on
+    ids % 3 == 0 — each a decoder shortcut the oracle then catches."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(side * side, dtype=np.int64).reshape(side, side)
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                img = np.stack(
+                    [
+                        (d * 13 + 5 * idx) % 256,
+                        (d * 29 + 3 * idx) % 254,
+                        (d * 11 + 7 * idx) % 249,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(
+                    png_encode(
+                        img,
+                        row_filter=lambda y, d=d: (d + y) % 5,
+                        idat_split=1 + d % 2,
+                        text_chunk=(
+                            b"Source\x00synthetic" if d % 3 == 0 else None
+                        ),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+PNG_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_chunks", LongType()),
+        StructField("wsum_r", DoubleType()),
+        StructField("wsum_g", DoubleType()),
+        StructField("wsum_b", DoubleType()),
+    ]
+)
+
+
+def decode_resize_png(
+    df: DataFrame,
+    out_side: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL PNG decode + resize in the mapInPandas slot: parse + defilter,
+    box-resize to out_side x out_side, emit position-weighted per-channel
+    sums (the BMP kernel's statistic — weighted so row-order, channel, or
+    filter-reconstruction errors change the number) plus the chunk count
+    (closed-form in the id: 3 + id%2 + [id%3==0], so a decoder that does
+    not actually walk chunks cannot echo it). Quarter-integer arithmetic,
+    float64-exact, DuckDB-replayable."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_chunks": [],
+                "wsum_r": [], "wsum_g": [], "wsum_b": [],
+            }
+            for d, p in zip(pdf[id_col], pdf[payload_col]):
+                img, n_chunks = png_decode(bytes(p))
+                h, w, _ = img.shape
+                small = box_resize(img, out_side, out_side)
+                weights = np.arange(
+                    1, out_side * out_side + 1, dtype=np.float64
+                ).reshape(out_side, out_side)
+                out["doc_id"].append(int(d))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_chunks"].append(n_chunks)
+                for ci, col in enumerate(("wsum_r", "wsum_g", "wsum_b")):
+                    out[col].append(float((small[:, :, ci] * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, PNG_REAL_SCHEMA
+    )

@@ -21,6 +21,7 @@ from cassandra_sql_spark.queries import (
     r7_ops,
     r8_ops,
     r8b_ops,
+    r9_ops,
     relational,
     selection_queries,
     setops,
@@ -57,118 +58,82 @@ _MODULES = (
     r7_ops,
     r8_ops,
     r8b_ops,
+    r9_ops,
 )
 
 # The correctness driver grades only the FIRST 50 registry entries. The
 # window ROTATES per round so every oracle-checked entry eventually gets a
-# hard-signal driver row (r1-r7 graded 231 distinct entries, all green at
-# latest grading; see CORRECTNESS_r0*.json). Round-8 window = the full
-# 45-entry round-7 NEXT_WINDOW queue (35 never-driver-graded entries — the
-# 32 round-7 additions/conversions plus 3 round-6 leftovers — and the 10
-# r2-graded regression leftovers), closing the never-graded tail to ZERO
-# (the r7 verdict's top task), plus 5 regrades of the entries whose latest
-# driver grading is oldest (first graded r1, latest r3).
+# hard-signal driver row (r1-r8 graded 266 distinct entries, all green at
+# latest grading; see CORRECTNESS_r0*.json). Round-9 window = the full
+# 32-entry round-8 NEXT_WINDOW queue (every oracle-checked entry added or
+# converted during round 8 — none has a driver row yet), plus 18 regrades
+# of the entries whose latest driver grading is oldest (latest r3),
+# picked alphabetically within that cohort for determinism.
 # ``tests/test_registry.py`` pins this composition and caps the
 # never-graded tail at one window's capacity.
 PRIORITY: tuple[str, ...] = (
-    # round-6 additions never driver-graded (did not fit the r7 window)
-    "text_ttr_diversity",
-    "event_rfm_segmentation",
-    "event_interarrival_stats",
-    # r2-graded regression leftovers, deferred since r6
-    "agg_expr",
-    "agg_global",
-    "join_cross",
-    "join_orderby_limit",
-    "join_self",
-    "limit_zero",
-    "literal_select",
-    "point_lookup",
-    "pred_or_not",
-    "sort_multicol",
-    # round-7 additions/conversions, never driver-graded, in landing order
-    "sim_lsh_topk",
-    "decontam_bloom",
-    "expr_interval_arith",
-    "multimodal_decode_real",
-    "sim_lsh_multiprobe",
-    "series_drawdown",
-    "series_autocorr",
-    "event_attribution",
-    "stat_ks_two_sample",
-    "stat_gini",
-    "agg_percentile_disc",
-    "order_cohort_ltv",
-    "stat_mann_whitney",
-    "basket_pair_lift",
-    "pred_is_distinct_from",
-    "graph_reciprocity",
-    "text_readability_fk",
-    "stat_benford_first_digit",
-    "series_cusum_changepoint",
-    "asof_join_nearest",
-    "agg_weighted_median",
-    "stat_pareto_share",
-    "expr_business_days",
-    "series_gaps_islands",
-    "stat_spearman_corr",
-    "event_session_conversion",
-    "dedup_substring_winnow",
-    "dedup_simhash",
-    "emb_kmeans_clusters",
-    "sim_ivf_topk",
-    "sim_pq_topk",
-    "stream_benford_digits",
-    # oldest-graded regrades (first driver row r1, latest r3)
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "q18_large_volume_customer",
-    "join_salted_skew",
-    "agg_approx_distinct_bound",
+    # round-8 additions/conversions, never driver-graded, in landing order
+    "audio_decode_real",
+    "stream_sessionize",
+    "multimodal_features",
+    "graph_clustering_coeff",
+    "graph_jaccard_neighbors",
+    "stat_kendall_tau",
+    "stat_theil_sen",
+    "stat_ols_trend",
+    "stat_kruskal_wallis",
+    "event_stickiness",
+    "sim_range_search",
+    "stream_cusum_changepoint",
+    "text_sentence_dedup",
+    "sketch_approx_quantile_bound",
+    "dedup_containment",
+    "text_hapax_ratio",
+    "text_burstiness",
+    "series_seasonal_naive",
+    "event_churn_weekly",
+    "series_revenue_mom_yoy",
+    "agg_hypothetical_rank",
+    "emb_norm_quantiles",
+    "stream_distinct_users_bound",
+    "stat_anova_weekday",
+    "stat_wilcoxon_signed_rank",
+    "shard_assignment",
+    "pipeline_filter_funnel",
+    "audio_pitch_autocorr",
+    "series_peak_detection",
+    "decontam_embedding",
+    "text_ngram_coverage",
+    "event_time_to_convert",
+    # oldest-graded regrades (latest driver row r3; first 18 of the
+    # 24-entry r3 cohort, alphabetical)
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "array_ops",
+    "decontam_ngram_overlap",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "expr_arithmetic",
+    "expr_case",
+    "hypertable_rollup",
+    "multimodal_resize",
+    "pred_regex",
+    "sample_stratified",
+    "select_distinct",
+    "setop_except_all",
+    "setop_intersect_all",
+    "stream_window_agg",
+    "subq_cte",
 )
 
-# Oracle-checked entries queued for the ROUND-9 window: entries ADDED
-# during round 8 are appended as they land, followed by the oldest
+# Oracle-checked entries queued for the ROUND-10 window: entries ADDED
+# during round 9 are appended as they land, followed by the oldest
 # regrades if slots remain. tests/test_registry.py enforces that
 # window + NEXT_WINDOW + graded union covers every oracle-checked entry
 # AND that this queue never exceeds one window's capacity.
 NEXT_WINDOW: tuple[str, ...] = (
-    "audio_decode_real",  # REAL WAV/PCM16 codec, closed-form fixtures
-    "stream_sessionize",  # rows-only -> oracle-checked (drain == closed
-    #                       batch sessions; emission condition in
-    #                       streaming_queries.py)
-    "multimodal_features",  # rows-only -> oracle-checked (exact-count
-    #                         byte-histogram scalar twin)
-    "graph_clustering_coeff",   # per-node closed-wedge ratio
-    "graph_jaccard_neighbors",  # structural equivalence, wedge-join
-    "stat_kendall_tau",         # tau-b, exact pair counts + tie term
-    "stat_theil_sen",           # median pairwise slope, rational pick
-    "stat_ols_trend",           # per-type OLS from integer power sums
-    "stat_kruskal_wallis",      # H over doubled centered midranks
-    "event_stickiness",         # DAU/MAU engagement ratio per month
-    "sim_range_search",         # threshold cosine search, LSH-pruned
-    "stream_cusum_changepoint",  # streaming CUSUM == batch changepoint
-    "text_sentence_dedup",      # C4-style sentence-duplication audit
-    "sketch_approx_quantile_bound",  # GK sketch, exact rank-error check
-    "dedup_containment",        # near-subset pairs (Broder containment)
-    "text_hapax_ratio",         # hapax legomena share per source
-    "text_burstiness",          # Church/Gale variance-to-mean ratio
-    "series_seasonal_naive",    # weekday seasonal index, exact ratios
-    "event_churn_weekly",       # week-over-week churn/retention
-    "series_revenue_mom_yoy",   # monthly revenue, MoM + YoY growth
-    "agg_hypothetical_rank",    # SQL:2003 hypothetical-set aggregates
-    "emb_norm_quantiles",       # embedding-norm decile audit
-    "stream_distinct_users_bound",  # streaming HLL cardinality bound
-    "stat_anova_weekday",       # one-way F, fixed-order group terms
-    "stat_wilcoxon_signed_rank",  # paired midrank test, exact ints
-    "shard_assignment",         # deterministic md5 corpus sharding
-    "pipeline_filter_funnel",   # quality-filter chain w/ attribution
-    "audio_pitch_autocorr",     # pitch via integer autocorrelation on
-    #                             real decoded WAV square waves
-    "series_peak_detection",    # strict local maxima of the daily series
-    "decontam_embedding",       # semantic decontam vs broadcast benchmark
-    "text_ngram_coverage",      # head-coverage curve of corpus trigrams
-    "event_time_to_convert",    # signup->purchase latency percentiles
+    "png_decode_real",  # REAL PNG codec (zlib inflate + defilter)
 )
 
 _ALL: dict[str, Q] = {}

@@ -20,6 +20,7 @@ bound state size; without them unbounded keys would accumulate forever.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Iterator
 from typing import Any
@@ -512,7 +513,9 @@ def sessionize(
             last_us = max(last_us, t)
             n += 1
             if v is not None:  # SQL SUM skips NULLs; COUNT(*) does not
-                cents += round(v * 100)
+                # half-up cents, matching the oracle's FLOOR(v*100+0.5)
+                # (Python round() is half-to-even: 0.125 would diverge)
+                cents += math.floor(v * 100 + 0.5)
         state.update((start_us, last_us, n, cents))
         state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
         if closed:

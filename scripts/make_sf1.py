@@ -86,9 +86,12 @@ def main() -> int:
 
     # documents: offset doc_id AND tag every word with the copy index
     # (copy 0 is verbatim sf0.1).
+    # '_' delimiter makes tags prefix-free for any copy count: without it
+    # 'c1' || '0word' == 'c10' || 'word', so at >=10 copies a corpus token
+    # '0'+w alongside w could fabricate cross-copy shingle collisions.
     tagged = (
         "array_to_string(list_transform(string_split(t.text, ' '), "
-        "w -> 'c' || r.i || w), ' ')"
+        "w -> 'c' || r.i || '_' || w), ' ')"
     )
     con.sql(
         f"""

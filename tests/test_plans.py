@@ -484,3 +484,39 @@ def test_range_search_broadcasts_the_one_row_query(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     # threshold filter, not a top-k: no TakeOrdered global cut
     assert "CartesianProduct" not in plan
+
+
+# --- round-9 additions --------------------------------------------------
+
+
+def test_ngram_coverage_window_input_is_bounded_head(spark, sf_dir):
+    """The cumulative head-coverage window must run over the pre-limited
+    top-1000 head, NEVER the full distinct-trigram vocabulary — the
+    full-vocab unpartitioned window was a single-reducer global sort
+    over billions of rows at 100 TB (r8 verdict, What's wrong #2). In
+    the formatted plan the Window's child chain must hit a
+    TakeOrderedAndProject(limit=1000) BEFORE any parquet scan: the
+    per-partition partial top-k is what bounds the window's input."""
+    plan = plan_of(spark, sf_dir, "text_ngram_coverage")
+    tree = plan.split("\n\n")[0].splitlines()
+    win = next(i for i, ln in enumerate(tree) if "Window (" in ln)
+    depth = tree[win].index("Window")
+    subtree = []
+    for ln in tree[win + 1:]:
+        node = re.search(r"[A-Za-z]", ln)
+        if node is None or node.start() <= depth:
+            break
+        subtree.append(ln)
+    take = next(
+        (i for i, ln in enumerate(subtree) if "TakeOrderedAndProject" in ln),
+        None,
+    )
+    assert take is not None, "\n".join(subtree)
+    between = "\n".join(subtree[:take])
+    assert "Scan parquet" not in between, (
+        "Window consumes an unbounded corpus-derived input:\n" + between
+    )
+    # the head cut is the 1000-row grid max, not some larger limit
+    assert re.search(
+        r"TakeOrderedAndProject\nInput.*\nArguments: 1000,", plan
+    ), plan

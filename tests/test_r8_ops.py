@@ -155,16 +155,12 @@ def test_norm_quantiles_monotone(spark, sf_dir):
 def test_seasonal_index_averages_to_one(spark, sf_dir):
     rows = _rows(spark, sf_dir, "series_seasonal_naive")
     assert len(rows) == 7
-    # weighted by day counts, the index averages to exactly 1
-    num = sum(r.seasonal_index * r.n_days * r.mean_count for r in rows)
-    # sum(sw) * nt / st == nt -> weighted identity; check the direct one:
+    # the n_days-weighted mean of the index is EXACTLY 1:
+    # sum_w (sw*nt/(nw*st)) * nw = nt * sum(sw)/st = nt
     total_days = sum(r.n_days for r in rows)
     weighted = sum(r.seasonal_index * r.n_days for r in rows) / total_days
-    # the n_days-weighted mean of sw*nt/(nw*st) is nt/st * sum(sw)/nt...
-    # simpler invariant: every index positive and the day-count-weighted
-    # mean of mean_count equals overall mean implied by index 1 rows
+    assert abs(weighted - 1.0) < 1e-9
     assert all(r.seasonal_index > 0 for r in rows)
-    assert math.isfinite(weighted) and math.isfinite(num)
 
 
 def test_stream_cusum_matches_batch_entry(spark, sf_dir):

@@ -125,10 +125,11 @@ def test_canaries_in_window():
 
 
 def test_window_closes_never_graded_tail():
-    """The r8 window contains EVERY oracle-checked entry with no driver
-    row through r7 — the r7 verdict's top task (45 such entries fit one
-    window; the 5 remaining slots regrade the oldest driver rows)."""
-    graded = _graded_union(through=7)
+    """The r9 window contains EVERY oracle-checked entry with no driver
+    row through r8 — the 32 round-8 additions staged in NEXT_WINDOW all
+    fit one window; the 18 remaining slots regrade the oldest driver
+    rows."""
+    graded = _graded_union(through=8)
     oracle_checked = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
     never_graded = oracle_checked - graded
     # entries ADDED during round 8 stage in NEXT_WINDOW for the r9 window;
@@ -138,18 +139,18 @@ def test_window_closes_never_graded_tail():
 
 
 def test_window_fillers_are_oldest_regrades():
-    """The 5 non-tail slots go to the entries whose latest driver grading
-    is oldest (first graded r1, latest r3) — regression re-coverage, not
-    padding."""
-    graded7 = _graded_union(through=7)
-    regrades = set(PRIORITY) & graded7
+    """The 18 non-tail slots go to the entries whose latest driver grading
+    is oldest (latest r3; first 18 of that 24-entry cohort, alphabetical)
+    — regression re-coverage, not padding."""
+    graded8 = _graded_union(through=8)
+    regrades = set(PRIORITY) & graded8
     assert regrades == {
-        "agg_expr", "agg_global", "join_cross", "join_orderby_limit",
-        "join_self", "limit_zero", "literal_select", "point_lookup",
-        "pred_or_not", "sort_multicol",
-        "q3_shipping_priority", "q10_returned_items",
-        "q18_large_volume_customer", "join_salted_skew",
-        "agg_approx_distinct_bound",
+        "agg_cube", "agg_grouping_sets", "agg_percentiles", "array_ops",
+        "decontam_ngram_overlap", "dedup_clusters", "dedup_ngram_jaccard",
+        "expr_arithmetic", "expr_case", "hypertable_rollup",
+        "multimodal_resize", "pred_regex", "sample_stratified",
+        "select_distinct", "setop_except_all", "setop_intersect_all",
+        "stream_window_agg", "subq_cte",
     }
 
 
@@ -254,3 +255,27 @@ def test_oracle_checked_outputs_respect_hash_boundary(spark, duck, sf_dir):
         if problems:
             bad[name] = problems
     assert not bad, f"hash-boundary contract violations: {bad}"
+
+
+def test_coverage_doc_totals_match_registry():
+    """The COVERAGE.md headline totals must equal the live registry —
+    the r8 round-close prose went stale when an entry landed after the
+    bookkeeping commit (r8 verdict, What's wrong #3). The doc states
+    them as '**NNN registry queries — MMM oracle-checked**'."""
+    import re
+
+    text = (_REPO / "COVERAGE.md").read_text()
+    m = re.search(
+        r"\*\*(\d+) registry queries —\s*(\d+)\s*oracle-checked\*\*",
+        text,
+    )
+    assert m, "COVERAGE.md headline totals not found"
+    n_oracle = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"COVERAGE.md says {m.group(1)} registry entries; "
+        f"live registry has {len(REGISTRY)}"
+    )
+    assert int(m.group(2)) == n_oracle, (
+        f"COVERAGE.md says {m.group(2)} oracle-checked; live count is "
+        f"{n_oracle}"
+    )

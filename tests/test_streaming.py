@@ -3,6 +3,8 @@ incremental catch-up, and gap-sessionization semantics."""
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -376,7 +378,8 @@ def test_stream_sessionize_equals_batch_replica_on_fixtures(spark, sf_dir):
                 start, n, cents = e.ts, 0, 0
             last = max(last, e.ts)
             n += 1
-            cents += round(float(e.value) * 100)  # same fn as the stream
+            # same half-up rule as the stream kernel and DuckDB oracle
+            cents += math.floor(float(e.value) * 100 + 0.5)
         sessions.append((uid, start, last, n, cents))
         batch.update(sessions)
         last_per_user.add(sessions[-1])

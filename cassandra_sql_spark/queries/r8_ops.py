@@ -659,14 +659,52 @@ LIMIT 20
 """
 
 
-def _clustering_df(spark, sf):
+# Hot-node guard for the wedge joins (r8 verdict, What's wrong #4):
+# wedge enumeration costs sum(d^2) over shared endpoints, so ONE hub in
+# a power-law graph dominates the join. degree_cap=N applies hub
+# removal — drop every node of degree > N (and its edges) BEFORE the
+# wedge join, the standard bounded-fan-out discipline (mirrors the
+# dedup family's df_cutoff: a trigram in >64 docs is evidence of
+# boilerplate, a page touching >cap others is a nav hub, neither is
+# signal). The registry entries run UNCAPPED because this page graph is
+# domain-bounded — |pages| = 100 by construction, so d <= 99 and the
+# wedge join is <= |V| * 99^2 rows at ANY data volume (same bound class
+# as series_autocorr's calendar); SCALE.md documents the bound and the
+# cap is the knob a true power-law graph would set.
+_CAP_PREFIX = """
+rawdeg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM {v} UNION ALL SELECT b AS node FROM {v}) rn
+  GROUP BY node
+),
+capped AS (
+  SELECT e.a, e.b FROM {v} e
+  JOIN rawdeg da ON e.a = da.node AND da.d <= {cap}
+  JOIN rawdeg db ON e.b = db.node AND db.d <= {cap}
+)"""
+
+
+def _with_cap(tail: str, view: str, degree_cap: int | None) -> str:
+    if degree_cap is None:
+        return tail.format(v=view)
+    prefix = _CAP_PREFIX.format(v=view, cap=int(degree_cap))
+    return tail.format(v="capped").replace(
+        "WITH ", "WITH" + prefix + ",\n", 1
+    )
+
+
+def _clustering_df(spark, sf, degree_cap: int | None = None):
     _canonical_edges(spark, sf, "r8_edges_ccoef")
-    return spark.sql(_CLUSTERING_TAIL.format(v="r8_edges_ccoef"))
+    return spark.sql(
+        _with_cap(_CLUSTERING_TAIL, "r8_edges_ccoef", degree_cap)
+    )
 
 
-def _jaccard_neighbors_df(spark, sf):
+def _jaccard_neighbors_df(spark, sf, degree_cap: int | None = None):
     _canonical_edges(spark, sf, "r8_edges_jacc")
-    return spark.sql(_JACCARD_TAIL.format(v="r8_edges_jacc"))
+    return spark.sql(
+        _with_cap(_JACCARD_TAIL, "r8_edges_jacc", degree_cap)
+    )
 
 
 QUERIES: dict[str, Q] = {

@@ -245,3 +245,61 @@ def test_shard_assignment_is_balanced_and_total(spark, sf_dir):
     if n_docs >= 500:
         mean = total / 16
         assert max(r.n_docs for r in rows) < 3 * mean
+
+
+def test_graph_degree_cap_is_hub_removal(spark, sf_dir):
+    """degree_cap=N drops every node of degree > N (and its edges)
+    before the wedge join — verified against a driver-side replica on
+    the uncapped edge list. The registry entries run uncapped because
+    the page graph is domain-bounded (|pages|=100); the cap is the
+    power-law-graph knob (SCALE.md)."""
+    from cassandra_sql_spark.queries.r8_ops import (
+        _clustering_df,
+        _jaccard_neighbors_df,
+    )
+
+    full = {
+        (r.page, r.degree): r.n_triangles
+        for r in _clustering_df(spark, sf_dir).collect()
+    }
+    cap = sorted(d for _, d in full)[len(full) // 2]  # median degree
+    capped_rows = _clustering_df(spark, sf_dir, degree_cap=cap).collect()
+
+    # replica: drop hub nodes, recount degrees + triangles in Python
+    edges = [
+        (r.a, r.b)
+        for r in spark.table("r8_edges_ccoef").collect()
+    ]
+    from collections import Counter, defaultdict
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    keep = {n for n, d in deg.items() if d <= cap}
+    kept_edges = [(a, b) for a, b in edges if a in keep and b in keep]
+    deg2 = Counter()
+    adj = defaultdict(set)
+    for a, b in kept_edges:
+        deg2[a] += 1
+        deg2[b] += 1
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = Counter()
+    for a, b in kept_edges:
+        for c in adj[a] & adj[b]:
+            # corner c is credited exactly once, by its one opposite
+            # edge (a,b) — so tri[c] IS c's triangle count
+            tri[c] += 1
+    want = {n: (deg2[n], tri[n]) for n in deg2}
+    got = {r.page: (r.degree, r.n_triangles) for r in capped_rows}
+    assert got == want
+    assert all(d <= cap for d, _ in got.values())
+
+    # jaccard: capped run must never surface a hub as either endpoint
+    jac = _jaccard_neighbors_df(spark, sf_dir, degree_cap=cap).collect()
+    hubs = {n for n, d in deg.items() if d > cap}
+    assert all(
+        r.page_a not in hubs and r.page_b not in hubs for r in jac
+    )
+    assert all(r.deg_a <= cap and r.deg_b <= cap for r in jac)

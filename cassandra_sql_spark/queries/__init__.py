@@ -134,6 +134,12 @@ PRIORITY: tuple[str, ...] = (
 # AND that this queue never exceeds one window's capacity.
 NEXT_WINDOW: tuple[str, ...] = (
     "png_decode_real",  # REAL PNG codec (zlib inflate + defilter)
+    "sim_knn_join",     # batch top-k join, WindowGroupLimit plan
+    "stat_runs_test",   # Wald-Wolfowitz runs on the daily series
+    "event_audience_overlap",  # user-set Jaccard per type pair
+    "event_max_concurrent_sessions",  # hierarchical boundary sweep
+    "text_langid_confusion",   # self-trained bigram lang-ID audit
+    "emb_centroid_drift",      # split-half centroid stability
 )
 
 _ALL: dict[str, Q] = {}

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from cassandra_sql_spark.io import load
 from cassandra_sql_spark.pipeline import multimodal
-from cassandra_sql_spark.queries.base import df_q
+from cassandra_sql_spark.queries.base import df_q, sql_q
 
 QUERIES = {
     # REAL PNG codec behind the REAL-CODEC.md seam: deterministic 8x8
@@ -71,3 +71,379 @@ QUERIES = {
         """,
     ),
 }
+
+
+# -- batch k-NN join ---------------------------------------------------------
+# Top-k nearest corpus vectors for EVERY vector of a probe set in one
+# pass — the embedding-pipeline workhorse (retrieval eval, hard-negative
+# mining). Probe side (vec_id < 20) is model-sized and broadcast; the
+# corpus is scanned ONCE map-only, then per-probe top-5 via a rank
+# window on probe_id. Spark's WindowGroupLimit pushes the rank<=5 cut
+# below the shuffle (per-partition partial top-k), so the exchange
+# carries at most 5*partitions rows per probe, not the scored corpus —
+# plan-pinned in tests/test_plans.py. Scores use the proven
+# sequential-fold cosine + DECIMAL(18,6) quantization boundary.
+
+
+def _knn_join(spark, sf):
+    from pyspark.sql import Window
+
+    from cassandra_sql_spark.pipeline import similarity
+
+    emb = similarity.nonzero(load(spark, sf, "embeddings"))
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        similarity.cosine(F.col("embedding"), F.col("pv"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= 5)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+            "score",
+        )
+        .orderBy("probe_id", "knn_rank")
+    )
+
+
+_KNN_JOIN_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+s AS (
+  SELECT p.probe_id, c.vec_id,
+         CAST(CAST(list_dot_product(c.v, p.pv)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(p.pv, p.pv)))
+                   AS DECIMAL(18,6)) AS DOUBLE) AS score
+  FROM c, p
+)
+SELECT probe_id, vec_id, CAST(rk AS BIGINT) AS knn_rank, score
+FROM (
+  SELECT probe_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY score DESC, vec_id) AS rk
+  FROM s
+) t
+WHERE rk <= 5
+ORDER BY probe_id, knn_rank
+"""
+
+# -- Wald-Wolfowitz runs test ------------------------------------------------
+# Randomness test on the daily event-count series: runs of
+# above/below-median days vs the expectation under exchangeability.
+# The median comes from the distinct-value cumulative reduction with the
+# repo's cross-multiplication idiom (2*cum >= tot — no percentile
+# function, whose interpolation rules differ across engines);
+# median-equal days are excluded (standard). n1/n2/runs are exact
+# BIGINTs; expected/variance divide exact integer products once in the
+# final SELECT (calendar-bounded: 2*n1*n2*(2*n1*n2-n1-n2) < 2^50 even
+# at a 3,650-day horizon). The LAG window runs over the daily
+# reduction, bounded by the calendar like series_autocorr.
+_RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
+),
+v AS (SELECT n AS val, CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY n),
+cum AS (
+  SELECT val,
+         SUM(c) OVER (ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cb,
+         SUM(c) OVER () AS tot
+  FROM v
+),
+med AS (SELECT MIN(val) AS m FROM cum WHERE 2 * cb >= tot),
+signs AS (
+  SELECT d, CASE WHEN n > med.m THEN 1 ELSE 0 END AS s
+  FROM daily, med WHERE n <> med.m
+),
+brk AS (
+  SELECT s, CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                   OR s <> LAG(s) OVER (ORDER BY d) THEN 1 ELSE 0 END AS b
+  FROM signs
+),
+agg AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(SUM(1 - s) AS BIGINT) AS n2,
+         CAST(SUM(b) AS BIGINT) AS runs
+  FROM brk
+)
+SELECT n1, n2, runs,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         1.0 + CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2)
+       END AS expected_runs,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                 AND 2 * n1 * n2 > n1 + n2 THEN
+         (CAST(runs AS DOUBLE)
+          - (1.0 + CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2)))
+         / SQRT(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+                / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))
+       END AS z
+FROM agg
+"""
+
+# -- audience overlap between event types ------------------------------------
+# Jaccard of user sets per event-type pair — the cross-feature audience
+# audit. One DISTINCT (type, user) reduction, then a self-join on
+# user_id whose fan-out per user is C(types-per-user, 2) <= C(5, 2) = 10
+# (type-domain-bounded, the basket_pair_lift cost class). Pairs sharing
+# zero users do not appear (inner join), documented.
+_AUDIENCE_OVERLAP_SQL = """
+WITH ut AS (
+  SELECT DISTINCT event_type AS t, user_id AS u FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+deg AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS du FROM ut GROUP BY t),
+inter AS (
+  SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT i.ta AS type_a, i.tb AS type_b, i.c AS n_shared,
+       da.du AS n_a, db.du AS n_b,
+       CAST(i.c AS DOUBLE) / (da.du + db.du - i.c) AS jaccard
+FROM inter i
+JOIN deg da ON i.ta = da.t
+JOIN deg db ON i.tb = db.t
+ORDER BY type_a, type_b
+"""
+
+# -- peak concurrency over gap-sessionized intervals -------------------------
+# Max simultaneously-open sessions (capacity planning): sessionize by
+# the 30-minute gap rule (event_sessionize_batch's exact CTE), emit
+# +1/-1 boundary deltas, and sweep HIERARCHICALLY — a per-day running
+# sum plus a day-level prefix carry — so no window ever sees more than
+# one day of boundaries in one partition (the flat global ORDER BY
+# sweep would be a single-reducer sort over every session boundary at
+# 100 TB; the day carry is calendar-bounded). Sessions touching at an
+# exact timestamp count as concurrent (+1 sorts before -1 via d DESC).
+# Output (the peak and the first timestamp achieving it) is invariant
+# to intra-tie window order: within a (ts, d) tie group only the last
+# +1 row attains the group's peak, and every other row is strictly
+# below its group peak, so the achieving-ts set is well-defined.
+_MAX_CONCURRENT_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL '30' MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+assigned AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+  FROM assigned GROUP BY user_id, sid
+),
+delta AS (
+  SELECT st AS ts, 1 AS d FROM sess
+  UNION ALL
+  SELECT en AS ts, -1 AS d FROM sess
+),
+cum AS (
+  SELECT ts, CAST(ts AS DATE) AS day,
+         SUM(d) OVER (PARTITION BY CAST(ts AS DATE)
+                      ORDER BY ts, d DESC ROWS UNBOUNDED PRECEDING)
+           AS cin
+  FROM delta
+),
+daytot AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(SUM(d) AS BIGINT) AS dt
+  FROM delta GROUP BY CAST(ts AS DATE)
+),
+carry AS (
+  SELECT day,
+         COALESCE(SUM(dt) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb
+  FROM daytot
+),
+lvl AS (
+  SELECT c.ts, k.cb + c.cin AS conc
+  FROM cum c JOIN carry k ON c.day = k.day
+),
+mx AS (SELECT MAX(conc) AS m FROM lvl)
+SELECT CAST(mx.m AS BIGINT) AS max_concurrent,
+       MIN(l.ts) AS first_peak_ts
+FROM lvl l, mx WHERE l.conc = mx.m
+GROUP BY mx.m
+"""
+
+
+# -- n-gram language-ID confusion audit --------------------------------------
+# Self-trained character-bigram language ID graded against the corpus's
+# own lang labels: learn each language's top-12 alphabetic bigrams
+# (counts over normalized text), classify every doc by top-set overlap,
+# emit the confusion matrix. Everything is exact integer counts with
+# total tie orders (count DESC, bigram; score DESC, lang). Text is
+# normalized to [a-z ] FIRST (both engines replace one CHAR per
+# non-[a-z] code point, so multibyte text cannot skew positions) and
+# capped at 200 chars/doc — the per-doc position explode is bounded.
+# The per-lang top-12 window runs over the (lang, bigram) reduction
+# (<= |langs| * 676 rows); classification is a broadcast join against
+# the <= |langs|*12-row model, then a per-doc rank window. At 100 TB:
+# two corpus scans (train, classify), both map-only + one doc_id
+# shuffle. The lang-domain grid join makes zero-match docs classify
+# deterministically (alphabetically first language at score 0).
+_LANGID_BODY = """
+WITH norm AS (
+  SELECT doc_id, lang,
+         SUBSTRING(regexp_replace(lower(text), '[^a-z]', ' '), 1, 200) AS s
+  FROM documents WHERE lang IS NOT NULL
+),
+eligible AS (SELECT doc_id, lang, s FROM norm WHERE length(s) >= 2),
+bg AS (
+  SELECT doc_id, lang, bigram FROM ({positions}) pos_src
+  WHERE {is_alpha}
+),
+model AS (
+  SELECT lang AS mlang, bigram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY lang, bigram
+),
+top AS (
+  SELECT mlang, bigram FROM (
+    SELECT mlang, bigram,
+           ROW_NUMBER() OVER (PARTITION BY mlang
+                              ORDER BY c DESC, bigram) AS rk
+    FROM model
+  ) ranked WHERE rk <= 12
+),
+langs AS (SELECT DISTINCT mlang FROM top),
+docs AS (SELECT doc_id, lang FROM eligible),
+hits AS (
+  SELECT b.doc_id, t.mlang, CAST(COUNT(*) AS BIGINT) AS score
+  FROM bg b JOIN top t ON b.bigram = t.bigram
+  GROUP BY b.doc_id, t.mlang
+),
+scored AS (
+  SELECT d.doc_id, d.lang, l.mlang,
+         COALESCE(h.score, 0) AS score
+  FROM docs d CROSS JOIN langs l
+  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.mlang = l.mlang
+),
+pred AS (
+  SELECT doc_id, lang, mlang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, mlang) AS rk
+  FROM scored
+)
+SELECT lang, mlang AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY lang, mlang
+ORDER BY lang, pred_lang
+"""
+
+_LANGID_SPARK_POS = (
+    "SELECT doc_id, lang, SUBSTRING(s, i, 2) AS bigram FROM eligible "
+    "LATERAL VIEW explode(sequence(1, length(s) - 1)) _t AS i"
+)
+_LANGID_DUCK_POS = (
+    "SELECT doc_id, lang, SUBSTRING(s, i, 2) AS bigram "
+    "FROM eligible, UNNEST(range(1, length(s))) AS _t(i)"
+)
+
+# -- embedding centroid drift between halves ---------------------------------
+# Per-label centroid distance between the even- and odd-id halves of
+# the corpus — the split-half stability audit behind "did my embedding
+# distribution drift?". Exact-integer ML discipline (determinism
+# memory): coordinates quantize to round(x*1e6) int64; each half's
+# centroid coordinate is the round-half-up rational mean
+# FLOOR((2s+n)/(2n)) — 2s+n stays far under 2^53, so the one double
+# division is identically rounded on both engines — and the reported
+# drift is the exact BIGINT squared distance between quantized
+# centroids. Plan: one scan, explode to (label, half, dim), a
+# (label*2*64)-group aggregate, then model-sized joins.
+_DRIFT_BODY = """
+WITH q AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(vec_id % 2 AS INT) AS half, pos,
+         CAST(FLOOR(CAST({x} AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx
+  FROM ({dims}) dim_src
+),
+g AS (
+  SELECT label, half, pos, CAST(SUM(qx) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY label, half, pos
+),
+c AS (
+  SELECT label, half, pos,
+         CAST(FLOOR((2.0 * s + n) / (2.0 * n)) AS BIGINT) AS cq,
+         n
+  FROM g
+),
+d AS (
+  SELECT a.label, a.pos, a.cq - b.cq AS diff, a.n AS n_even, b.n AS n_odd
+  FROM c a JOIN c b
+    ON a.label = b.label AND a.pos = b.pos
+   AND a.half = 0 AND b.half = 1
+)
+SELECT label, MIN(n_even) AS n_even, MIN(n_odd) AS n_odd,
+       CAST(SUM(diff * diff) AS BIGINT) AS drift_sq
+FROM d GROUP BY label ORDER BY label
+"""
+
+_DRIFT_SPARK_DIMS = (
+    "SELECT label, vec_id, pos, element_at(embedding, pos) AS x "
+    "FROM embeddings "
+    "LATERAL VIEW explode(sequence(1, size(embedding))) _t AS pos "
+    "WHERE label IS NOT NULL AND size(embedding) >= 1"
+)
+_DRIFT_DUCK_DIMS = (
+    "SELECT label, vec_id, pos, embedding[pos] AS x "
+    "FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS _t(pos) "
+    "WHERE label IS NOT NULL AND len(embedding) >= 1"
+)
+
+QUERIES.update(
+    {
+        "sim_knn_join": df_q(
+            _knn_join, ("embeddings",), oracle=_KNN_JOIN_ORACLE
+        ),
+        "stat_runs_test": sql_q(_RUNS_TEST_SQL, ("events",)),
+        "event_audience_overlap": sql_q(
+            _AUDIENCE_OVERLAP_SQL, ("events",)
+        ),
+        "event_max_concurrent_sessions": sql_q(
+            _MAX_CONCURRENT_SQL, ("events",)
+        ),
+        "text_langid_confusion": sql_q(
+            _LANGID_BODY.format(
+                positions=_LANGID_SPARK_POS,
+                is_alpha="bigram RLIKE '^[a-z]{2}$'",
+            ),
+            ("documents",),
+            oracle=_LANGID_BODY.format(
+                positions=_LANGID_DUCK_POS,
+                is_alpha="regexp_matches(bigram, '^[a-z]{2}$')",
+            ),
+        ),
+        "emb_centroid_drift": sql_q(
+            _DRIFT_BODY.format(x="x", dims=_DRIFT_SPARK_DIMS),
+            ("embeddings",),
+            oracle=_DRIFT_BODY.format(x="x", dims=_DRIFT_DUCK_DIMS),
+        ),
+    }
+)

@@ -92,3 +92,73 @@ def test_ivfpq_recall_within_probed_lists(spark, ivfpq):
         )[:5]
     ]
     assert got == exact
+
+
+@pytest.mark.slow
+def test_production_path_recall_at_sf01(spark):
+    """Recall@10 of the SHIPPED xxhash64/float ANN defaults vs exact
+    brute force at sf0.1 (2,000 x 64-dim — 10x the twin fixtures, a
+    scale the exact-integer twins don't cover). The synthetic corpus is
+    near-uniform on the sphere (the hard case for ANN), so absolute
+    recall is modest by construction; what must hold:
+
+    - every path beats the scan-fraction baseline (probing a random
+      f of the corpus gives recall ~= f) by a clear factor,
+    - the recall/cost knobs are monotone (multiprobe, nprobe),
+    - measured floors hold (deterministic planes/k-means; the floors
+      carry margin only for arithmetic-environment drift).
+
+    Measured on first pin (2026-08-15): lsh mp0 0.188, lsh mp2 0.400,
+    ivf np4 0.563."""
+    import numpy as np
+
+    from cassandra_sql_spark.io import load as _load
+
+    sf = "/root/testdata/sf0.1"
+    emb = _load(spark, sf, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    k = 10
+    qids = [0, 123, 456, 789, 1011, 1300, 1650, 1999]
+
+    def exact_topk(qid):
+        qi = int(np.where(ids == qid)[0][0])
+        cos = (V @ V[qi]) / (
+            np.maximum(norms, 1e-30) * max(norms[qi], 1e-30)
+        )
+        cos[norms == 0] = -2.0
+        cos[qi] = -2.0
+        order = np.lexsort((ids, -cos))
+        return set(ids[order][:k].tolist())
+
+    def avg_recall(fn):
+        recs = [
+            len({r.vec_id for r in fn(q).collect()} & exact_topk(q)) / k
+            for q in qids
+        ]
+        return sum(recs) / len(recs)
+
+    lsh0 = avg_recall(lambda q: similarity.topk_lsh(emb, q, k=k, planes=4))
+    lsh2 = avg_recall(
+        lambda q: similarity.topk_lsh(emb, q, k=k, planes=4, multiprobe=2)
+    )
+    ivf4 = avg_recall(
+        lambda q: similarity.topk_ivf(emb, q, k=k, n_centroids=16, nprobe=4)
+    )
+    ivf8 = avg_recall(
+        lambda q: similarity.topk_ivf(emb, q, k=k, n_centroids=16, nprobe=8)
+    )
+
+    # scan-fraction baselines: 1/16 buckets, 3/16 buckets, 4/16 lists
+    assert lsh0 >= 2.0 * (1 / 16), lsh0
+    assert lsh2 >= 1.5 * (3 / 16), lsh2
+    assert ivf4 >= 1.5 * (4 / 16), ivf4
+    # knobs are monotone in expectation
+    assert lsh2 >= lsh0, (lsh0, lsh2)
+    assert ivf8 >= ivf4, (ivf4, ivf8)
+    # measured floors (deterministic models; margin for float drift)
+    assert lsh0 >= 0.12, lsh0
+    assert lsh2 >= 0.30, lsh2
+    assert ivf4 >= 0.45, ivf4

@@ -520,3 +520,26 @@ def test_ngram_coverage_window_input_is_bounded_head(spark, sf_dir):
     assert re.search(
         r"TakeOrderedAndProject\nInput.*\nArguments: 1000,", plan
     ), plan
+
+
+def test_knn_join_broadcasts_probes_and_limits_below_exchange(
+    spark, sf_dir
+):
+    """The batch k-NN join must (a) broadcast the model-sized probe set
+    (never shuffle the corpus for a 20-row side) and (b) plant a
+    PARTIAL WindowGroupLimit below the rank exchange, so each input
+    partition forwards at most top-5 rows per probe instead of its
+    whole scored slice."""
+    plan = plan_of(spark, sf_dir, "sim_knn_join")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastExchange" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    lines = tree.splitlines()
+    wgl = [i for i, ln in enumerate(lines) if "WindowGroupLimit" in ln]
+    exch = [
+        i for i, ln in enumerate(lines)
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    # a WindowGroupLimit strictly BELOW (after, in tree print order)
+    # some hash exchange = the partial, map-side cut
+    assert wgl and exch and max(wgl) > min(exch), tree

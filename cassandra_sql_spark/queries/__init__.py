@@ -140,6 +140,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "event_max_concurrent_sessions",  # hierarchical boundary sweep
     "text_langid_confusion",   # self-trained bigram lang-ID audit
     "emb_centroid_drift",      # split-half centroid stability
+    "dedup_minhash_estimate_error",  # sketch-vs-exact quality audit
+    "emb_knn_label_vote",      # 5-NN majority-label classifier eval
 )
 
 _ALL: dict[str, Q] = {}

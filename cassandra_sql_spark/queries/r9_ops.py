@@ -447,3 +447,208 @@ QUERIES.update(
         ),
     }
 )
+
+
+# -- MinHash estimate-vs-exact error audit -----------------------------------
+# For every near-dup pair (exact word-trigram Jaccard >= 0.5, selected
+# with the cross-multiplication 2c >= u so the threshold test is exact
+# integers), compare the 32-component MinHash ESTIMATE (share of
+# agreeing signature components) against the exact Jaccard — the sketch
+# quality audit behind choosing signature width. The md5-prefix hash
+# family is used because it exists verbatim in DuckDB (determinism
+# memo), so the oracle re-derives every signature component itself;
+# production keeps xxhash64 (same trade as decontam_bloom). Signature
+# build = one exploded scan + (doc, seed) groupBy; the pair generator is
+# the posting-list join (df-capped by the dedup cascade in production).
+_MINHASH_ERR_BODY = """
+WITH sh AS (
+  {shingles}
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+       GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, seed, MIN({md5int}) AS h
+  FROM ({seeded}) seeded_src
+  GROUP BY doc_id, seed
+),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT p.da, p.db,
+         CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) AS j_exact
+  FROM pairs p
+  JOIN sz sa ON p.da = sa.doc_id
+  JOIN sz sb ON p.db = sb.doc_id
+  WHERE 2 * p.c >= sa.n + sb.n - p.c
+),
+agree AS (
+  SELECT j.da, j.db,
+         CAST(SUM(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM jac j
+  JOIN sig x ON x.doc_id = j.da
+  JOIN sig y ON y.doc_id = j.db AND y.seed = x.seed
+  GROUP BY j.da, j.db
+)
+SELECT j.da, j.db, j.j_exact, a.n_agree,
+       CAST(a.n_agree AS DOUBLE) / 32 AS j_est,
+       ABS(j.j_exact - CAST(a.n_agree AS DOUBLE) / 32) AS abs_err
+FROM jac j JOIN agree a ON j.da = a.da AND j.db = a.db
+ORDER BY j.da, j.db
+"""
+
+_MH_SPARK_SHINGLES = (
+    "SELECT doc_id, gram FROM ("
+    " SELECT doc_id, explode(CASE WHEN size(w) >= 3 THEN"
+    " array_distinct(transform(sequence(1, size(w) - 2),"
+    " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))) ELSE array() END)"
+    " AS gram FROM"
+    " (SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents) t"
+    ") g"
+)
+_MH_DUCK_SHINGLES = (
+    "SELECT doc_id, UNNEST(list_distinct("
+    "[w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+    " for i in range(1, len(w) - 1)])) AS gram FROM"
+    " (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w"
+    " FROM documents) t"
+)
+_MH_SPARK_SEEDED = (
+    "SELECT doc_id, gram, seed FROM sh"
+    " LATERAL VIEW explode(sequence(0, 31)) _s AS seed"
+)
+_MH_DUCK_SEEDED = (
+    "SELECT doc_id, gram, seed FROM sh,"
+    " UNNEST(range(0, 32)) AS _s(seed)"
+)
+_MH_SPARK_MD5INT = (
+    "CAST(CONV(SUBSTRING(MD5(concat(gram, ':', CAST(seed AS STRING))),"
+    " 1, 15), 16, 10) AS BIGINT)"
+)
+_MH_DUCK_MD5INT = (
+    "(('0x' || substring(md5(gram || ':' || CAST(seed AS VARCHAR)),"
+    " 1, 15))::BIGINT)"
+)
+
+# -- k-NN label vote ----------------------------------------------------------
+# Majority label among each probe's 5 nearest labeled corpus vectors vs
+# the probe's own label — the classic embedding-quality / kNN-classifier
+# eval. Same broadcast-probe + WindowGroupLimit plan as sim_knn_join
+# (scores only ORDER, so the DECIMAL(18,6) quantization boundary
+# suffices); the vote itself is exact integers with ties to the
+# smallest label.
+
+
+def _knn_label_vote(spark, sf):
+    from pyspark.sql import Window
+
+    from cassandra_sql_spark.pipeline import similarity
+
+    emb = similarity.nonzero(load(spark, sf, "embeddings"))
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    corpus = emb.filter(
+        (F.col("vec_id") >= 20) & F.col("label").isNotNull()
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "true_label",
+        F.col("label").cast("long").alias("nn_label"),
+        "vec_id",
+        similarity.cosine(F.col("embedding"), F.col("pv"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
+    votes = top.groupBy("probe_id", "true_label", "nn_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wv = Window.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), F.col("nn_label")
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("nn_label").alias("pred_label"),
+            "n_votes",
+        )
+        .orderBy("probe_id")
+    )
+
+
+_KNN_VOTE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+p AS (SELECT vec_id AS probe_id, CAST(label AS BIGINT) AS true_label,
+             v AS pv
+      FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id, CAST(label AS BIGINT) AS nn_label, v FROM e
+      WHERE vec_id >= 20 AND label IS NOT NULL),
+s AS (
+  SELECT p.probe_id, p.true_label, c.nn_label, c.vec_id,
+         CAST(CAST(list_dot_product(c.v, p.pv)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(p.pv, p.pv)))
+                   AS DECIMAL(18,6)) AS DOUBLE) AS score
+  FROM c, p
+),
+top AS (
+  SELECT probe_id, true_label, nn_label FROM (
+    SELECT probe_id, true_label, nn_label,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY score DESC, vec_id) AS rk
+    FROM s
+  ) t WHERE rk <= 5
+),
+votes AS (
+  SELECT probe_id, true_label, nn_label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM top GROUP BY probe_id, true_label, nn_label
+)
+SELECT probe_id, true_label, nn_label AS pred_label, n_votes
+FROM (
+  SELECT probe_id, true_label, nn_label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY n_votes DESC, nn_label) AS vrk
+  FROM votes
+) v WHERE vrk = 1
+ORDER BY probe_id
+"""
+
+QUERIES.update(
+    {
+        "dedup_minhash_estimate_error": sql_q(
+            _MINHASH_ERR_BODY.format(
+                shingles=_MH_SPARK_SHINGLES,
+                seeded=_MH_SPARK_SEEDED,
+                md5int=_MH_SPARK_MD5INT,
+            ),
+            ("documents",),
+            oracle=_MINHASH_ERR_BODY.format(
+                shingles=_MH_DUCK_SHINGLES,
+                seeded=_MH_DUCK_SEEDED,
+                md5int=_MH_DUCK_MD5INT,
+            ),
+        ),
+        "emb_knn_label_vote": df_q(
+            _knn_label_vote, ("embeddings",), oracle=_KNN_VOTE_ORACLE
+        ),
+    }
+)

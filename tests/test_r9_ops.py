@@ -159,3 +159,47 @@ def test_centroid_drift_zero_against_itself(spark, sf_dir):
     for r in rows:
         assert r.n_even > 0 and r.n_odd > 0
         assert r.drift_sq >= 0
+
+
+def test_minhash_estimate_error_bounded(spark, sf_dir):
+    """Every audited pair: estimate in [0,1] at 1/32 granularity,
+    abs_err consistent with the reported pieces, and the mean absolute
+    error is inside a loose 4*sigma band for a 32-component sketch
+    (sigma <= sqrt(J(1-J)/32) <= 0.0884)."""
+    rows = _rows(spark, sf_dir, "dedup_minhash_estimate_error")
+    assert rows
+    errs = []
+    for r in rows:
+        assert 0.5 <= r.j_exact <= 1.0, r
+        assert 0 <= r.n_agree <= 32
+        assert abs(r.j_est - r.n_agree / 32) < 1e-12
+        assert abs(r.abs_err - abs(r.j_exact - r.j_est)) < 1e-12
+        errs.append(r.abs_err)
+    assert sum(errs) / len(errs) <= 4 * 0.0884
+
+
+def test_knn_label_vote_consistent_with_knn_join(spark, sf_dir):
+    """The winning label must be the mode of the top-5 labels the plain
+    k-NN join reports for the same probe (over the labeled slice both
+    entries share — every corpus label is non-NULL in the fixtures)."""
+    from collections import Counter
+
+    from cassandra_sql_spark.io import load
+
+    labels = {
+        r.vec_id: r.label
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    assert all(v is not None for v in labels.values())
+    top5: dict = {}
+    for r in _rows(spark, sf_dir, "sim_knn_join"):
+        top5.setdefault(r.probe_id, []).append(labels[r.vec_id])
+    for r in _rows(spark, sf_dir, "emb_knn_label_vote"):
+        votes = Counter(top5[r.probe_id])
+        best = min(
+            votes.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        assert (r.pred_label, r.n_votes) == best, r
+        assert r.true_label == labels[r.probe_id]

@@ -103,10 +103,19 @@ CALIB_REF = 0.140
 # CPU-bound compute ~1.1x, so a CPU-only probe is blind to exactly the
 # contention that inflates the dedup family. The shuffle probe below
 # exercises shuffle write/read + hash aggregation + string-allocation
-# GC pressure; when the two probes' inflation ratios diverge, the box is
-# contended and the record says so itself. Ref measured on the quiet
-# reference sandbox (same box as CALIB_REF's anchor), median of 5.
-CALIB_SHUFFLE_REF = 0.88
+# GC pressure; when the shuffle probe inflates far beyond the CPU one,
+# the box is contended and the record says so itself. Both anchors were
+# measured in BENCH CONTEXT (the probes always run at the same point in
+# this script) on the quiet reference sandbox, 3 full runs:
+# cpu {0.116, 0.141, 0.155}, shuffle {0.94, 1.00, 1.18}. Each probe
+# alone drifts ~30% run-to-run with JVM state, but their PAIR RATIO
+# shuffle/cpu stays in 7.1-8.1 — so contention is judged on the ratio
+# (box speed and JVM drift cancel; only the SHAPE of the slowdown
+# remains). r8-style contention (shuffle-bound work 1.7-2.6x, CPU-bound
+# ~1.06x) reads as a pair ratio of 12-19, divergence 1.6-2.5 — far
+# outside the quiet band.
+CALIB_SHUFFLE_REF = 1.0
+QUIET_PAIR_RATIO = 7.6
 
 # Queries whose timed region rebuilds a checkpointed index every rep
 # (shuffle/GC-bound, not scan-bound) — normalized by the shuffle probe
@@ -234,6 +243,9 @@ def main() -> None:
         .groupBy("k")
         .agg({"s": "max", "k": "count"})
     )
+    # double warm-up: the first post-warmup rep still pays shuffle-path
+    # JIT (~+20% on its median); steady state needs two
+    calib2_df.write.mode("overwrite").format("noop").save()
     calib2_df.write.mode("overwrite").format("noop").save()
     calib2 = []
     for _ in range(5):
@@ -260,12 +272,14 @@ def main() -> None:
         CALIB_SHUFFLE_REF / calib_shuffle_sec if calib_shuffle_sec > 0 else 1.0
     )
     # Probe divergence: how much MORE the shuffle+GC probe inflated than
-    # the CPU probe. ~1.0 on a quiet box; a contended box (the BENCH_r08
-    # failure) reads >1.3 and the record flags itself.
+    # the CPU probe, judged on the pair ratio against its quiet-box
+    # anchor (see QUIET_PAIR_RATIO). 0.93-1.07 measured on the quiet
+    # box; a contended box (the BENCH_r08 failure) reads >1.35 and the
+    # record flags itself.
     probe_divergence = round(
-        (calib_shuffle_sec / CALIB_SHUFFLE_REF) / (calib_sec / CALIB_REF), 3
+        (calib_shuffle_sec / calib_sec) / QUIET_PAIR_RATIO, 3
     )
-    contended = probe_divergence > 1.3 or probe_divergence < 1 / 1.3
+    contended = probe_divergence > 1.35 or probe_divergence < 1 / 1.35
     vs_r1 = {
         n: round(t / R1_MEDIANS[n], 3)
         for n, t in times.items()

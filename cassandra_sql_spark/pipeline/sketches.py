@@ -96,3 +96,49 @@ def countmin_estimate(
             F.min(F.coalesce("_cnt", F.lit(0))).alias("est_count")
         )
     )
+
+
+def misra_gries_candidates(
+    df, key_col: str, k: int = 32
+):
+    """Per-partition Misra-Gries heavy-hitter CANDIDATES (<= k keys per
+    partition), Arrow-batched.
+
+    The mergeable-summaries guarantee (Agarwal et al., PODS'12): any key
+    with global count > N/k survives SOME partition's k-counter sketch,
+    so the union of per-partition survivors is a superset of the true
+    heavy hitters. The caller re-counts the candidates exactly
+    (candidate + verify), so the OUTPUT is exact and deterministic even
+    though the sketch's internal counter values depend on row order.
+    Driver state is bounded by k * partitions keys — the whole point at
+    a billion-key domain, where the full groupBy this prunes would
+    shuffle every key."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("candidate", LongType())])
+
+    def run(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for v in pdf[key_col]:
+                if v is None or pd.isna(v):
+                    continue
+                v = int(v)
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"candidate": list(counters.keys())})
+
+    return df.select(key_col).mapInPandas(run, schema)

@@ -142,6 +142,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "emb_centroid_drift",      # split-half centroid stability
     "dedup_minhash_estimate_error",  # sketch-vs-exact quality audit
     "emb_knn_label_vote",      # 5-NN majority-label classifier eval
+    "sketch_mg_heavy_hitters",  # Misra-Gries candidates + exact verify
+    "skyline_pareto_2d",       # Pareto frontier via size-domain window
 )
 
 _ALL: dict[str, Q] = {}

@@ -652,3 +652,102 @@ QUERIES.update(
         ),
     }
 )
+
+
+# -- Misra-Gries heavy hitters (candidate + exact verify) ---------------------
+# Exact heavy hitters (count * k > N, k=128) over the page-id stream,
+# found the scale-true way: per-partition Misra-Gries sketches (bounded
+# k counters each, Arrow-batched) yield a candidate superset — the
+# mergeable-summaries guarantee — and a second pass re-counts ONLY the
+# candidates exactly. The output is therefore exact and deterministic
+# (sketch internals are row-order-dependent; the candidate SET's
+# superset property is not), and the oracle is the plain GROUP BY ...
+# HAVING cnt*32 > N ground truth. At a billion-key domain the candidate
+# filter is what makes the verify pass a broadcast-pruned scan instead
+# of a full-key shuffle; on the 100-page fixture domain the sketch is
+# exercised end-to-end (k=128 because the fixture pages are
+# near-uniform over a 100-id domain: any k <= 100 yields zero true
+# heavy hitters — a vacuous fixture; the EVICTION path, which uniform
+# data never triggers with k > domain, is pinned in pytest on planted
+# 30%-skew data with k=16).
+_HH_SPARK_K = "TRY_CAST(get_json_object(props, '$.k') AS BIGINT)"
+_HH_DUCK_K = (
+    "TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)"
+    " THEN JSON_EXTRACT_STRING(props, '$.k') END AS BIGINT)"
+)
+
+
+def _mg_heavy_hitters(spark, sf, k: int = 128):
+    from cassandra_sql_spark.pipeline import sketches
+
+    pages = (
+        load(spark, sf, "events")
+        .selectExpr(f"{_HH_SPARK_K} AS page")
+        .filter(F.col("page").isNotNull())
+    )
+    cands = {
+        r.candidate
+        for r in sketches.misra_gries_candidates(pages, "page", k=k)
+        .distinct()
+        .collect()
+    }
+    n_total = pages.count()
+    counted = (
+        pages.filter(F.col("page").isin(list(cands)))
+        .groupBy("page")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("n_total", F.lit(n_total).cast("long"))
+        .filter(F.col("cnt") * k > F.col("n_total"))
+        .orderBy("page")
+    )
+    return counted
+
+
+_HH_ORACLE = f"""
+WITH pages AS (
+  SELECT {_HH_DUCK_K} AS page FROM events
+),
+p2 AS (SELECT page FROM pages WHERE page IS NOT NULL),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p2),
+c AS (SELECT page, CAST(COUNT(*) AS BIGINT) AS cnt FROM p2 GROUP BY page)
+SELECT c.page, c.cnt, tot.n AS n_total
+FROM c, tot WHERE c.cnt * 128 > tot.n
+ORDER BY c.page
+"""
+
+# -- 2D Pareto skyline --------------------------------------------------------
+# The SKYLINE operator (Borzsony/Kossmann/Stocker, ICDE'01) Spark has no
+# native form of: parts not dominated on (minimize p_retailprice,
+# maximize p_size). Computed scale-safe through the DOMAIN-BOUNDED size
+# reduction: per-size min price (one shuffle), a strict-suffix MIN
+# window over the <= 50-row size domain, then a broadcast join back to
+# the scan. A part survives iff it matches its size's min price AND no
+# strictly-larger size offers a price <= its own. No global sort, no
+# pairwise self-join (the naive skyline is O(n^2)).
+_SKYLINE_SQL = """
+WITH pm AS (
+  SELECT p_size AS s, MIN(p_retailprice) AS m
+  FROM part GROUP BY p_size
+),
+sfx AS (
+  SELECT s, m,
+         MIN(m) OVER (ORDER BY s DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS mstrict
+  FROM pm
+)
+SELECT p.p_partkey, CAST(p.p_size AS BIGINT) AS p_size, p.p_retailprice
+FROM part p JOIN sfx ON p.p_size = sfx.s
+WHERE p.p_retailprice = sfx.m
+  AND (sfx.mstrict IS NULL OR sfx.mstrict > p.p_retailprice)
+ORDER BY p_size, p_partkey
+"""
+
+QUERIES.update(
+    {
+        "sketch_mg_heavy_hitters": df_q(
+            _mg_heavy_hitters, ("events",), oracle=_HH_ORACLE
+        ),
+        "skyline_pareto_2d": sql_q(_SKYLINE_SQL, ("part",)),
+    }
+)

@@ -177,6 +177,7 @@ def test_bigstar_components_match_label_propagation(spark):
     assert lab == expect
 
 
+@pytest.mark.slow
 def test_bigstar_random_graphs_match_label_propagation(spark):
     """Pseudo-random edge sets (deterministic): both algorithms agree."""
     import hashlib
@@ -282,6 +283,7 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert len(multi & set(exact)) >= len(approx & set(exact))
 
 
+@pytest.mark.slow
 def test_threshold_pairs_lsh_equals_exact(spark, sf_dir):
     """The banded-LSH near-dup path must recover EVERY exact pair on the
     fixture corpus (deterministic planes -> stable), with identical scores
@@ -826,6 +828,7 @@ def test_pq_adc_missing_query_is_empty(pq_emb, pq_books):
     assert out.columns == ["vec_id", "approx_dist"]
 
 
+@pytest.mark.slow
 def test_pq_rerank_recall_vs_exact(pq_emb, pq_books):
     # worst case for PQ (isotropic random vectors): a 20% ADC shortlist
     # must still recover >= half of the true top-10 (measured ~0.74)
@@ -870,6 +873,7 @@ def test_pq_rerank_distances_are_exact_for_returned_ids(pq_emb, pq_books):
         assert abs(r["dist"] - true) < 1e-4
 
 
+@pytest.mark.slow
 def test_pq_index_probe_matches_inline_and_prunes_columns(
     spark, pq_emb, pq_books, tmp_path
 ):
@@ -906,6 +910,7 @@ def test_pq_index_probe_matches_inline_and_prunes_columns(
     assert got_ids == inline_ids
 
 
+@pytest.mark.slow
 def test_kmeans_entry_matches_python_fold_replica(spark, sf_dir):
     """emb_kmeans_clusters == pure-Python replica of the exact-integer
     Lloyd (similarity.kmeans_exact): md5-smallest seeds, int64 squared

@@ -203,3 +203,85 @@ def test_knn_label_vote_consistent_with_knn_join(spark, sf_dir):
         )
         assert (r.pred_label, r.n_votes) == best, r
         assert r.true_label == labels[r.probe_id]
+
+
+def test_misra_gries_eviction_path_keeps_planted_heavy_key(spark):
+    """The fixture pages are near-uniform, so the registered entry never
+    triggers MG eviction (k=128 > the 100-id domain). Pin the sketch's
+    actual machinery on planted skew: 1 key owning 30% of a 10k-row
+    stream among 1,000 tail keys, k=16 — eviction fires constantly, yet
+    the mergeable-summaries guarantee keeps the heavy key in the
+    candidate set of SOME partition, and candidate cardinality stays
+    <= k per partition."""
+    from cassandra_sql_spark.pipeline import sketches
+
+    rows = [(777,)] * 3000 + [(i % 1000,) for i in range(7000)]
+    df = spark.createDataFrame(rows, "page BIGINT").repartition(8)
+    cands = (
+        sketches.misra_gries_candidates(df, "page", k=16)
+        .distinct()
+        .collect()
+    )
+    cand_set = {r.candidate for r in cands}
+    assert 777 in cand_set  # count 3000+7 > N/16 = 625 -> must survive
+    # bounded state: <= k keys per partition
+    per_part = (
+        sketches.misra_gries_candidates(df, "page", k=16)
+        .groupBy()
+        .count()
+        .collect()[0][0]
+    )
+    assert per_part <= 16 * 8
+
+
+def test_mg_heavy_hitters_entry_is_exact(spark, sf_dir):
+    """candidate + verify means the OUTPUT equals the exact GROUP BY
+    ground truth, independent of sketch internals."""
+    from cassandra_sql_spark.io import load
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.page, r.cnt, r.n_total)
+        for r in _rows(spark, sf_dir, "sketch_mg_heavy_hitters")
+    }
+    pages = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "TRY_CAST(get_json_object(props, '$.k') AS BIGINT) AS page"
+        )
+        .filter("page IS NOT NULL")
+    )
+    n = pages.count()
+    want = {
+        (r.page, r.cnt, n)
+        for r in pages.groupBy("page")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") * 128 > n)
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_skyline_is_the_pareto_frontier(spark, sf_dir):
+    """No returned part is dominated; every non-returned part IS
+    dominated by some part (checked against a driver-side O(n^2)
+    replica on the full fixture)."""
+    from cassandra_sql_spark.io import load
+
+    parts = [
+        (r.p_partkey, r.p_size, r.p_retailprice)
+        for r in load(spark, sf_dir, "part")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .collect()
+    ]
+    frontier = {r.p_partkey for r in _rows(spark, sf_dir, "skyline_pareto_2d")}
+    assert frontier
+
+    def dominated(a):
+        return any(
+            b[2] <= a[2] and b[1] >= a[1] and (b[2] < a[2] or b[1] > a[1])
+            for b in parts
+        )
+
+    for a in parts:
+        assert (a[0] in frontier) == (not dominated(a)), a

@@ -140,6 +140,7 @@ def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{out}/batch=*").count() == n
 
 
+@pytest.mark.slow
 def test_ingest_stream_dedup_rejects_near_dups(spark, tmp_path):
     """Continuous ingestion: batch 2 docs that near-dup batch 1 (or each
     other) are rejected; survivors extend the index so batch 3 dedups

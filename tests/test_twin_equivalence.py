@@ -53,6 +53,7 @@ def _float_argmin_sqdist(v, cents_f):
     return best
 
 
+@pytest.mark.slow
 def test_kmeans_assignments_int_twin_matches_float(spark, emb, vecs):
     """The graded `emb_kmeans_clusters` twin assigns via integer squared
     L2 on 1e6-quantized coords. Descale its centroids to float, assign
@@ -78,6 +79,7 @@ def test_kmeans_assignments_int_twin_matches_float(spark, emb, vecs):
     )
 
 
+@pytest.mark.slow
 def test_ivf_probe_list_and_candidates_match_float(spark, emb, vecs):
     """`sim_ivf_topk` routes with integer L2 on the unit sphere. The
     float arithmetic over the SAME (descaled) centroids must pick the
@@ -133,6 +135,7 @@ def test_ivf_probe_list_and_candidates_match_float(spark, emb, vecs):
     )
 
 
+@pytest.mark.slow
 def test_pq_codes_and_shortlist_match_float(spark, emb, vecs):
     """`sim_pq_topk` encodes with per-subspace integer-L2 codebooks and
     an integer ADC table sum. Descaled to float, codes and the ADC

@@ -144,6 +144,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "emb_knn_label_vote",      # 5-NN majority-label classifier eval
     "sketch_mg_heavy_hitters",  # Misra-Gries candidates + exact verify
     "skyline_pareto_2d",       # Pareto frontier via size-domain window
+    "stat_levene_brown_forsythe",  # robust variance-equality F
+    "event_bounce_rate_daily",     # single-event-session share
+    "event_debounce_audit",        # 5-min (user,type) repeat suppression
 )
 
 _ALL: dict[str, Q] = {}

@@ -751,3 +751,174 @@ QUERIES.update(
         "skyline_pareto_2d": sql_q(_SKYLINE_SQL, ("part",)),
     }
 )
+
+
+# -- Brown-Forsythe / Levene variance-equality test ---------------------------
+# Are purchase values equally dispersed across weekdays? Brown-Forsythe
+# = one-way ANOVA on |x - group median| — robust to non-normality
+# (the median variant; Levene's original uses the mean). Group medians
+# come from the distinct-CENTS cumulative reduction with the
+# cross-multiplication rule (2*cum >= n), so the centering values are
+# exact; the deviations are exact integer cents; and the F statistic's
+# numerator/denominator aggregate exact integer sums in FIXED group
+# order before the one double division (the stat_anova_weekday
+# discipline — an unordered SUM over double terms drifts between
+# engines). Weekday via epoch-day mod 7 against the Monday anchor.
+def _levene_sql(dd: str) -> str:
+    """Brown-Forsythe SQL with the stat_anova_weekday fixed-order
+    discipline: per-weekday deviation power sums pivot into fixed
+    columns, and every cross-group reduction is an explicit
+    left-to-right + chain (an unordered SUM over double terms drifts
+    between engines)."""
+    wds = range(7)
+    piv = ",\n         ".join(
+        f"COALESCE(MAX(CASE WHEN wd = {w} THEN {c} END), 0) AS {c}{w}"
+        for w in wds
+        for c in ("n", "s", "q")
+    )
+    ssb_terms = " + ".join(
+        f"(CASE WHEN n{w} > 0 THEN CAST(s{w} AS DOUBLE)"
+        f" * CAST(s{w} AS DOUBLE) / CAST(n{w} AS DOUBLE)"
+        f" ELSE 0.0 END)"
+        for w in wds
+    )
+    k_eff = " + ".join(f"(CASE WHEN n{w} > 0 THEN 1 ELSE 0 END)"
+                       for w in wds)
+    n_tot = " + ".join(f"n{w}" for w in wds)
+    s_tot = " + ".join(f"s{w}" for w in wds)
+    q_tot = " + ".join(f"q{w}" for w in wds)
+    return f"""
+WITH x AS (
+  SELECT CAST({dd} AS BIGINT) % 7 AS wd,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type = 'purchase'
+),
+vc AS (SELECT wd, c, CAST(COUNT(*) AS BIGINT) AS k FROM x GROUP BY wd, c),
+cum AS (
+  SELECT wd, c,
+         SUM(k) OVER (PARTITION BY wd ORDER BY c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cb,
+         SUM(k) OVER (PARTITION BY wd) AS nn
+  FROM vc
+),
+med AS (SELECT wd, MIN(c) AS m FROM cum WHERE 2 * cb >= nn GROUP BY wd),
+dev AS (
+  SELECT x.wd, ABS(x.c - med.m) AS z
+  FROM x JOIN med ON x.wd = med.wd
+),
+g AS (
+  SELECT wd, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(z) AS BIGINT) AS s,
+         CAST(SUM(z * z) AS BIGINT) AS q
+  FROM dev GROUP BY wd
+),
+p AS (
+  SELECT {piv}
+  FROM g
+),
+agg AS (
+  SELECT CAST({n_tot} AS BIGINT) AS nt, CAST({s_tot} AS BIGINT) AS st,
+         CAST({q_tot} AS BIGINT) AS qt, CAST({k_eff} AS BIGINT) AS kg,
+         ({ssb_terms}) AS ssb_raw
+  FROM p
+)
+SELECT kg AS n_groups, nt AS n_obs,
+       -- exact integer deviation power sums (the ss_* doubles sit at
+       -- ~3e9 where 1e-6 quantization is BELOW one ulp — boundary
+       -- coin-flips; the exact sums verify the same information)
+       st AS sum_absdev_cents, qt AS sumsq_absdev_cents,
+       CASE WHEN kg > 1 AND nt > kg
+                 AND CAST(qt AS DOUBLE) - ssb_raw > 0 THEN
+         CAST(CAST(
+           ((ssb_raw - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+               / CAST(nt AS DOUBLE)) / CAST(kg - 1 AS DOUBLE))
+           / ((CAST(qt AS DOUBLE) - ssb_raw) / CAST(nt - kg AS DOUBLE))
+           AS DECIMAL(18,6)) AS DOUBLE)
+       END AS f_stat
+FROM agg
+"""
+
+
+# -- daily bounce rate --------------------------------------------------------
+# Share of single-event sessions per day (sessions dated by their
+# start) — the classic engagement-quality metric, built on the exact
+# event_sessionize_batch CTE. One user_id shuffle for sessionization,
+# then a calendar-bounded rollup.
+_BOUNCE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL '30' MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+assigned AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, sid, MIN(ts) AS st,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM assigned GROUP BY user_id, sid
+)
+SELECT CAST(st AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS bounce_rate
+FROM sess
+GROUP BY CAST(st AS DATE)
+ORDER BY day
+"""
+
+# -- telemetry debounce -------------------------------------------------------
+# Drop events repeating the same (user, type) within 5 minutes of the
+# previous KEPT event? No — the standard streaming-safe debounce keeps
+# an event iff the PREVIOUS RAW event of its (user, type) is > 5 min
+# older (LAG rule; idempotent under at-least-once delivery for pairs,
+# and expressible as one in-partition window — the chained "previous
+# kept" variant needs a sequential scan and is NOT distributable
+# without sessionization). Output is the kept-count audit per type.
+_DEBOUNCE_SQL = """
+WITH lagged AS (
+  SELECT event_type, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE ts IS NOT NULL
+),
+marked AS (
+  SELECT event_type,
+         CASE WHEN prev_ts IS NULL
+                OR ts - prev_ts > INTERVAL '5' MINUTE
+              THEN 1 ELSE 0 END AS keep
+  FROM lagged
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_debounced,
+       CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS keep_rate
+FROM marked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES.update(
+    {
+        "stat_levene_brown_forsythe": sql_q(
+            _levene_sql("DATEDIFF(CAST(ts AS DATE), DATE'2024-01-01')"),
+            ("events",),
+            oracle=_levene_sql(
+                "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+            ),
+        ),
+        "event_bounce_rate_daily": sql_q(_BOUNCE_SQL, ("events",)),
+        "event_debounce_audit": sql_q(_DEBOUNCE_SQL, ("events",)),
+    }
+)

@@ -285,3 +285,43 @@ def test_skyline_is_the_pareto_frontier(spark, sf_dir):
 
     for a in parts:
         assert (a[0] in frontier) == (not dominated(a)), a
+
+
+def test_levene_f_nonnegative_and_sums_consistent(spark, sf_dir):
+    r = _rows(spark, sf_dir, "stat_levene_brown_forsythe")[0]
+    assert r.n_groups >= 2 and r.n_obs > r.n_groups
+    assert 0 <= r.sum_absdev_cents
+    # Cauchy-Schwarz: (sum z)^2 <= n * sum z^2
+    assert r.sum_absdev_cents ** 2 <= r.n_obs * r.sumsq_absdev_cents
+    assert r.f_stat is None or r.f_stat >= 0
+
+
+def test_bounce_rate_consistent_with_sessionize(spark, sf_dir):
+    from collections import Counter
+
+    sess = _rows(spark, sf_dir, "event_sessionize_batch")
+    want_sessions = Counter()
+    want_bounces = Counter()
+    for s in sess:
+        d = s.session_start.date()
+        want_sessions[d] += 1
+        if s.n_events == 1:
+            want_bounces[d] += 1
+    rows = _rows(spark, sf_dir, "event_bounce_rate_daily")
+    got_sessions = {r.day: r.n_sessions for r in rows}
+    got_bounces = {r.day: r.n_bounces for r in rows}
+    assert got_sessions == dict(want_sessions)
+    assert got_bounces == {
+        d: want_bounces.get(d, 0) for d in want_sessions
+    }
+    for r in rows:
+        assert abs(r.bounce_rate - r.n_bounces / r.n_sessions) < 1e-12
+
+
+def test_debounce_keeps_first_of_each_burst(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "event_debounce_audit")
+    assert rows
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_events
+        assert r.n_kept + r.n_debounced == r.n_events
+        assert abs(r.keep_rate - r.n_kept / r.n_events) < 1e-12

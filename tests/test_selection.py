@@ -173,6 +173,7 @@ def _greedy_unimax(counts, budget_frac, max_epochs):
     budget_frac=st.sampled_from([0.3, 0.75, 1.0, 1.5, 2.4]),
     max_epochs=st.sampled_from([1, 2, 4]),
 )
+@pytest.mark.slow
 def test_unimax_sql_equals_greedy_hypothesis(counts, budget_frac, max_epochs):
     import duckdb
 
@@ -268,6 +269,7 @@ def test_selection_ops_handle_degenerate_docs(spark):
     assert sum(1 for r in d if r["keep"]) == 2  # ceil(5 * 0.25)
 
 
+@pytest.mark.slow
 def test_bloom_decontam_empty_eval_flags_nothing(spark):
     from cassandra_sql_spark.pipeline import dedup
 

@@ -147,6 +147,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "stat_levene_brown_forsythe",  # robust variance-equality F
     "event_bounce_rate_daily",     # single-event-session share
     "event_debounce_audit",        # 5-min (user,type) repeat suppression
+    "sim_lsh_recall_curve",        # candidate recall@10 vs multiprobe m
+    "sample_stratified_quota",     # exact per-stratum md5-rank carve-out
+    "part_running_inventory",      # per-part running balance window
 )
 
 _ALL: dict[str, Q] = {}

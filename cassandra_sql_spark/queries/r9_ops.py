@@ -922,3 +922,193 @@ QUERIES.update(
         "event_debounce_audit": sql_q(_DEBOUNCE_SQL, ("events",)),
     }
 )
+
+
+# -- LSH recall curve ---------------------------------------------------------
+# Candidate recall@10 of the production sign-LSH as a FUNCTION of the
+# multiprobe knob m (0..3): for each of the 20 probe vectors, how many
+# exact top-10 neighbors land in the probed bucket set {qb} ∪
+# {qb XOR 2^p : p < m}? This is the quality-vs-cost curve behind
+# choosing m — each m step scans one more bucket (1/16 of the corpus)
+# and the curve quantifies what it buys. The hyperplanes are md5
+# driver-side constants, so the oracle embeds the identical weights
+# and re-derives every bucket bit with the same left-to-right term
+# chain (the _lsh_topk_oracle discipline); hits are exact integers.
+
+
+def _lsh_recall_curve(spark, sf):
+    from pyspark.sql import Window
+
+    from cassandra_sql_spark.pipeline import similarity
+
+    emb = similarity.nonzero(load(spark, sf, "embeddings"))
+    b = emb.withColumn(
+        "_bucket", similarity.lsh_bucket(F.col("embedding"), 4)
+    )
+    probes = b.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        F.col("_bucket").alias("qb"),
+    )
+    corpus = b.filter(F.col("vec_id") >= 20)
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        "_bucket",
+        "qb",
+        similarity.cosine(F.col("embedding"), F.col("pv"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 10
+    )
+    ms = spark.range(4).select(F.col("id").cast("int").alias("m"))
+    x = F.col("_bucket").bitwiseXOR(F.col("qb"))
+    hit = (
+        (x == 0)
+        | ((F.col("m") >= 1) & (x == 1))
+        | ((F.col("m") >= 2) & (x == 2))
+        | ((F.col("m") >= 3) & (x == 4))
+    )
+    return (
+        top.crossJoin(F.broadcast(ms))
+        .withColumn("hit", hit.cast("int"))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_top_pairs"),
+            F.sum("hit").cast("long").alias("n_hits"),
+            (F.sum("hit") / F.count(F.lit(1))).alias("recall"),
+        )
+        .select(
+            F.col("m").cast("long").alias("m"),
+            "n_top_pairs",
+            "n_hits",
+            "recall",
+        )
+        .orderBy("m")
+    )
+
+
+def _lsh_recall_curve_oracle(planes: int = 4) -> str:
+    from cassandra_sql_spark.pipeline.similarity import DIM, _plane_weights
+
+    parts = []
+    for p in range(planes):
+        wts = _plane_weights(p)
+        terms = " + ".join(
+            f"v[{i + 1}] * ({wts[i]!r})" for i in range(DIM)
+        )
+        parts.append(f"CASE WHEN ({terms}) > 0 THEN {2 ** p} ELSE 0 END")
+    bucket = "\n         + ".join(parts)
+    cos = (
+        "list_dot_product(c.v, p.pv) / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(p.pv, p.pv)))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+p AS (SELECT vec_id AS probe_id, v AS pv, bucket AS qb FROM b
+      WHERE vec_id < 20),
+c AS (SELECT vec_id, v, bucket FROM b WHERE vec_id >= 20),
+s AS (
+  SELECT p.probe_id, c.vec_id, c.bucket, p.qb,
+         CAST(CAST({cos} AS DECIMAL(18,6)) AS DOUBLE) AS score
+  FROM c, p
+),
+top AS (
+  SELECT probe_id, bucket, qb FROM (
+    SELECT probe_id, bucket, qb,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY score DESC, vec_id) AS rk
+    FROM s
+  ) t WHERE rk <= 10
+),
+ms AS (SELECT UNNEST(range(0, 4)) AS m)
+SELECT CAST(ms.m AS BIGINT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_top_pairs,
+       CAST(SUM(CASE WHEN xor(bucket, qb) = 0
+                      OR (ms.m >= 1 AND xor(bucket, qb) = 1)
+                      OR (ms.m >= 2 AND xor(bucket, qb) = 2)
+                      OR (ms.m >= 3 AND xor(bucket, qb) = 4)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN xor(bucket, qb) = 0
+                      OR (ms.m >= 1 AND xor(bucket, qb) = 1)
+                      OR (ms.m >= 2 AND xor(bucket, qb) = 2)
+                      OR (ms.m >= 3 AND xor(bucket, qb) = 4)
+                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+FROM top, ms GROUP BY ms.m ORDER BY m
+"""
+
+
+# -- stratified quota sample --------------------------------------------------
+# Exactly 20 docs per language, picked by md5(doc_id) rank — the
+# deterministic eval-set carve-out (proportional md5-threshold sampling
+# is sample_stratified/sample_md5_split; quota-RANK sampling guarantees
+# the per-stratum count regardless of stratum size). One shuffle on
+# lang; the per-stratum window is quota-cut (WindowGroupLimit).
+_QUOTA_SAMPLE_BODY = """
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS {str})), doc_id)
+           AS rk
+  FROM documents WHERE lang IS NOT NULL
+) t
+WHERE rk <= 20 ORDER BY lang, rk
+"""
+
+# -- running inventory --------------------------------------------------------
+# Per-part running net quantity over ship date (returns subtract), with
+# the all-time peak and final net — the warehouse-balance shape: one
+# shuffle on partkey, one in-partition running window over exact
+# integer quantities, then a per-part aggregate. Quantities are
+# integral doubles in the fixture; FLOOR(q + 0.5) keeps the cast
+# engine-portable (Spark CAST truncates, DuckDB rounds).
+_INVENTORY_SQL = """
+WITH moves AS (
+  SELECT l_partkey,
+         CASE WHEN l_returnflag = 'R'
+              THEN -CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+              ELSE CAST(FLOOR(l_quantity + 0.5) AS BIGINT) END AS q,
+         l_shipdate, l_orderkey, l_linenumber
+  FROM lineitem
+),
+run AS (
+  SELECT l_partkey,
+         SUM(q) OVER (PARTITION BY l_partkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS bal
+  FROM moves
+)
+SELECT l_partkey AS partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_moves,
+       CAST(MAX(bal) AS BIGINT) AS peak_net,
+       CAST(MIN(bal) AS BIGINT) AS trough_net
+FROM run GROUP BY l_partkey
+ORDER BY partkey
+LIMIT 500
+"""
+
+QUERIES.update(
+    {
+        "sim_lsh_recall_curve": df_q(
+            _lsh_recall_curve,
+            ("embeddings",),
+            oracle=_lsh_recall_curve_oracle(),
+        ),
+        "sample_stratified_quota": sql_q(
+            _QUOTA_SAMPLE_BODY.format(str="STRING"),
+            ("documents",),
+            oracle=_QUOTA_SAMPLE_BODY.format(str="VARCHAR"),
+        ),
+        "part_running_inventory": sql_q(_INVENTORY_SQL, ("lineitem",)),
+    }
+)

@@ -325,3 +325,47 @@ def test_debounce_keeps_first_of_each_burst(spark, sf_dir):
         assert 0 < r.n_kept <= r.n_events
         assert r.n_kept + r.n_debounced == r.n_events
         assert abs(r.keep_rate - r.n_kept / r.n_events) < 1e-12
+
+
+def test_lsh_recall_curve_is_monotone_and_consistent(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "sim_lsh_recall_curve")
+    assert [r.m for r in rows] == [0, 1, 2, 3]
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls)  # more probes never hurt
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_top_pairs
+        assert abs(r.recall - r.n_hits / r.n_top_pairs) < 1e-12
+    # m=3 probes 4/16 buckets; recall should beat the m=0 single bucket
+    assert recalls[3] > recalls[0]
+
+
+def test_stratified_quota_exact_counts(spark, sf_dir):
+    from collections import Counter
+
+    rows = _rows(spark, sf_dir, "sample_stratified_quota")
+    per = Counter(r.lang for r in rows)
+    from cassandra_sql_spark.io import load
+
+    avail = {
+        r["lang"]: r["count"]
+        for r in load(spark, sf_dir, "documents")
+        .filter("lang IS NOT NULL")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    for lang, n in per.items():
+        assert n == min(20, avail[lang]), lang
+    # deterministic: same call twice -> same ids
+    again = _rows(spark, sf_dir, "sample_stratified_quota")
+    assert {(r.lang, r.doc_id) for r in rows} == {
+        (r.lang, r.doc_id) for r in again
+    }
+
+
+def test_running_inventory_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "part_running_inventory")
+    assert rows
+    for r in rows:
+        assert r.trough_net <= r.peak_net
+        assert r.n_moves >= 1

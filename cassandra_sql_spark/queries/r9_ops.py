@@ -1080,6 +1080,10 @@ WITH moves AS (
               ELSE CAST(FLOOR(l_quantity + 0.5) AS BIGINT) END AS q,
          l_shipdate, l_orderkey, l_linenumber
   FROM lineitem
+  -- unshipped moves have no position on the ship-date axis — and NULL
+  -- dates ORDER first in Spark ASC but last in DuckDB (the event-
+  -- sequence trap), so they are excluded, not ordered
+  WHERE l_shipdate IS NOT NULL
 ),
 run AS (
   SELECT l_partkey,

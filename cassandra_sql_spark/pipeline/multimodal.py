@@ -944,3 +944,437 @@ def decode_resize_png(
     return df.select(id_col, payload_col).mapInPandas(
         run, PNG_REAL_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #4: baseline JPEG, grayscale (ITU T.81 sequential DCT).
+# The first LOSSY transform codec behind the seam: a real bitstream
+# writer/reader (SOI/APP0/DQT/SOF0/DHT/SOS/EOI marker walk, Annex-K
+# quantization + Huffman tables, DC difference coding, 0xFF00 byte
+# stuffing, EOB run handling) around a real float64 DCT-II/IDCT pair.
+# Rounding is pinned to floor(x + 0.5) at both quantization and sample
+# reconstruction so decode is a deterministic function of the payload.
+# The oracle-checked fixtures use flat 8x8 blocks with EVEN levels:
+# for a flat block the DCT is DC-only and (with Annex-K q[0]=16) the
+# quantized DC is exactly (v-128)/2 — integral for even v — so the
+# lossy pipeline reproduces the source EXACTLY and DuckDB can replay
+# the decoded statistic closed-form. The AC/quality path (where loss is
+# real) is pinned in pytest by round-trip error bounds on random
+# images. JPEG color (YCbCr + subsampling) stays behind the stub seam.
+# ---------------------------------------------------------------------------
+
+# Annex K.1 luminance quantization table (zigzag-ordered at use site).
+_JPEG_QTAB = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# Annex K.3 luminance DC Huffman spec: BITS (counts per code length
+# 1..16) and HUFFVAL.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+# Annex K.5 luminance AC Huffman spec.
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huff_codes(bits, vals):
+    """Code assignment per T.81 C.2: codes of ascending length."""
+    codes, code = {}, 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0:
+                    raise ValueError("unexpected marker in entropy data")
+                self.pos += 1  # skip stuffed 0x00
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _magnitude(v: int):
+    """JPEG magnitude category + appended bits (F.1.2.1.1)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _dct_mats():
+    import numpy as np
+
+    n = 8
+    k = np.arange(n)
+    m = np.sqrt(2.0 / n) * np.cos(
+        (2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n)
+    )
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m  # forward: M @ block @ M.T ; inverse: M.T @ coef @ M
+
+
+def jpeg_encode_gray(img, qscale: int = 1) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as baseline JPEG (SOF0,
+    one component, Annex-K tables scaled by qscale). h and w must be
+    multiples of 8 (no edge replication — fixtures are block-aligned)."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("jpeg_encode_gray requires 8-aligned dims")
+    q = np.array(_JPEG_QTAB, np.int64).reshape(8, 8) * int(qscale)
+    q = np.clip(q, 1, 255)
+    m = _dct_mats()
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(
+                np.float64
+            ) - 128.0
+            coef = m @ blk @ m.T
+            # floor(x/q + 0.5) — the pinned rounding (spec says
+            # round-to-nearest without fixing ties)
+            zq = np.floor(coef / q + 0.5).astype(np.int64)
+            zz = zq.flatten()[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            size, bits = _magnitude(diff)
+            c, ln = dc_codes[size]
+            bw.put(c, ln)
+            if size:
+                bw.put(bits, size)
+            run = 0
+            last_nz = max(
+                (i for i in range(1, 64) if zz[i] != 0), default=0
+            )
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        c, ln = ac_codes[0xF0]  # ZRL
+                        bw.put(c, ln)
+                        run = 0
+                    continue
+                size, bits = _magnitude(v)
+                c, ln = ac_codes[(run << 4) | size]
+                bw.put(c, ln)
+                bw.put(bits, size)
+                run = 0
+            if last_nz < 63:
+                c, ln = ac_codes[0x00]  # EOB
+                bw.put(c, ln)
+    bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    qz = bytes(int(q.flatten()[_ZIGZAG][i]) for i in range(64))
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + qz)  # DQT, table 0, 8-bit
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(
+        0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+    )  # DHT DC class 0 id 0
+    out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += bytes(bw.buf)
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def jpeg_decode_gray(payload: bytes):
+    """Decode a baseline grayscale JPEG produced by ANY conforming
+    writer of this subset (one component, no restart intervals, 8-bit)
+    to ((h, w) uint8 array, n_blocks). Real marker walk + Huffman
+    decode + dequant + IDCT; ValueError on anything outside the subset
+    (progressive, multi-component, 12-bit) — the strict contract line."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtab = None
+    h = w = None
+    huff = {}
+    data = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        seg = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            if seg[0] & 0xF0:
+                raise ValueError("16-bit quant tables unsupported")
+            zq = np.zeros(64, np.int64)
+            zq[np.array(_ZIGZAG)] = np.frombuffer(
+                seg[1:65], np.uint8
+            ).astype(np.int64)
+            qtab = zq.reshape(8, 8)
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component baseline")
+            if seg[7] != 0x11:  # seg: prec,h,h,w,w,ncomp,cid,sampling
+                raise ValueError("subsampling unsupported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xC4:
+            tc_th = seg[0]
+            bits = list(seg[1:17])
+            vals = list(seg[17:17 + sum(bits)])
+            codes = _huff_codes(bits, vals)
+            # invert: (length, code) -> symbol
+            huff[tc_th] = {
+                (lnn, c): sym for sym, (c, lnn) in codes.items()
+            }
+        elif marker == 0xDA:
+            data = payload[pos + 2 + ln:payload.rindex(b"\xff\xd9")]
+            pos = len(payload)
+            break
+        pos += 2 + ln
+    if qtab is None or h is None or data is None or 0x00 not in huff \
+            or 0x10 not in huff:
+        raise ValueError("JPEG missing DQT/SOF0/DHT/SOS")
+    if h % 8 or w % 8:
+        raise ValueError("non-8-aligned dims unsupported (no padding)")
+
+    def read_symbol(br, table):
+        ln, code = 0, 0
+        for _ in range(16):
+            code = (code << 1) | br.bit()
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid Huffman code")
+
+    m = _dct_mats()
+    br = _BitReader(data)
+    out = np.zeros((h, w), np.uint8)
+    prev_dc = 0
+    n_blocks = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = np.zeros(64, np.int64)
+            size = read_symbol(br, huff[0x00])
+            diff = _extend(br.bits(size), size) if size else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = read_symbol(br, huff[0x10])
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                i += run
+                if i > 63:
+                    raise ValueError("AC run past block end")
+                zz[i] = _extend(br.bits(size), size)
+                i += 1
+            coef = np.zeros(64, np.int64)
+            coef[np.array(_ZIGZAG)] = zz
+            blk = m.T @ (coef.reshape(8, 8) * qtab).astype(np.float64) @ m
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.floor(blk + 128.0 + 0.5), 0, 255
+            ).astype(np.uint8)
+            n_blocks += 1
+    return out, n_blocks
+
+
+def synth_jpeg_payload(
+    df: DataFrame, id_col: str = "doc_id", blocks: int = 2
+) -> DataFrame:
+    """Deterministic grayscale JPEG fixtures: a (blocks*8 x blocks*8)
+    image of FLAT 8x8 blocks whose levels are closed-form in the id —
+    v(by, bx) = 2*((id*7 + by*3 + bx*5) % 100) + 40, always EVEN, so
+    the Annex-K DC quantization ((v-128)/2) is exact and the lossy
+    pipeline reproduces the source bit-for-bit (module comment). A COM
+    marker segment is inserted on ids % 3 == 0 (the decoder must walk
+    unknown segments, not assume fixed offsets). Encoded with the real
+    entropy coder: DC differences chain across blocks, so a decoder
+    that loses the predictor corrupts every later block's value."""
+    import struct
+
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                img = np.zeros((blocks * 8, blocks * 8), np.uint8)
+                for by in range(blocks):
+                    for bx in range(blocks):
+                        v = 2 * ((d * 7 + by * 3 + bx * 5) % 100) + 40
+                        img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+                p = jpeg_encode_gray(img)
+                if d % 3 == 0:
+                    com = b"fixture comment"
+                    seg = (
+                        b"\xff\xfe"
+                        + struct.pack(">H", len(com) + 2)
+                        + com
+                    )
+                    p = p[:2] + seg + p[2:]  # after SOI
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+JPEG_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_blocks", LongType()),
+        StructField("wsum_gray", DoubleType()),
+    ]
+)
+
+
+def decode_features_jpeg(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL JPEG decode in the mapInPandas slot: full marker walk +
+    Huffman decode + dequant + IDCT, then a position-weighted sum of
+    per-block means (weight by*B+bx+1) — weighted so block-order or
+    DC-predictor errors change the number. Block means of uint8 are
+    64ths (exact dyadic rationals), float64-exact, DuckDB-replayable."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "n_blocks": [], "wsum_gray": [],
+            }
+            for d, p in zip(pdf[id_col], pdf[payload_col]):
+                img, n_blocks = jpeg_decode_gray(bytes(p))
+                h, w = img.shape
+                bh, bw_ = h // 8, w // 8
+                acc = 0.0
+                for by in range(bh):
+                    for bx in range(bw_):
+                        blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                        acc += (int(blk.sum()) / 64.0) * (
+                            by * bw_ + bx + 1
+                        )
+                out["doc_id"].append(int(d))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_blocks"].append(n_blocks)
+                out["wsum_gray"].append(acc)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, JPEG_REAL_SCHEMA
+    )

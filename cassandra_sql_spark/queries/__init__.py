@@ -150,6 +150,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "sim_lsh_recall_curve",        # candidate recall@10 vs multiprobe m
     "sample_stratified_quota",     # exact per-stratum md5-rank carve-out
     "part_running_inventory",      # per-part running balance window
+    "jpeg_decode_real",            # REAL baseline JPEG (codec #4, lossy)
 )
 
 _ALL: dict[str, Q] = {}

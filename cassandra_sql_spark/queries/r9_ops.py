@@ -1116,3 +1116,48 @@ QUERIES.update(
         "part_running_inventory": sql_q(_INVENTORY_SQL, ("lineitem",)),
     }
 )
+
+
+# REAL JPEG codec behind the seam (codec #4, the first LOSSY one): see
+# pipeline/multimodal.py. Fixtures are flat EVEN 8x8 blocks, for which
+# the Annex-K quantized DC is exactly (v-128)/2 — the full Huffman/
+# DCT/dequant pipeline reproduces the source EXACTLY, so the oracle
+# recomputes the decoded per-block weighted means closed-form from
+# doc_id. COM segments on ids % 3 == 0 force a real marker walk; the
+# DC difference chain makes block-order/predictor bugs corrupt the
+# weighted sum. The lossy path (where reconstruction error is real) is
+# pinned in pytest by round-trip error bounds.
+QUERIES.update(
+    {
+        "jpeg_decode_real": df_q(
+            lambda spark, sf: multimodal.decode_features_jpeg(
+                multimodal.synth_jpeg_payload(
+                    load(spark, sf, "documents")
+                    .select("doc_id")
+                    .filter(F.col("doc_id") < 200),
+                    blocks=2,
+                )
+            ),
+            ("documents",),
+            oracle="""
+            WITH d AS (
+              SELECT doc_id FROM documents WHERE doc_id < 200
+            ), b AS (
+              SELECT UNNEST(generate_series(0, 1)) AS by
+            ), c AS (
+              SELECT UNNEST(generate_series(0, 1)) AS bx
+            ), blk AS (
+              SELECT doc_id, by, bx,
+                     2 * ((doc_id * 7 + by * 3 + bx * 5) % 100) + 40 AS v
+              FROM d, b, c
+            )
+            SELECT doc_id,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(16 AS BIGINT) AS height,
+                   CAST(4 AS BIGINT) AS n_blocks,
+                   SUM(CAST(v AS DOUBLE) * (by * 2 + bx + 1)) AS wsum_gray
+            FROM blk GROUP BY doc_id
+            """,
+        ),
+    }
+)

@@ -1170,3 +1170,100 @@ def test_png_fixture_traps_are_armed(spark, sf_dir):
         # per-row filter bytes cycle (d+y)%5 — check via re-encode match
         filters = {(d + y) % 5 for y in range(8)}
         assert filters == {0, 1, 2, 3, 4}
+
+
+# --- REAL codec #4: baseline JPEG grayscale (r9) ----------------------------
+
+
+def test_jpeg_flat_even_blocks_roundtrip_exactly():
+    """For flat 8x8 blocks with EVEN levels the Annex-K quantized DC is
+    exactly (v-128)/2 — the full lossy pipeline must reproduce the
+    source bit-for-bit (this is what makes the oracle exact)."""
+    import numpy as np
+
+    img = np.zeros((16, 24), np.uint8)
+    vals = iter([40, 120, 202, 238, 64, 90])
+    for by in range(2):
+        for bx in range(3):
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = next(vals)
+    dec, nb = multimodal.jpeg_decode_gray(multimodal.jpeg_encode_gray(img))
+    assert nb == 6
+    assert (dec == img).all()
+
+
+def test_jpeg_lossy_roundtrip_error_bounds():
+    """Real transform-codec signature: smooth content reconstructs
+    near-exactly, white noise (worst case) stays within the coarse
+    Annex-K quantization error envelope."""
+    import numpy as np
+
+    y, x = np.mgrid[0:32, 0:32]
+    smooth = ((y * 4 + x * 3) % 256).astype(np.uint8)
+    dec, _ = multimodal.jpeg_decode_gray(
+        multimodal.jpeg_encode_gray(smooth)
+    )
+    err = np.abs(dec.astype(int) - smooth.astype(int))
+    assert err.max() <= 8 and err.mean() <= 2.0
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    dec, _ = multimodal.jpeg_decode_gray(
+        multimodal.jpeg_encode_gray(noise)
+    )
+    err = np.abs(dec.astype(int) - noise.astype(int))
+    assert err.max() <= 130 and err.mean() <= 25  # quant-table envelope
+
+
+def test_jpeg_decode_rejects_out_of_subset():
+    import numpy as np
+
+    ok = multimodal.jpeg_encode_gray(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode_gray(b"not a jpeg")
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode_gray(ok[:40])  # truncated mid-segment
+    # progressive SOF2 must be rejected, not mis-parsed
+    bad = bytearray(ok)
+    sof = ok.index(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        multimodal.jpeg_decode_gray(bytes(bad))
+
+
+def test_jpeg_entropy_stream_byte_stuffing_roundtrips():
+    """Blocks chosen to force 0xFF bytes in the entropy stream — the
+    stuffing writer and the reader's 0xFF00 handling must agree."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    hit = False
+    for _ in range(40):
+        img = rng.integers(0, 256, (8, 16)).astype(np.uint8)
+        p = multimodal.jpeg_encode_gray(img)
+        sos = p.index(b"\xff\xda")
+        if b"\xff\x00" in p[sos + 2:-2]:
+            hit = True
+            multimodal.jpeg_decode_gray(p)  # must not raise
+    assert hit, "no fixture produced a stuffed byte; widen the search"
+
+
+def test_jpeg_fixture_traps_are_armed(spark, sf_dir):
+    """COM segments on ids%3==0 (marker walk), DC-difference chain
+    across blocks (predictor), closed-form even flat levels (exact
+    decode)."""
+    rows = multimodal.synth_jpeg_payload(
+        load(spark, sf_dir, "documents").select("doc_id").filter(
+            "doc_id < 9"
+        )
+    ).collect()
+    assert len(rows) == 9
+    for r in rows:
+        p = bytes(r.payload)
+        d = int(r.doc_id)
+        assert (b"\xff\xfe" in p) == (d % 3 == 0), d
+        img, nb = multimodal.jpeg_decode_gray(p)
+        assert nb == 4 and img.shape == (16, 16)
+        for by in range(2):
+            for bx in range(2):
+                v = 2 * ((d * 7 + by * 3 + bx * 5) % 100) + 40
+                blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                assert (blk == v).all(), (d, by, bx)

@@ -151,6 +151,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "sample_stratified_quota",     # exact per-stratum md5-rank carve-out
     "part_running_inventory",      # per-part running balance window
     "jpeg_decode_real",            # REAL baseline JPEG (codec #4, lossy)
+    "stream_debounce_counts",      # stateful stream twin of the LAG rule
 )
 
 _ALL: dict[str, Q] = {}

@@ -524,3 +524,45 @@ QUERIES: dict[str, Q] = {
         """,
     ),
 }
+
+
+def _debounce_counts(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-deb-")
+    stream = ev.read_events_stream(spark, sf_dir)
+    kept = ev.debounce(stream, gap_minutes=5)
+    ev.run_available_now(kept, "debounce_q", ckpt, mode="append")
+    return (
+        spark.table("debounce_q")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .orderBy("event_type")
+    )
+
+
+# Streaming telemetry debounce (stateful twin of event_debounce_audit):
+# keep an event iff the previous RAW (user, type) event is > 5 min
+# older. The kernel decides each event IMMEDIATELY (no window-closure
+# caveat, unlike sessionize), so the AvailableNow drain's kept-counts
+# equal the batch LAG rule exactly; state is one int64 per (user,
+# type), bounded by the key domain at any event volume. NULL ts/key
+# rows identify no stream and are excluded on both sides.
+QUERIES["stream_debounce_counts"] = Q(
+    _debounce_counts,
+    """
+    WITH lagged AS (
+      SELECT event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts > INTERVAL 5 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM lagged GROUP BY event_type ORDER BY event_type
+    """,
+)

@@ -650,3 +650,84 @@ def anomalies(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+DEBOUNCE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+_DEBOUNCE_STATE = StructType([StructField("last_us", LongType())])
+
+
+def debounce(
+    events: DataFrame, gap_minutes: int = 5
+) -> DataFrame:
+    """Streaming telemetry debounce: keep an event iff the previous RAW
+    event of its (user, type) is more than ``gap_minutes`` older — the
+    stateful twin of the batch LAG rule (event_debounce_audit). State
+    per key is ONE int64 (the last raw event time), so at 100 TB the
+    store is bounded by |users| x |types| regardless of event volume;
+    a production deployment would add an event-time timeout to expire
+    long-idle keys (the sessionize pattern) — at the fixture scale the
+    8-byte states are cheaper than the timeout bookkeeping.
+
+    Batch==stream equivalence holds per micro-batch-boundary caveat:
+    events are processed in (ts, event_id) order WITHIN each batch and
+    the carried state is the last raw timestamp, so an AvailableNow
+    drain over a sorted (or single-batch) source reproduces the batch
+    LAG decisions exactly; the kept SET is invariant to order within
+    exact-timestamp ties (every tie after the first is dropped
+    regardless of order). NULL ts carries no event time and NULL keys
+    identify no stream — both excluded, like the batch oracle."""
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id, etype = key
+        gap_us = gap_minutes * 60 * 1_000_000
+        rows = []
+        for pdf in batches:
+            for t, e in zip(pdf["ts"], pdf["event_id"]):
+                if pd.isna(t):
+                    continue
+                rows.append((int(t.value // 1000), int(e)))
+        if not rows:
+            return
+        rows.sort()
+        prev = state.get[0] if state.exists else None
+        kept = []
+        for t_us, _eid in rows:
+            if prev is None or t_us - prev > gap_us:
+                kept.append(t_us)
+            prev = t_us
+        state.update((prev,))
+        if kept:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(kept),
+                    "event_type": [etype] * len(kept),
+                    "ts": [pd.Timestamp(t, unit="us") for t in kept],
+                }
+            )
+
+    return (
+        events.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DEBOUNCE_SCHEMA,
+            stateStructType=_DEBOUNCE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -393,3 +393,41 @@ def test_stream_sessionize_equals_batch_replica_on_fixtures(spark, sf_dir):
         f"non-final sessions missing from drain: "
         f"{sorted(missing - last_per_user)[:5]}"
     )
+
+
+def test_stream_debounce_equals_batch_lag_rule(spark, sf_dir):
+    """Every kept (user, type, ts) from the drained stream must equal
+    the batch LAG-rule keep set exactly — the debounce kernel decides
+    each event immediately, so there is no open-session caveat."""
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="deb-eq-")
+    kept = ev.debounce(ev.read_events_stream(spark, sf_dir), gap_minutes=5)
+    ev.run_available_now(kept, "deb_eq_q", ckpt, mode="append")
+    got = {
+        (r.user_id, r.event_type, r.ts)
+        for r in spark.table("deb_eq_q").collect()
+    }
+    rows = (
+        load(spark, sf_dir, "events")
+        .filter(
+            "ts IS NOT NULL AND user_id IS NOT NULL"
+            " AND event_type IS NOT NULL"
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault((r.user_id, r.event_type), []).append(
+            (r.ts, r.event_id)
+        )
+    want = set()
+    for (uid, et), evs in by_key.items():
+        evs.sort()
+        prev = None
+        for ts, _eid in evs:
+            if prev is None or (ts - prev).total_seconds() > 300:
+                want.add((uid, et, ts))
+            prev = ts
+    assert got == want and got

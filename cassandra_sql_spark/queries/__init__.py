@@ -22,6 +22,7 @@ from cassandra_sql_spark.queries import (
     r8_ops,
     r8b_ops,
     r9_ops,
+    r9b_ops,
     relational,
     selection_queries,
     setops,
@@ -59,6 +60,7 @@ _MODULES = (
     r8_ops,
     r8b_ops,
     r9_ops,
+    r9b_ops,
 )
 
 # The correctness driver grades only the FIRST 50 registry entries. The
@@ -152,6 +154,10 @@ NEXT_WINDOW: tuple[str, ...] = (
     "part_running_inventory",      # per-part running balance window
     "jpeg_decode_real",            # REAL baseline JPEG (codec #4, lossy)
     "stream_debounce_counts",      # stateful stream twin of the LAG rule
+    "stat_jarque_bera",            # normality via exact-int power sums
+    "stat_durbin_watson",          # serial correlation of daily residuals
+    "stat_mi_cramers_v",           # lang x source association strength
+    "graph_degree_assortativity",  # Newman r over edge-stub degrees
 )
 
 _ALL: dict[str, Q] = {}

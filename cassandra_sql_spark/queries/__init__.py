@@ -158,6 +158,11 @@ NEXT_WINDOW: tuple[str, ...] = (
     "stat_durbin_watson",          # serial correlation of daily residuals
     "stat_mi_cramers_v",           # lang x source association strength
     "graph_degree_assortativity",  # Newman r over edge-stub degrees
+    "series_bollinger_bands",      # 7-day mean +- 2 sigma + breakouts
+    "series_theil_u2",             # moving-average vs naive forecast
+    "event_user_entropy",          # per-user event-type Shannon entropy
+    "text_simpson_diversity",      # collision prob + effective vocab
+    "emb_dim_variance_topk",       # top-10 signal dimensions
 )
 
 _ALL: dict[str, Q] = {}

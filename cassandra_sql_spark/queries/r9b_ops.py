@@ -229,3 +229,223 @@ QUERIES = {
         _ASSORT_SPARK, ("events",), oracle=_ASSORT_DUCK
     ),
 }
+
+
+# -- Bollinger bands ---------------------------------------------------------
+# 7-day trailing mean +- 2 sigma on total daily revenue, with breakout
+# flags — the volatility-band monitor over the same daily-dollar grid
+# as Durbin-Watson (dollar quantization keeps the windowed sum of
+# squares exact in int64 through sf100; cent squares would overflow at
+# sf10). The window is ROWS-framed over the day domain — at most |days|
+# rows reach the single ORDER BY day partition, never the event log
+# (the daily CTE reduces first), so the unpartitioned window input is
+# domain-bounded, the documented exception the plan pins allow.
+_BOLLINGER_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(FLOOR(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+              + 0.5) AS BIGINT) AS d
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY CAST(ts AS DATE)
+), w AS (
+  SELECT day, d,
+         COUNT(*) OVER win AS k,
+         SUM(d) OVER win AS s1,
+         SUM(d * d) OVER win AS s2
+  FROM daily
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+), b AS (
+  SELECT day, d, k, CAST(s1 AS DOUBLE) / k AS mid,
+         SQRT(CAST(s2 AS DOUBLE) / k
+              - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k))
+           AS sigma
+  FROM w
+)
+SELECT day, d AS revenue_usd, CAST(k AS BIGINT) AS bb_n,
+       CAST(CAST(mid AS DECIMAL(18,6)) AS DOUBLE) AS bb_mid,
+       CAST(CAST(mid + 2 * sigma AS DECIMAL(18,6)) AS DOUBLE) AS bb_upper,
+       CAST(CAST(mid - 2 * sigma AS DECIMAL(18,6)) AS DOUBLE) AS bb_lower,
+       d > mid + 2 * sigma OR d < mid - 2 * sigma AS is_breakout
+FROM b ORDER BY day
+"""
+
+# -- Theil's U2 forecast-quality ratio ---------------------------------------
+# Is a 7-day trailing-mean forecast better than naive persistence? U2 =
+# sqrt(sum(((f_t - a_t)/a_{t-1})^2) / sum(((a_t - a_{t-1})/a_{t-1})^2))
+# per event_type on daily-dollar revenue; U2 < 1 means the moving
+# average beats carrying yesterday forward. Both error terms are
+# double ratios of exact integers (and f_t is one division of exact
+# window sums), quantized onto a 1e-12 grid per term so the cross-term
+# sums are exact-integer and order-free; windows are day-domain-bounded
+# per type.
+_THEIL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(FLOOR(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+              + 0.5) AS BIGINT) AS a
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+), w AS (
+  SELECT event_type, day, a,
+         LAG(a) OVER (PARTITION BY event_type ORDER BY day) AS pa,
+         COUNT(*) OVER win AS k,
+         SUM(a) OVER win AS s1
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), t AS (
+  SELECT event_type,
+         CAST(FLOOR(
+           ((CAST(s1 AS DOUBLE) / k - a) / pa)
+             * ((CAST(s1 AS DOUBLE) / k - a) / pa) * 1e12 + 0.5)
+           AS BIGINT) AS fq,
+         CAST(FLOOR(
+           ((CAST(a - pa AS DOUBLE)) / pa)
+             * ((CAST(a - pa AS DOUBLE)) / pa) * 1e12 + 0.5)
+           AS BIGINT) AS nq
+  FROM w WHERE pa IS NOT NULL AND pa > 0 AND k > 0
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_terms, SUM(fq) AS sf, SUM(nq) AS sn
+  FROM t GROUP BY event_type
+)
+SELECT event_type, CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(CAST(SQRT(CAST(sf AS DOUBLE) / CAST(sn AS DOUBLE))
+            AS DECIMAL(18,6)) AS DOUBLE) AS theil_u2
+FROM agg ORDER BY event_type
+"""
+
+# -- Per-user activity entropy -----------------------------------------------
+# Shannon entropy of each user's event-type mix — the bot-vs-human
+# behavioral feature (a scripted client hammers one type, H ~ 0; a
+# browsing human spreads mass, H -> ln 5). Two bounded shuffles
+# ((user, type) counts, then user rollup); each user's entropy sums at
+# most |types| ln terms, quantized per-term onto the 1e-9 grid.
+_USER_ENTROPY_SQL = """
+WITH ut AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id, event_type
+), tot AS (
+  SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types FROM ut GROUP BY user_id
+), terms AS (
+  SELECT ut.user_id,
+         CAST(FLOOR(
+           CAST(ut.c AS DOUBLE) / t.n
+             * LN(CAST(t.n AS DOUBLE) / ut.c) * 1e9 + 0.5) AS BIGINT) AS q
+  FROM ut JOIN tot t ON ut.user_id = t.user_id
+)
+SELECT t.user_id, CAST(t.n AS BIGINT) AS n_events,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       CAST(SUM(terms.q) AS DOUBLE) / 1e9 AS entropy_nats
+FROM terms JOIN tot t ON terms.user_id = t.user_id
+GROUP BY t.user_id, t.n, t.n_types
+ORDER BY t.user_id
+"""
+
+# -- Simpson diversity per document ------------------------------------------
+# Simpson's lambda (repeat-draw collision probability) and the inverse
+# Simpson "effective vocabulary size" — the concentration twin of the
+# TTR/hapax lexical-diversity family. Everything is an exact integer
+# ratio: sum f(f-1) / (n(n-1)) and n^2 / sum f^2 — no snap needed, the
+# single division is correctly rounded on both engines. One token
+# explode + two groupBys, all key-partitioned.
+_SIMPSON_SPARK = """
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS f
+  FROM (
+    SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS tok
+    FROM documents
+  ) x GROUP BY doc_id, tok
+), s AS (
+  SELECT doc_id, SUM(f) AS n, SUM(f * (f - 1)) AS coll, SUM(f * f) AS f2
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(coll AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) AS simpson,
+       CAST(n AS DOUBLE) * n / CAST(f2 AS DOUBLE) AS inv_simpson
+FROM s WHERE n >= 2 ORDER BY doc_id
+"""
+
+_SIMPSON_DUCK = """
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS f
+  FROM (
+    SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+  ) x GROUP BY doc_id, tok
+), s AS (
+  SELECT doc_id, SUM(f) AS n, SUM(f * (f - 1)) AS coll, SUM(f * f) AS f2
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(coll AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) AS simpson,
+       CAST(n AS DOUBLE) * n / CAST(f2 AS DOUBLE) AS inv_simpson
+FROM s WHERE n >= 2 ORDER BY doc_id
+"""
+
+# -- Per-dimension embedding variance ----------------------------------------
+# Which embedding dimensions carry signal? Per-dim variance over the
+# corpus, top-10 — the feature-selection pass before PQ subspace
+# splits. Elements quantize onto a 1e-5 grid (embeddings live in
+# [-1, 1]; grid squares keep the per-dim sum of squares exact in int64
+# past sf100 — a 1e-6 grid would overflow at sf100), then variance is
+# two divisions of exact sums. Explode is map-side; the per-dim
+# aggregate reduces to |dims| rows.
+_DIMVAR_SPARK = """
+WITH el AS (
+  SELECT CAST(pos AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(e AS DOUBLE) * 1e5 + 0.5) AS BIGINT) AS q
+  FROM embeddings
+  LATERAL VIEW POSEXPLODE(embedding) t AS pos, e
+), s AS (
+  SELECT dim, COUNT(*) AS n, SUM(q) AS s1, SUM(q * q) AS s2
+  FROM el GROUP BY dim
+), v AS (
+  SELECT dim, n,
+         (CAST(s2 AS DOUBLE) / n
+          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 1e10
+           AS variance
+  FROM s
+)
+SELECT dim, CAST(n AS BIGINT) AS n,
+       CAST(CAST(variance AS DECIMAL(18,9)) AS DOUBLE) AS variance
+FROM v ORDER BY variance DESC, dim LIMIT 10
+"""
+
+_DIMVAR_DUCK = """
+WITH el AS (
+  SELECT CAST(i - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(e AS DOUBLE) * 1e5 + 0.5) AS BIGINT) AS q
+  FROM (
+    SELECT UNNEST(embedding) AS e,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ) u
+), s AS (
+  SELECT dim, COUNT(*) AS n, SUM(q) AS s1, SUM(q * q) AS s2
+  FROM el GROUP BY dim
+), v AS (
+  SELECT dim, n,
+         (CAST(s2 AS DOUBLE) / n
+          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 1e10
+           AS variance
+  FROM s
+)
+SELECT dim, CAST(n AS BIGINT) AS n,
+       CAST(CAST(variance AS DECIMAL(18,9)) AS DOUBLE) AS variance
+FROM v ORDER BY variance DESC, dim LIMIT 10
+"""
+
+QUERIES.update(
+    {
+        "series_bollinger_bands": sql_q(_BOLLINGER_SQL, ("events",)),
+        "series_theil_u2": sql_q(_THEIL_SQL, ("events",)),
+        "event_user_entropy": sql_q(_USER_ENTROPY_SQL, ("events",)),
+        "text_simpson_diversity": sql_q(
+            _SIMPSON_SPARK, ("documents",), oracle=_SIMPSON_DUCK
+        ),
+        "emb_dim_variance_topk": sql_q(
+            _DIMVAR_SPARK, ("embeddings",), oracle=_DIMVAR_DUCK
+        ),
+    }
+)

@@ -61,6 +61,64 @@ def test_mi_cramers_v_bounds(spark, sf_dir):
     assert r.n_cells >= 2
 
 
+def test_bollinger_bands_geometry(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "series_bollinger_bands")
+    assert rows
+    for r in rows:
+        assert r.bb_lower <= r.bb_mid <= r.bb_upper, r
+        assert 1 <= r.bb_n <= 7
+        # breakout flag must agree with the published bands (snap-safe:
+        # only check when clear of the 1e-6 snap grid)
+        if abs(r.revenue_usd - r.bb_upper) > 1e-3 and (
+            abs(r.revenue_usd - r.bb_lower) > 1e-3
+        ):
+            outside = (
+                r.revenue_usd > r.bb_upper or r.revenue_usd < r.bb_lower
+            )
+            assert r.is_breakout == outside, r
+    # a full 7-row frame containing its own point can never flag it
+    # beyond 2 sigma unless the others are tight; at least the frame
+    # must warm up monotonically at the start
+    assert rows[0].bb_n == 1 and rows[0].bb_mid == rows[0].revenue_usd
+
+
+def test_theil_u2_positive_and_counts(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "series_theil_u2")
+    assert rows
+    for r in rows:
+        assert r.theil_u2 >= 0
+        assert r.n_terms >= 1
+
+
+def test_user_entropy_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "event_user_entropy")
+    assert rows
+    for r in rows:
+        # 0 <= H <= ln(n_types), with 1e-6 slack for the per-term grid
+        assert -1e-6 <= r.entropy_nats <= math.log(r.n_types) + 1e-6, r
+        assert r.n_types <= r.n_events
+        if r.n_types == 1:
+            assert abs(r.entropy_nats) < 1e-6
+
+
+def test_simpson_diversity_identities(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "text_simpson_diversity")
+    assert rows
+    for r in rows[:50]:
+        assert 0.0 <= r.simpson <= 1.0, r
+        # inverse Simpson is an effective type count: 1 <= D <= n
+        assert 1.0 - 1e-9 <= r.inv_simpson <= r.n_tokens + 1e-9, r
+
+
+def test_dim_variance_topk_sorted_nonnegative(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "emb_dim_variance_topk")
+    assert len(rows) == 10
+    vs = [r.variance for r in rows]
+    assert vs == sorted(vs, reverse=True)
+    assert all(v >= 0 for v in vs)
+    assert all(0 <= r.dim < 64 for r in rows)
+
+
 def test_degree_assortativity_bounds_and_stub_count(spark, sf_dir):
     (r,) = _rows(spark, sf_dir, "graph_degree_assortativity")
     # Pearson correlation of stub degrees

@@ -163,6 +163,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "event_user_entropy",          # per-user event-type Shannon entropy
     "text_simpson_diversity",      # collision prob + effective vocab
     "emb_dim_variance_topk",       # top-10 signal dimensions
+    "stat_ljung_box",              # white-noise portmanteau, 5 lags
+    "sketch_bloom_fpr_audit",      # bloom vs exact confusion + FPR
+    "stream_markov_transitions",   # stateful twin of the LEAD pairs
 )
 
 _ALL: dict[str, Q] = {}

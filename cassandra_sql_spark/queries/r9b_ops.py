@@ -13,7 +13,9 @@ DECIMAL(18,6) snap wherever a bounded-cardinality double sum or a libm
 
 from __future__ import annotations
 
-from cassandra_sql_spark.queries.base import sql_q
+from pyspark.sql import functions as F
+
+from cassandra_sql_spark.queries.base import df_q, sql_q
 from cassandra_sql_spark.queries.r8_ops import _EDGES
 
 # -- Jarque-Bera normality test ----------------------------------------------
@@ -436,8 +438,70 @@ SELECT dim, CAST(n AS BIGINT) AS n,
 FROM v ORDER BY variance DESC, dim LIMIT 10
 """
 
+# -- Ljung-Box portmanteau test ----------------------------------------------
+# Is the daily event-count series white noise? Q = n(n+2) sum_{k=1..5}
+# r_k^2/(n-k) per event_type, with the standard fixed-mean ACF (unlike
+# series_autocorr's per-lag Pearson): deviations are n-scaled exact
+# integers (d = n*x - S), so every autocovariance is an exact BIGINT
+# and each r_k is one correctly-rounded division; the five r_k^2/(n-k)
+# terms land on the 1e-12 grid before the exact sum. LAG windows are
+# day-domain-bounded per type.
+_LJUNG_BOX_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx
+  FROM daily GROUP BY event_type
+), d AS (
+  SELECT daily.event_type, daily.day, s.n,
+         daily.x * s.n - s.sx AS dev
+  FROM daily JOIN s ON daily.event_type = s.event_type
+), l AS (
+  SELECT event_type, n, dev,
+         LAG(dev, 1) OVER w AS d1, LAG(dev, 2) OVER w AS d2,
+         LAG(dev, 3) OVER w AS d3, LAG(dev, 4) OVER w AS d4,
+         LAG(dev, 5) OVER w AS d5
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), g AS (
+  SELECT event_type, MAX(n) AS n, SUM(dev * dev) AS den,
+         SUM(CASE WHEN d1 IS NULL THEN 0 ELSE dev * d1 END) AS c1,
+         SUM(CASE WHEN d2 IS NULL THEN 0 ELSE dev * d2 END) AS c2,
+         SUM(CASE WHEN d3 IS NULL THEN 0 ELSE dev * d3 END) AS c3,
+         SUM(CASE WHEN d4 IS NULL THEN 0 ELSE dev * d4 END) AS c4,
+         SUM(CASE WHEN d5 IS NULL THEN 0 ELSE dev * d5 END) AS c5
+  FROM l GROUP BY event_type
+), q AS (
+  SELECT event_type, n,
+         CAST(FLOOR((CAST(c1 AS DOUBLE) / CAST(den AS DOUBLE))
+              * (CAST(c1 AS DOUBLE) / CAST(den AS DOUBLE))
+              / (n - 1) * 1e12 + 0.5) AS BIGINT)
+       + CAST(FLOOR((CAST(c2 AS DOUBLE) / CAST(den AS DOUBLE))
+              * (CAST(c2 AS DOUBLE) / CAST(den AS DOUBLE))
+              / (n - 2) * 1e12 + 0.5) AS BIGINT)
+       + CAST(FLOOR((CAST(c3 AS DOUBLE) / CAST(den AS DOUBLE))
+              * (CAST(c3 AS DOUBLE) / CAST(den AS DOUBLE))
+              / (n - 3) * 1e12 + 0.5) AS BIGINT)
+       + CAST(FLOOR((CAST(c4 AS DOUBLE) / CAST(den AS DOUBLE))
+              * (CAST(c4 AS DOUBLE) / CAST(den AS DOUBLE))
+              / (n - 4) * 1e12 + 0.5) AS BIGINT)
+       + CAST(FLOOR((CAST(c5 AS DOUBLE) / CAST(den AS DOUBLE))
+              * (CAST(c5 AS DOUBLE) / CAST(den AS DOUBLE))
+              / (n - 5) * 1e12 + 0.5) AS BIGINT) AS qsum
+  FROM g WHERE n > 5
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(5 AS BIGINT) AS n_lags,
+       CAST(CAST(CAST(n * (n + 2) AS DOUBLE) * qsum / 1e12
+            AS DECIMAL(18,6)) AS DOUBLE) AS lb_q
+FROM q ORDER BY event_type
+"""
+
 QUERIES.update(
     {
+        "stat_ljung_box": sql_q(_LJUNG_BOX_SQL, ("events",)),
         "series_bollinger_bands": sql_q(_BOLLINGER_SQL, ("events",)),
         "series_theil_u2": sql_q(_THEIL_SQL, ("events",)),
         "event_user_entropy": sql_q(_USER_ENTROPY_SQL, ("events",)),
@@ -446,6 +510,136 @@ QUERIES.update(
         ),
         "emb_dim_variance_topk": sql_q(
             _DIMVAR_SPARK, ("embeddings",), oracle=_DIMVAR_DUCK
+        ),
+    }
+)
+
+
+# -- Bloom-filter false-positive-rate audit ----------------------------------
+# Measures the md5-family Bloom decontaminator (decontam_bloom) against
+# exact raw-gram contamination in one confusion matrix: tp/fp/fn counts
+# plus the realized FPR over clean docs. fn MUST be zero (Bloom filters
+# have one-sided error) — the audit makes the filter's quality a
+# hash-checked number instead of a test-only claim. The exact side
+# joins train grams to the broadcast distinct eval-gram set on RAW
+# strings (the same semantics the bloom bitmap approximates); both
+# sides reduce to one row, so the extra cost over decontam_bloom is the
+# one exact semi-join the production funnel runs on the flagged slice
+# anyway.
+def _bloom_fpr_audit(spark, sf):
+    from cassandra_sql_spark.io import load
+    from cassandra_sql_spark.pipeline import dedup
+
+    d = load(spark, sf, "documents")
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    train = d.filter(pfx != "0")
+    ev = d.filter(pfx == "0")
+    flags = dedup.bloom_decontam(
+        train, ev, "doc_id", "text", k=5, hash_family="md5"
+    )
+    w = dedup.tokens(F.col("text"))
+    egrams = (
+        ev.filter(F.size(w) >= 5)
+        .select(F.explode(dedup.word_shingles(F.col("text"), 5)).alias("g"))
+        .distinct()
+    )
+    contam = (
+        train.filter(F.size(w) >= 5)
+        .select(
+            "doc_id",
+            F.explode(dedup.word_shingles(F.col("text"), 5)).alias("g"),
+        )
+        .join(F.broadcast(egrams), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    conf = flags.join(contam, "doc_id", "left").na.fill({"contam": False})
+    return conf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum(F.col("contam").cast("long")).cast("long").alias(
+            "n_contaminated"
+        ),
+        F.sum(F.col("flagged").cast("long")).cast("long").alias("n_flagged"),
+        F.sum((F.col("flagged") & F.col("contam")).cast("long"))
+        .cast("long")
+        .alias("tp"),
+        F.sum((F.col("flagged") & ~F.col("contam")).cast("long"))
+        .cast("long")
+        .alias("fp"),
+        F.sum((~F.col("flagged") & F.col("contam")).cast("long"))
+        .cast("long")
+        .alias("fn"),
+    ).withColumn(
+        "fpr",
+        F.col("fp").cast("double")
+        / (F.col("n_train") - F.col("n_contaminated")).cast("double"),
+    )
+
+
+_BLOOM_FPR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+  FROM documents
+), sh AS (
+  SELECT doc_id, is_eval,
+         list_distinct([array_to_string(w[i:i+4], ' ')
+                        for i in range(1, len(w) - 3)]) AS s
+  FROM toks
+), ev AS (
+  SELECT DISTINCT UNNEST(s) AS g FROM sh WHERE is_eval
+), js AS (
+  SELECT UNNEST(generate_series(0, 6)) AS j
+), setpos AS (
+  SELECT DISTINCT
+         ('0x' || substring(md5(g || ':' || j), 1, 15))::BIGINT
+           % 131072 AS p
+  FROM ev, js
+), tg AS (
+  SELECT doc_id, UNNEST(s) AS g FROM sh WHERE NOT is_eval
+), hit AS (
+  SELECT tp.doc_id, tp.g
+  FROM (SELECT doc_id, g,
+               ('0x' || substring(md5(g || ':' || j), 1, 15))::BIGINT
+                 % 131072 AS p
+        FROM tg, js) tp
+  LEFT JOIN setpos ON tp.p = setpos.p
+  GROUP BY tp.doc_id, tp.g
+  HAVING count(setpos.p) = 7
+), cnt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM hit GROUP BY doc_id
+), contam AS (
+  SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (g)
+), base AS (
+  SELECT t.doc_id,
+         COALESCE(cnt.n, 0) > 0 AS flagged,
+         contam.doc_id IS NOT NULL AS contam
+  FROM (SELECT doc_id FROM toks WHERE NOT is_eval) t
+  LEFT JOIN cnt ON t.doc_id = cnt.doc_id
+  LEFT JOIN contam ON t.doc_id = contam.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN contam THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(CASE WHEN flagged AND contam THEN 1 ELSE 0 END) AS BIGINT)
+         AS tp,
+       CAST(SUM(CASE WHEN flagged AND NOT contam THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN NOT flagged AND contam THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN flagged AND NOT contam THEN 1 ELSE 0 END)
+            AS DOUBLE)
+         / (COUNT(*) - SUM(CASE WHEN contam THEN 1 ELSE 0 END)) AS fpr
+FROM base
+"""
+
+QUERIES.update(
+    {
+        "sketch_bloom_fpr_audit": df_q(
+            _bloom_fpr_audit, ("documents",), oracle=_BLOOM_FPR_ORACLE
         ),
     }
 )

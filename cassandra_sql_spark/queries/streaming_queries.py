@@ -548,6 +548,65 @@ def _debounce_counts(spark, sf_dir):
 # equal the batch LAG rule exactly; state is one int64 per (user,
 # type), bounded by the key domain at any event volume. NULL ts/key
 # rows identify no stream and are excluded on both sides.
+def _markov_counts(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-mkv-")
+    stream = ev.read_events_stream(spark, sf_dir)
+    hops = ev.markov_transitions(stream)
+    ev.run_available_now(hops, "markov_q", ckpt, mode="append")
+    w = Window.partitionBy("src")
+    return (
+        spark.table("markov_q")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "p",
+            (
+                F.floor(
+                    F.col("n").cast("double")
+                    / F.sum("n").over(w)
+                    * 1000000
+                    + 0.5
+                ).cast("bigint")
+            ).cast("double")
+            / 1000000,
+        )
+        .orderBy("src", "dst")
+    )
+
+
+# Streaming Markov transition counts (stateful twin of
+# event_markov_transitions, minus that entry's NULL-user tolerance —
+# stream state needs a real key): state per user is the last (ts,
+# event_id, type) triple, transitions emit immediately (no
+# window-closure caveat), so the AvailableNow drain equals the batch
+# LEAD pairs exactly; the (src, dst) rollup and the 1e-6-grid row
+# probability are the same arithmetic as the batch entry.
+QUERIES["stream_markov_transitions"] = Q(
+    _markov_counts,
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    )
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(FLOOR(
+             CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY src)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000 AS p
+    FROM seq
+    WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    ORDER BY src, dst
+    """,
+)
+
 QUERIES["stream_debounce_counts"] = Q(
     _debounce_counts,
     """

@@ -731,3 +731,90 @@ def debounce(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+MARKOV_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+    ]
+)
+
+_MARKOV_STATE = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_eid", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """Streaming event-type transition extraction: emit (src, dst) for
+    every consecutive pair of a user's events — the stateful twin of the
+    batch LEAD rule (event_markov_transitions). State per user is the
+    last event's (ts, event_id, type), so the store is bounded by
+    |users| at any event volume; the downstream (src, dst) count/
+    probability rollup is a tiny batch aggregate over the drained sink.
+
+    Batch==stream equivalence: events are sorted by (ts, event_id)
+    within each micro-batch and the carried state is the latest such
+    triple, so an AvailableNow drain over a single-batch (or
+    time-ordered) source reproduces the batch LEAD pairs exactly. NULL
+    ts rows carry no event time and NULL user/type rows identify no
+    chain — excluded on both sides."""
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = []
+        for pdf in batches:
+            for t, e, ty in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                if pd.isna(t) or ty is None:
+                    continue
+                rows.append((int(t.value // 1000), int(e), str(ty)))
+        if not rows:
+            return
+        rows.sort()
+        prev = (
+            (state.get[0], state.get[1], state.get[2])
+            if state.exists
+            else None
+        )
+        src, dst = [], []
+        for tup in rows:
+            if prev is not None:
+                src.append(prev[2])
+                dst.append(tup[2])
+            prev = tup
+        state.update(prev)
+        if src:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(src),
+                    "src": src,
+                    "dst": dst,
+                }
+            )
+
+    return (
+        events.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=MARKOV_SCHEMA,
+            stateStructType=_MARKOV_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -119,6 +119,39 @@ def test_dim_variance_topk_sorted_nonnegative(spark, sf_dir):
     assert all(0 <= r.dim < 64 for r in rows)
 
 
+def test_ljung_box_nonnegative_and_lag_count(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "stat_ljung_box")
+    assert rows
+    for r in rows:
+        assert r.lb_q >= 0
+        assert r.n_lags == 5
+        assert r.n_days > r.n_lags
+
+
+def test_bloom_fpr_audit_one_sided_error(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "sketch_bloom_fpr_audit")
+    # Bloom filters never miss: every contaminated doc is flagged
+    assert r.fn == 0
+    assert r.tp == r.n_contaminated
+    assert r.n_flagged == r.tp + r.fp
+    assert r.n_train >= r.n_flagged
+    assert 0.0 <= r.fpr <= 1.0
+
+
+def test_stream_markov_matches_batch_entry(spark, sf_dir):
+    stream = {
+        (r.src, r.dst): (r.n, r.p)
+        for r in _rows(spark, sf_dir, "stream_markov_transitions")
+    }
+    batch = {
+        (r.src, r.dst): (r.n, r.p)
+        for r in _rows(spark, sf_dir, "event_markov_transitions")
+    }
+    # the batch entry tolerates NULL user_id rows; the fixture has none,
+    # so the maps must coincide exactly
+    assert stream == batch
+
+
 def test_degree_assortativity_bounds_and_stub_count(spark, sf_dir):
     (r,) = _rows(spark, sf_dir, "graph_degree_assortativity")
     # Pearson correlation of stub degrees

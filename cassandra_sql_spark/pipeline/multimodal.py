@@ -1378,3 +1378,322 @@ def decode_features_jpeg(
     return df.select(id_col, payload_col).mapInPandas(
         run, JPEG_REAL_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #5: GIF (87a/89a), palette + LZW.
+# The first dictionary-coded codec behind the seam: a real GIF bitstream
+# writer/reader — logical screen descriptor, global color table, 89a
+# extension-block skipping, image descriptor, and the GIF variant of
+# LZW with variable code widths (clear/end codes, dictionary growth,
+# width bumps at 2^n, LSB-first bit packing, 255-byte-max data
+# sub-blocks). Lossless, so the oracle replays decoded pixels
+# closed-form from the id in exact integer arithmetic — no float
+# boundary at all. The encoder serializes its code stream by SIMULATING
+# the decoder's code-width evolution (width-sync by construction: the
+# encoder's add-entry timing runs one step ahead of the decoder's, so
+# deriving widths from the encoder's own table state desyncs the END
+# code on exact power-of-two boundaries).
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_codes(indices, min_code: int) -> list[int]:
+    """GIF-LZW compress a pixel-index sequence into a code list
+    (clear ... data ... end); code WIDTHS are assigned separately."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table: dict[tuple[int, ...], int] = {
+        (i,): i for i in range(1 << min_code)
+    }
+    next_code = end + 1
+    out = [clear]
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        out.append(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        w = (int(k),)
+    if w:
+        out.append(table[w])
+    out.append(end)
+    return out
+
+
+def _gif_pack_codes(codes: list[int], min_code: int) -> bytes:
+    """Serialize codes LSB-first, deriving each code's width from the
+    DECODER's state machine (width = min_code+1 after a clear; +1 every
+    time the decoder's next free slot reaches 2^width, capped at 12).
+    The decoder adds one table entry per data code AFTER the first."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    next_code = end + 1
+    awaiting_first = True
+    acc = n_bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+        if c == clear:
+            width, next_code, awaiting_first = min_code + 1, end + 1, True
+        elif c == end:
+            break
+        elif awaiting_first:
+            awaiting_first = False
+        elif next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode(
+    indices,
+    palette,
+    version: bytes = b"87a",
+    comment: bytes | None = None,
+    max_sub_block: int = 255,
+) -> bytes:
+    """Encode an (h x w) uint8 palette-index array as a real GIF.
+
+    ``palette`` is an (n x 3) uint8 array, n a power of two >= 4.
+    ``comment`` (89a only) inserts a Comment Extension block before the
+    image — a decoder must walk extension sub-blocks to reach the
+    descriptor. ``max_sub_block`` (<= 255) forces LZW data to split
+    into short sub-blocks, breaking single-read shortcuts."""
+    import struct
+
+    h, w = indices.shape
+    n = len(palette)
+    assert n >= 4 and n & (n - 1) == 0
+    min_code = max(2, n.bit_length() - 1)
+    out = bytearray(b"GIF" + version)
+    # logical screen descriptor: GCT present, color resolution 8
+    out += struct.pack(
+        "<HHBBB", w, h, 0x80 | 0x70 | (n.bit_length() - 2), 0, 0
+    )
+    for r, g, b in palette:
+        out += bytes((int(r), int(g), int(b)))
+    if comment is not None:
+        assert version == b"89a"
+        out += b"\x21\xfe"
+        for i in range(0, len(comment), 255):
+            blk = comment[i:i + 255]
+            out += bytes((len(blk),)) + blk
+        out += b"\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes((min_code,))
+    data = _gif_pack_codes(
+        _gif_lzw_codes(indices.reshape(-1), min_code), min_code
+    )
+    for i in range(0, len(data), max_sub_block):
+        blk = data[i:i + max_sub_block]
+        out += bytes((len(blk),)) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_decode(payload: bytes):
+    """REAL GIF decode: header + LSD + GCT walk, extension skipping,
+    image descriptor, sub-block reassembly, and the full variable-width
+    LZW expansion (clear resets, KwKwK case, width bumps). Returns
+    (rgb uint8 (h, w, 3), n_colors, n_extensions). Rejects interlace,
+    local color tables, and multi-image GIFs honestly — the seam
+    contract, not a silent wrong answer."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if not packed & 0x80:
+        raise ValueError("no global color table")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    palette = np.frombuffer(
+        payload[pos:pos + 3 * n_colors], np.uint8
+    ).reshape(n_colors, 3)
+    pos += 3 * n_colors
+    n_ext = 0
+    while True:
+        intro = payload[pos]
+        if intro == 0x21:  # extension: label + sub-block chain
+            n_ext += 1
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif intro == 0x2C:
+            break
+        else:
+            raise ValueError(f"unexpected block 0x{intro:02x}")
+    left, top, w, h, ipacked = struct.unpack("<HHHHB", payload[pos + 1:pos + 10])
+    if ipacked & 0x80:
+        raise ValueError("local color table unsupported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    pos += 10
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos]:
+        ln = payload[pos]
+        data += payload[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+    pos += 1
+    if payload[pos] != 0x3B:
+        raise ValueError("missing trailer (multi-image unsupported)")
+
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    next_code = end + 1
+    acc = n_bits = bytepos = 0
+    prev: int | None = None
+    pix = bytearray()
+    while True:
+        while n_bits < width:
+            acc |= data[bytepos] << n_bits
+            bytepos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = table[: end + 1]
+            next_code, width, prev = end + 1, min_code + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("corrupt LZW stream")
+        if prev is not None and next_code < 4096:
+            table.append(table[prev] + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        pix += entry
+        prev = code
+    if len(pix) != w * h:
+        raise ValueError(f"decoded {len(pix)} pixels, wanted {w * h}")
+    idx = np.frombuffer(bytes(pix), np.uint8).reshape(h, w)
+    return palette[idx], n_colors, n_ext
+
+
+def synth_gif_payload(
+    df: DataFrame, id_col: str = "doc_id", side: int = 8
+) -> DataFrame:
+    """Deterministic GIF fixtures: (side x side) images whose palette
+    SIZE varies with the id (4/8/16 colors -> LZW min code 2/3/4, so
+    every width-growth schedule is exercised), pixel indices
+    k_i = (id*17 + 3i) % n_colors at raster index i, palette entry c =
+    ((id*7+11c)%256, (id*19+5c)%251, (id*23+13c)%247) — a formula
+    family disjoint from the BMP/PNG fixtures. ids % 3 == 0 become 89a
+    files with a Comment Extension (the decoder must walk it); LZW data
+    splits into (4 + id%5*2)-byte sub-blocks — below the 13-byte
+    minimum compressed size of these fixtures, so EVERY payload carries
+    at least two (trap pinned in tests)."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(side * side, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                nc = 4 << (d % 3)
+                idx = ((d * 17 + 3 * i) % nc).astype(np.uint8)
+                c = np.arange(nc, dtype=np.int64)
+                palette = np.stack(
+                    [
+                        (d * 7 + 11 * c) % 256,
+                        (d * 19 + 5 * c) % 251,
+                        (d * 23 + 13 * c) % 247,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                is89 = d % 3 == 0
+                payloads.append(
+                    gif_encode(
+                        idx.reshape(side, side),
+                        palette,
+                        version=b"89a" if is89 else b"87a",
+                        comment=b"synthetic fixture" if is89 else None,
+                        max_sub_block=4 + (d % 5) * 2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+GIF_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_colors", LongType()),
+        StructField("n_extensions", LongType()),
+        StructField("wsum_r", LongType()),
+        StructField("wsum_g", LongType()),
+        StructField("wsum_b", LongType()),
+    ]
+)
+
+
+def decode_features_gif(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL GIF decode in the mapInPandas slot: position-weighted
+    per-channel sums (weight i+1 at raster index i — LZW order, palette
+    mapping, and sub-block reassembly errors all change the number),
+    plus the palette size and extension count (closed-form in the id,
+    so a reader that skips the actual walk cannot echo them). All
+    integers — the one codec statistic with no float boundary at all."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_colors": [],
+                "n_extensions": [], "wsum_r": [], "wsum_g": [], "wsum_b": [],
+            }
+            for d, p in zip(pdf[id_col], pdf[payload_col]):
+                rgb, nc, n_ext = gif_decode(bytes(p))
+                h, w, _ = rgb.shape
+                wt = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                out["doc_id"].append(int(d))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_colors"].append(nc)
+                out["n_extensions"].append(n_ext)
+                for ci, col in enumerate(("wsum_r", "wsum_g", "wsum_b")):
+                    out[col].append(
+                        int((rgb[:, :, ci].astype(np.int64) * wt).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, GIF_REAL_SCHEMA)

@@ -166,6 +166,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "stat_ljung_box",              # white-noise portmanteau, 5 lags
     "sketch_bloom_fpr_audit",      # bloom vs exact confusion + FPR
     "stream_markov_transitions",   # stateful twin of the LEAD pairs
+    "gif_decode_real",             # REAL GIF LZW (codec #5, all-integer)
 )
 
 _ALL: dict[str, Q] = {}

@@ -643,3 +643,63 @@ QUERIES.update(
         ),
     }
 )
+
+
+# -- REAL GIF codec (codec #5) -----------------------------------------------
+# Deterministic 8x8 palette fixtures (palette size 4/8/16 by id, pixel
+# indices and palette colors closed-form in the id — see
+# multimodal.synth_gif_payload) are encoded with the real gif_encode
+# (variable-width LZW, multi-sub-block data, 89a Comment Extensions on
+# ids % 3 == 0) and decoded by the real chunk-walking gif_decode inside
+# mapInPandas. The oracle recomputes the position-weighted channel sums
+# symbolically from the id: a decoder that desyncs LZW code widths,
+# drops a sub-block boundary, maps the palette wrong, or fails to walk
+# the extension chain reconstructs different pixels (or dies) and
+# mismatches. Everything is exact BIGINT arithmetic — the one codec
+# entry with no float boundary.
+def _gif_decode_real(spark, sf):
+    from cassandra_sql_spark.io import load
+    from cassandra_sql_spark.pipeline import multimodal
+
+    return multimodal.decode_features_gif(
+        multimodal.synth_gif_payload(
+            load(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 200),
+            side=8,
+        )
+    )
+
+
+_GIF_ORACLE = """
+WITH d AS (
+  SELECT doc_id, CAST(4 * (1 << (doc_id % 3)) AS BIGINT) AS nc
+  FROM documents WHERE doc_id < 200
+), i AS (
+  SELECT UNNEST(generate_series(0, 63)) AS i
+), px AS (
+  SELECT doc_id, nc, i, (doc_id * 17 + 3 * i) % nc AS k
+  FROM d, i
+)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       MAX(nc) AS n_colors,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_extensions,
+       CAST(SUM((i + 1) * ((doc_id * 7 + 11 * k) % 256)) AS BIGINT)
+         AS wsum_r,
+       CAST(SUM((i + 1) * ((doc_id * 19 + 5 * k) % 251)) AS BIGINT)
+         AS wsum_g,
+       CAST(SUM((i + 1) * ((doc_id * 23 + 13 * k) % 247)) AS BIGINT)
+         AS wsum_b
+FROM px GROUP BY doc_id
+"""
+
+QUERIES.update(
+    {
+        "gif_decode_real": df_q(
+            _gif_decode_real, ("documents",), oracle=_GIF_ORACLE
+        ),
+    }
+)

@@ -1267,3 +1267,104 @@ def test_jpeg_fixture_traps_are_armed(spark, sf_dir):
                 v = 2 * ((d * 7 + by * 3 + bx * 5) % 100) + 40
                 blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
                 assert (blk == v).all(), (d, by, bx)
+
+
+# --- REAL codec #5: GIF palette + LZW (r9) ----------------------------------
+
+
+def test_gif_roundtrip_random_and_kwkwk():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        nc = 4 << rng.integers(0, 3)
+        h, w = int(rng.integers(1, 30)), int(rng.integers(1, 30))
+        idx = rng.integers(0, nc, size=(h, w)).astype(np.uint8)
+        pal = rng.integers(0, 256, size=(nc, 3)).astype(np.uint8)
+        p = multimodal.gif_encode(
+            idx, pal, max_sub_block=int(rng.integers(1, 256))
+        )
+        rgb, n_colors, n_ext = multimodal.gif_decode(p)
+        assert n_colors == nc and n_ext == 0
+        assert np.array_equal(rgb, pal[idx]), trial
+    # aaaa... runs hit the KwKwK (code == next_code) special case
+    idx = np.zeros((16, 16), np.uint8)
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    rgb, _, _ = multimodal.gif_decode(multimodal.gif_encode(idx, pal))
+    assert np.array_equal(rgb, pal[idx])
+    # large low-palette image forces code width growth toward 12 bits
+    # and the 4096 dictionary cap on both sides
+    idx = rng.integers(0, 4, size=(200, 200)).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(4, 3)).astype(np.uint8)
+    rgb, _, _ = multimodal.gif_decode(multimodal.gif_encode(idx, pal))
+    assert np.array_equal(rgb, pal[idx])
+
+
+def test_gif_decode_walks_extensions_and_rejects_unsupported():
+    import numpy as np
+    import pytest
+
+    idx = np.arange(64, dtype=np.uint8).reshape(8, 8) % 8
+    pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    p89 = multimodal.gif_encode(
+        idx, pal, version=b"89a", comment=b"c" * 300, max_sub_block=7
+    )
+    rgb, nc, n_ext = multimodal.gif_decode(p89)
+    assert (nc, n_ext) == (8, 1)
+    assert np.array_equal(rgb, pal[idx])
+
+    p = bytearray(multimodal.gif_encode(idx, pal))
+    with pytest.raises(ValueError):
+        multimodal.gif_decode(b"NOTAGIF" + bytes(p))
+    # flip the interlace bit in the image descriptor
+    desc = bytes(p).index(b"\x2c")
+    p_i = bytes(p[:desc + 9]) + bytes((p[desc + 9] | 0x40,)) + bytes(
+        p[desc + 10:]
+    )
+    with pytest.raises(ValueError):
+        multimodal.gif_decode(p_i)
+    # truncate the trailer
+    with pytest.raises((ValueError, IndexError)):
+        multimodal.gif_decode(bytes(p[:-1]) + b"\x00")
+
+
+def test_gif_fixture_traps_are_armed(spark, sf_dir):
+    """Fixtures must exercise the traps: varying palette size (all three
+    LZW min code sizes), multiple data sub-blocks, 89a + comment on
+    ids%3==0 — otherwise the oracle's closed-form columns prove
+    nothing."""
+    rows = (
+        multimodal.synth_gif_payload(
+            load(spark, sf_dir, "documents").select("doc_id").filter(
+                "doc_id < 12"
+            )
+        )
+        .collect()
+    )
+    assert len(rows) == 12
+    seen_nc = set()
+    for r in rows:
+        p = bytes(r.payload)
+        d = int(r.doc_id)
+        assert p[:6] == (b"GIF89a" if d % 3 == 0 else b"GIF87a"), d
+        rgb, nc, n_ext = multimodal.gif_decode(p)
+        assert nc == 4 << (d % 3)
+        assert n_ext == (1 if d % 3 == 0 else 0)
+        seen_nc.add(nc)
+        # count LZW data sub-blocks: walk header -> GCT -> extensions
+        # -> image descriptor (0x2C can occur inside palette bytes, so
+        # a byte search would lie)
+        pos = 13 + 3 * nc
+        while p[pos] == 0x21:
+            pos += 2
+            while p[pos]:
+                pos += 1 + p[pos]
+            pos += 1
+        assert p[pos] == 0x2C, d
+        pos += 10 + 1
+        n_blocks = 0
+        while p[pos]:
+            n_blocks += 1
+            pos += 1 + p[pos]
+        assert n_blocks >= 2, (d, n_blocks)
+    assert seen_nc == {4, 8, 16}

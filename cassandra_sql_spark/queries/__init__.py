@@ -167,6 +167,10 @@ NEXT_WINDOW: tuple[str, ...] = (
     "sketch_bloom_fpr_audit",      # bloom vs exact confusion + FPR
     "stream_markov_transitions",   # stateful twin of the LEAD pairs
     "gif_decode_real",             # REAL GIF LZW (codec #5, all-integer)
+    "graph_shortest_hops",         # recursive-CTE BFS, deduped frontier
+    "series_seasonal_strength",    # weekday-cycle variance share
+    "event_decayed_revenue",       # recency-weighted LTV feature
+    "sketch_kmv_intersection",     # bottom-k overlap estimate + exact
 )
 
 _ALL: dict[str, Q] = {}

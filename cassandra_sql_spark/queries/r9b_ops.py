@@ -703,3 +703,197 @@ QUERIES.update(
         ),
     }
 )
+
+
+# -- BFS shortest hops (recursive CTE) ----------------------------------------
+# Minimum hop distance from the smallest page node over the canonical
+# page graph, depth-capped at 4 — the reachability primitive (crawl
+# radius, link-rot audit) expressed as a RECURSIVE CTE, which Spark 4
+# executes natively (the reference's Calcite build has no recursion,
+# sql/SqlParser.java). UNION ALL + GROUP BY MIN collapses the path
+# enumeration; the cap bounds it at degree^4 over the domain-bounded
+# page graph (the wedge entries' documented bound), independent of the
+# event-log size — the log is scanned once to build hops.
+_BFS_BODY = """
+sym AS (
+  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+), src AS (
+  SELECT MIN(a) AS s FROM edges
+), walk(node, dist) AS (
+  SELECT s, 0 FROM src
+  UNION ALL
+  -- DISTINCT per frontier caps each level at |nodes| rows: raw UNION
+  -- ALL enumerates PATHS (degree^4 of them — it tripped Spark's 1M
+  -- recursion row limit at sf0.01), the deduped frontier enumerates
+  -- node-visits
+  SELECT DISTINCT sym.b, walk.dist + 1
+  FROM walk JOIN sym ON walk.node = sym.a
+  WHERE walk.dist < 4
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS hops
+FROM walk GROUP BY node ORDER BY node
+"""
+
+_BFS_SPARK = f"WITH RECURSIVE {_EDGES.format(k=_SPARK_K)}, {_BFS_BODY}"
+_BFS_DUCK = f"WITH RECURSIVE {_EDGES.format(k=_DUCK_K)}, {_BFS_BODY}"
+
+# -- Seasonal strength --------------------------------------------------------
+# How much of the daily-revenue variance does the weekday cycle
+# explain? F = max(0, 1 - Var(residual)/Var(total)) per event_type,
+# where the seasonal component is the type's weekday mean. Total
+# variance comes from exact integer power sums on the daily-dollar
+# grid; residuals (dollars minus a weekday mean) are identical doubles
+# on both engines (one division of exact ints), and their squares land
+# on the whole-unit grid before the exact sum — integer dollar^2
+# resolution, overflow-safe past sf100. Windows/aggregates all run over
+# the day domain.
+_SEASONAL_STRENGTH_BODY = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(FLOOR(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+              + 0.5) AS BIGINT) AS r
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+), wd AS (
+  SELECT event_type, {dow} AS dow, SUM(r) AS srw, COUNT(*) AS crw
+  FROM daily GROUP BY event_type, {dow}
+), tot AS (
+  SELECT event_type, COUNT(*) AS n, SUM(r) AS s1, SUM(r * r) AS s2
+  FROM daily GROUP BY event_type
+), res AS (
+  SELECT d.event_type,
+         CAST(FLOOR(
+           (d.r - CAST(w.srw AS DOUBLE) / w.crw)
+             * (d.r - CAST(w.srw AS DOUBLE) / w.crw) + 0.5) AS BIGINT) AS q
+  FROM daily d JOIN wd w
+    ON d.event_type = w.event_type AND {dow_d} = w.dow
+), ragg AS (
+  SELECT event_type, SUM(q) AS sq, COUNT(*) AS n FROM res
+  GROUP BY event_type
+)
+SELECT t.event_type, CAST(t.n AS BIGINT) AS n_days,
+       CAST(CAST(CAST(t.s2 AS DOUBLE) / t.n
+                 - (CAST(t.s1 AS DOUBLE) / t.n)
+                   * (CAST(t.s1 AS DOUBLE) / t.n)
+            AS DECIMAL(18,6)) AS DOUBLE) AS var_total,
+       CAST(CAST(CAST(r.sq AS DOUBLE) / r.n AS DECIMAL(18,6)) AS DOUBLE)
+         AS var_residual,
+       CAST(CAST(
+         CASE WHEN CAST(t.s2 AS DOUBLE) / t.n
+                   - (CAST(t.s1 AS DOUBLE) / t.n)
+                     * (CAST(t.s1 AS DOUBLE) / t.n) <= 0 THEN 0
+              ELSE GREATEST(0.0, 1 - (CAST(r.sq AS DOUBLE) / r.n)
+                / (CAST(t.s2 AS DOUBLE) / t.n
+                   - (CAST(t.s1 AS DOUBLE) / t.n)
+                     * (CAST(t.s1 AS DOUBLE) / t.n)))
+         END AS DECIMAL(18,6)) AS DOUBLE) AS seasonal_strength
+FROM tot t JOIN ragg r ON t.event_type = r.event_type
+ORDER BY t.event_type
+"""
+
+_SEASONAL_SPARK = _SEASONAL_STRENGTH_BODY.format(
+    dow="dayofweek(day)", dow_d="dayofweek(d.day)"
+)
+_SEASONAL_DUCK = _SEASONAL_STRENGTH_BODY.format(
+    dow="CAST(extract(dow FROM day) AS INTEGER)",
+    dow_d="CAST(extract(dow FROM d.day) AS INTEGER)",
+)
+
+# -- Recency-decayed revenue --------------------------------------------------
+# Per-user exponentially decayed spend (half-life ~6.6 days at 0.9/day)
+# — the recency-weighted LTV feature. The decay WEIGHT table is what
+# gets quantized (one FLOOR(0.9^age * 1e9) per distinct age — ~|days|
+# values, so libm pow ulp skew has ~|days| grid-boundary lottery
+# tickets, not one per event); each event's contribution is then an
+# exact BIGINT product and the per-user sum is order-free.
+_DECAYED_BODY = """
+WITH mx AS (
+  SELECT MAX(CAST(ts AS DATE)) AS m FROM events WHERE ts IS NOT NULL
+), t AS (
+  SELECT e.user_id,
+         CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(FLOOR(POWER(0.9, {age}) * 1e9 + 0.5) AS BIGINT) AS wq
+  FROM events e, mx
+  WHERE e.ts IS NOT NULL AND e.value IS NOT NULL
+    AND e.user_id IS NOT NULL
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents * wq) AS DOUBLE) / 1e11 AS decayed_usd
+FROM t GROUP BY user_id ORDER BY user_id
+"""
+
+_DECAYED_SPARK = _DECAYED_BODY.format(age="DATEDIFF(mx.m, CAST(e.ts AS DATE))")
+_DECAYED_DUCK = _DECAYED_BODY.format(age="(mx.m - CAST(e.ts AS DATE))")
+
+# -- KMV set-intersection estimate --------------------------------------------
+# Audience-overlap at sketch cost: bottom-32 md5 sketch of the click
+# and purchase user sets, union-sketch Jaccard x KMV union cardinality
+# = intersection estimate, graded NEXT TO the exact intersection (the
+# sketch_kmv_distinct contract: the estimate IS the checked value, and
+# its error is visible in the same row). Mergeable bottom-k semantics —
+# per-shard sketches fold without rescanning. Small-set branch falls
+# back to exact on both engines identically.
+_KMV_INTERSECT_BODY = """
+WITH a AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL
+), b AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), m AS (
+  SELECT COALESCE(a.user_id, b.user_id) AS uid,
+         a.user_id IS NOT NULL AS ina,
+         b.user_id IS NOT NULL AS inb
+  FROM a FULL JOIN b ON a.user_id = b.user_id
+), r AS (
+  SELECT uid, ina, inb,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(uid AS {str})))
+           AS rn,
+         COUNT(*) OVER () AS nd,
+         md5(CAST(uid AS {str})) AS hx
+  FROM m
+), agg AS (
+  SELECT SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS n_ab,
+         MAX(nd) AS n_union,
+         SUM(CASE WHEN rn <= 32 AND ina AND inb THEN 1 ELSE 0 END)
+           AS s_both,
+         MAX(CASE WHEN rn = 32 THEN hx END) AS h32
+  FROM r
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_ab AS BIGINT) AS exact_intersection,
+       CAST(CAST(
+         CASE WHEN n_union < 32 THEN CAST(n_ab AS DOUBLE)
+              ELSE CAST(s_both AS DOUBLE) / 32
+                   * (31.0 / ({h32int} / POWER(16.0, 12)))
+         END AS DECIMAL(18,4)) AS DOUBLE) AS est_intersection
+FROM agg
+"""
+
+_KMV_I_SPARK = _KMV_INTERSECT_BODY.format(
+    str="STRING",
+    h32int="CAST(conv(substring(h32, 1, 12), 16, 10) AS DOUBLE)",
+)
+_KMV_I_DUCK = _KMV_INTERSECT_BODY.format(
+    str="VARCHAR",
+    h32int="CAST(('0x' || substring(h32, 1, 12))::BIGINT AS DOUBLE)",
+)
+
+QUERIES.update(
+    {
+        "graph_shortest_hops": sql_q(
+            _BFS_SPARK, ("events",), oracle=_BFS_DUCK
+        ),
+        "series_seasonal_strength": sql_q(
+            _SEASONAL_SPARK, ("events",), oracle=_SEASONAL_DUCK
+        ),
+        "event_decayed_revenue": sql_q(
+            _DECAYED_SPARK, ("events",), oracle=_DECAYED_DUCK
+        ),
+        "sketch_kmv_intersection": sql_q(
+            _KMV_I_SPARK, ("events",), oracle=_KMV_I_DUCK
+        ),
+    }
+)

@@ -152,6 +152,57 @@ def test_stream_markov_matches_batch_entry(spark, sf_dir):
     assert stream == batch
 
 
+def test_shortest_hops_bfs_invariants(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "graph_shortest_hops")
+    assert rows
+    dists = {r.node: r.hops for r in rows}
+    src = min(dists)  # source is MIN(a), which is also the min node seen
+    assert dists[src] == 0
+    assert all(0 <= h <= 4 for h in dists.values())
+    # BFS frontier property: some node at each distance up to the max
+    seen = set(dists.values())
+    assert seen == set(range(max(seen) + 1))
+
+
+def test_seasonal_strength_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "series_seasonal_strength")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.seasonal_strength <= 1.0 + 1e-6, r
+        assert r.var_total >= 0 and r.var_residual >= 0
+        # residual variance (around a fitted component) can't exceed
+        # total variance beyond grid slack
+        assert r.var_residual <= r.var_total + 1.0, r
+
+
+def test_decayed_revenue_bounds(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    rows = _rows(spark, sf_dir, "event_decayed_revenue")
+    assert rows
+    totals = {
+        r.user_id: r.total
+        for r in load(spark, sf_dir, "events")
+        .filter(FF.col("value").isNotNull() & FF.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg((FF.sum("value")).alias("total"))
+        .collect()
+    }
+    for r in rows:
+        # decay weights are in (0, 1]: decayed <= undecayed total
+        assert 0.0 <= r.decayed_usd <= totals[r.user_id] + 0.01, r
+
+
+def test_kmv_intersection_sane(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "sketch_kmv_intersection")
+    assert r.exact_intersection <= min(r.n_a, r.n_b)
+    assert r.est_intersection >= 0
+    # bottom-32 sketch on these set sizes: estimate within 3x
+    if r.exact_intersection > 0:
+        ratio = r.est_intersection / r.exact_intersection
+        assert 1 / 3 <= ratio <= 3, r
+
+
 def test_degree_assortativity_bounds_and_stub_count(spark, sf_dir):
     (r,) = _rows(spark, sf_dir, "graph_degree_assortativity")
     # Pearson correlation of stub degrees

@@ -171,6 +171,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "series_seasonal_strength",    # weekday-cycle variance share
     "event_decayed_revenue",       # recency-weighted LTV feature
     "sketch_kmv_intersection",     # bottom-k overlap estimate + exact
+    "series_lead_lag_xcorr",       # click-leads-purchase screen
+    "text_js_divergence_sources",  # source-vs-corpus mixture distance
+    "dedup_lsh_bucket_skew",       # banded-LSH quadratic-hazard audit
 )
 
 _ALL: dict[str, Q] = {}

@@ -881,8 +881,205 @@ _KMV_I_DUCK = _KMV_INTERSECT_BODY.format(
     h32int="CAST(('0x' || substring(h32, 1, 12))::BIGINT AS DOUBLE)",
 )
 
+# -- Lead-lag cross-correlation -----------------------------------------------
+# Does click volume LEAD purchase revenue? Pearson r between daily
+# click counts and purchase dollars at lags -1/0/+1 — the
+# cause-precedes-effect screen before anyone fits an attribution
+# model. All power sums are exact BIGINTs on the daily count/dollar
+# grids; one division + two sqrts per lag. Windows run over the day
+# domain.
+_XCORR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             ELSE 0 END) AS pc
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY CAST(ts AS DATE)
+), p AS (
+  SELECT day, c, CAST(FLOOR(pc / 100.0 + 0.5) AS BIGINT) AS pd
+  FROM daily
+), l AS (
+  SELECT c,
+         LAG(pd, 1) OVER (ORDER BY day) AS pm1,
+         pd AS p0,
+         LEAD(pd, 1) OVER (ORDER BY day) AS pp1
+  FROM p
+), pairs AS (
+  SELECT -1 AS lg, c AS x, pm1 AS y FROM l WHERE pm1 IS NOT NULL
+  UNION ALL SELECT 0 AS lg, c AS x, p0 AS y FROM l
+  UNION ALL SELECT 1 AS lg, c AS x, pp1 AS y FROM l WHERE pp1 IS NOT NULL
+), s AS (
+  SELECT lg, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY lg
+)
+SELECT CAST(lg AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CAST(CAST(
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+            * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+         AS DECIMAL(18,6)) AS DOUBLE) AS xcorr
+FROM s ORDER BY lag
+"""
+
+# -- Jensen-Shannon divergence per source --------------------------------------
+# How far is each source's unigram distribution from the corpus mix? —
+# the mixture-design distance a data-curation pass reads before
+# weighting sources. JSD(P_s || Q) with the absent-token mass folded in
+# CLOSED FORM: tokens the source never emits contribute exactly
+# 0.5*q*ln(2) to KL(Q||M), so the sum runs only over (source, token)
+# pairs that EXIST — no source x vocabulary cross join, scale-safe at
+# any vocabulary size. Present-token terms quantize onto the 1e-9 grid.
+_JSD_BODY = """
+, cnt AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+), stot AS (
+  SELECT source, SUM(c) AS ts FROM cnt GROUP BY source
+), ctot AS (
+  SELECT tok, SUM(c) AS cc FROM cnt GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS t FROM cnt
+), terms AS (
+  SELECT cnt.source,
+         CAST(FLOOR(0.5 * (
+             CAST(cnt.c AS DOUBLE) / s.ts
+               * LN((CAST(cnt.c AS DOUBLE) / s.ts)
+                    / ((CAST(cnt.c AS DOUBLE) / s.ts
+                        + CAST(v.cc AS DOUBLE) / tot.t) / 2))
+           + CAST(v.cc AS DOUBLE) / tot.t
+               * LN((CAST(v.cc AS DOUBLE) / tot.t)
+                    / ((CAST(cnt.c AS DOUBLE) / s.ts
+                        + CAST(v.cc AS DOUBLE) / tot.t) / 2))
+         ) * 1e9 + 0.5) AS BIGINT) AS q9,
+         v.cc
+  FROM cnt
+  JOIN stot s ON cnt.source = s.source
+  JOIN ctot v ON cnt.tok = v.tok
+  CROSS JOIN tot
+)
+SELECT t2.source, CAST(s.ts AS BIGINT) AS n_tokens,
+       CAST(CAST(
+         CAST(t2.qsum AS DOUBLE) / 1e9
+           + 0.5 * LN(2.0) * (1 - CAST(t2.qcov AS DOUBLE) / tot.t)
+         AS DECIMAL(18,6)) AS DOUBLE) AS jsd_nats
+FROM (
+  SELECT source, SUM(q9) AS qsum, SUM(cc) AS qcov
+  FROM terms GROUP BY source
+) t2
+JOIN stot s ON t2.source = s.source
+CROSS JOIN tot
+ORDER BY t2.source
+"""
+
+_JSD_SPARK = (
+    """
+WITH tok AS (
+  SELECT source, explode(split(trim(text), '\\\\s+')) AS tok
+  FROM documents WHERE source IS NOT NULL
+)"""
+    + _JSD_BODY
+)
+
+_JSD_DUCK = (
+    """
+WITH tok AS (
+  SELECT source, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE source IS NOT NULL
+)"""
+    + _JSD_BODY
+)
+
+# -- MinHash LSH bucket-skew audit ---------------------------------------------
+# The scale-safety diagnostic for the banded-LSH dedup family: bucket
+# sizes drive the candidate-pair cost (sum s(s-1)/2), and a skewed
+# bucket is the quadratic hazard. This audit re-derives a 16-perm,
+# 4-band signature in the md5 hash family (portable to DuckDB — same
+# conversion as decontam_bloom) and grades the bucket-size distribution:
+# bucket count, singletons, max size, exact candidate-pair total. The
+# production path keeps xxhash64 (3x cheaper probes, dedup.minhash_lsh
+# pairs); this is its verification twin at the distribution level —
+# per-band state is |docs| rows, one groupBy per level.
+_LSH_SKEW_BODY = """
+, js AS ({j_series}),
+hx AS (
+  SELECT g.doc_id, js.j,
+         MIN({md5int}) AS mh
+  FROM g CROSS JOIN js GROUP BY g.doc_id, js.j
+), bk AS (
+  SELECT doc_id, CAST(FLOOR(j / 4.0) AS INT) AS band,
+         md5(CAST(CAST(FLOOR(j / 4.0) AS INT) AS {str}) || ':'
+             || {listagg}) AS bkey
+  FROM hx GROUP BY doc_id, CAST(FLOOR(j / 4.0) AS INT)
+), buckets AS (
+  SELECT band, bkey, COUNT(*) AS sz FROM bk GROUP BY band, bkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS n_candidate_pairs
+FROM buckets
+"""
+
+_LSH_SKEW_SPARK = (
+    """
+WITH toks AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         array_distinct(transform(sequence(1, size(w) - 2),
+           i -> concat_ws(' ', slice(w, i, 3)))) AS s
+  FROM toks WHERE size(w) >= 3
+), g AS (
+  SELECT doc_id, explode(s) AS gr FROM sh
+)"""
+    + _LSH_SKEW_BODY.format(
+        j_series="SELECT explode(sequence(0, 15)) AS j",
+        md5int=(
+            "CAST(conv(substring(md5(concat(gr, ':', CAST(js.j AS STRING)))"
+            ", 1, 15), 16, 10) AS BIGINT)"
+        ),
+        str="STRING",
+        listagg=(
+            "listagg(CAST(mh AS STRING), ',') WITHIN GROUP (ORDER BY j)"
+        ),
+    )
+)
+
+_LSH_SKEW_DUCK = (
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w) - 1)]) AS s
+  FROM toks WHERE len(w) >= 3
+), g AS (
+  SELECT doc_id, UNNEST(s) AS gr FROM sh
+)"""
+    + _LSH_SKEW_BODY.format(
+        j_series="SELECT UNNEST(generate_series(0, 15)) AS j",
+        md5int=(
+            "('0x' || substring(md5(gr || ':' || js.j), 1, 15))::BIGINT"
+        ),
+        str="VARCHAR",
+        listagg="string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)",
+    )
+)
+
 QUERIES.update(
     {
+        "series_lead_lag_xcorr": sql_q(_XCORR_SQL, ("events",)),
+        "text_js_divergence_sources": sql_q(
+            _JSD_SPARK, ("documents",), oracle=_JSD_DUCK
+        ),
+        "dedup_lsh_bucket_skew": sql_q(
+            _LSH_SKEW_SPARK, ("documents",), oracle=_LSH_SKEW_DUCK
+        ),
         "graph_shortest_hops": sql_q(
             _BFS_SPARK, ("events",), oracle=_BFS_DUCK
         ),

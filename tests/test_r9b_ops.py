@@ -203,6 +203,37 @@ def test_kmv_intersection_sane(spark, sf_dir):
         assert 1 / 3 <= ratio <= 3, r
 
 
+def test_lead_lag_xcorr_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "series_lead_lag_xcorr")
+    assert [r.lag for r in rows] == [-1, 0, 1]
+    for r in rows:
+        assert -1.0 - 1e-6 <= r.xcorr <= 1.0 + 1e-6
+    # lag 0 uses all days; the shifted lags lose exactly one pair
+    n0 = rows[1].n_pairs
+    assert rows[0].n_pairs == n0 - 1 and rows[2].n_pairs == n0 - 1
+
+
+def test_jsd_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "text_js_divergence_sources")
+    assert rows
+    for r in rows:
+        # JSD in nats is bounded by ln 2
+        assert -1e-6 <= r.jsd_nats <= math.log(2) + 1e-6, r
+        assert r.n_tokens > 0
+
+
+def test_lsh_bucket_skew_consistency(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "dedup_lsh_bucket_skew")
+    assert r.n_singletons <= r.n_buckets
+    assert r.max_bucket >= 1
+    if r.max_bucket > 1:
+        assert r.n_candidate_pairs >= r.max_bucket * (r.max_bucket - 1) // 2
+    # every doc (with >= 3 tokens; the synthetic corpus has none shorter)
+    # lands in exactly 4 band buckets, so bucket count <= 4 * docs
+    docs = load(spark, sf_dir, "documents").count()
+    assert r.n_buckets <= 4 * docs
+
+
 def test_degree_assortativity_bounds_and_stub_count(spark, sf_dir):
     (r,) = _rows(spark, sf_dir, "graph_degree_assortativity")
     # Pearson correlation of stub degrees

@@ -204,12 +204,17 @@ deg AS (
   FROM stub2
 )
 SELECT CAST(m AS BIGINT) AS m_stubs,
-       CAST(CAST(
-         (CAST(sjk AS DOUBLE) / m
-            - (CAST(sj AS DOUBLE) / m) * (CAST(sj AS DOUBLE) / m))
-         / (CAST(sj2 AS DOUBLE) / m
-            - (CAST(sj AS DOUBLE) / m) * (CAST(sj AS DOUBLE) / m))
-         AS DECIMAL(18,6)) AS DOUBLE) AS assortativity
+       -- a REGULAR graph has zero degree variance (m*sj2 = sj^2 in
+       -- exact integers) and r is undefined: NULL, not a 0/0 — the
+       -- sf0.1 page graph IS regular, so this branch is exercised
+       CASE WHEN m * sj2 = sj * sj THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(CAST(
+              (CAST(sjk AS DOUBLE) / m
+                 - (CAST(sj AS DOUBLE) / m) * (CAST(sj AS DOUBLE) / m))
+              / (CAST(sj2 AS DOUBLE) / m
+                 - (CAST(sj AS DOUBLE) / m) * (CAST(sj AS DOUBLE) / m))
+              AS DECIMAL(18,6)) AS DOUBLE)
+       END AS assortativity
 FROM s
 """
 

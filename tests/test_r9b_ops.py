@@ -236,8 +236,10 @@ def test_lsh_bucket_skew_consistency(spark, sf_dir):
 
 def test_degree_assortativity_bounds_and_stub_count(spark, sf_dir):
     (r,) = _rows(spark, sf_dir, "graph_degree_assortativity")
-    # Pearson correlation of stub degrees
-    assert -1.0 - 1e-6 <= r.assortativity <= 1.0 + 1e-6
+    # Pearson correlation of stub degrees; NULL on a regular graph
+    # (zero degree variance — the sf0.1 page graph is one)
+    if r.assortativity is not None:
+        assert -1.0 - 1e-6 <= r.assortativity <= 1.0 + 1e-6
     # both orientations of every undirected edge enter: m = 2|E|, and
     # sum of degrees = 2|E| too, so m_stubs must be even and positive
     assert r.m_stubs > 0 and r.m_stubs % 2 == 0

@@ -70,6 +70,10 @@ WITH c AS (
          CAST(FLOOR((m4 / (m2 * m2) - 3) * 1000000 + 0.5) AS BIGINT)
            AS eki
   FROM cm
+  -- zero variance (all deviations identical) makes skew/kurt 0/0;
+  -- n >= 8 because moments of a handful of points are noise, not a
+  -- normality test. Both filters are exact comparisons on both engines.
+  WHERE m2 > 0 AND n >= 8
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
        CAST(ski AS DOUBLE) / 1e6 AS skewness,
@@ -116,7 +120,9 @@ WITH daily AS (
 SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
        CAST(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
             AS DECIMAL(18,6)) AS DOUBLE) AS dw_stat
-FROM agg ORDER BY event_type
+-- constant daily revenue (den = 0, exact) has no defined DW; a single
+-- day per type likewise — both excluded identically on both engines
+FROM agg WHERE den > 0 AND n_days >= 2 ORDER BY event_type
 """
 
 # -- Mutual information + Cramér's V -----------------------------------------
@@ -318,7 +324,9 @@ WITH daily AS (
 SELECT event_type, CAST(n_terms AS BIGINT) AS n_terms,
        CAST(CAST(SQRT(CAST(sf AS DOUBLE) / CAST(sn AS DOUBLE))
             AS DECIMAL(18,6)) AS DOUBLE) AS theil_u2
-FROM agg ORDER BY event_type
+-- a perfectly persistent series (naive error 0, exact) has no defined
+-- U2 ratio; excluded identically on both engines
+FROM agg WHERE sn > 0 ORDER BY event_type
 """
 
 # -- Per-user activity entropy -----------------------------------------------
@@ -495,7 +503,7 @@ WITH daily AS (
        + CAST(FLOOR((CAST(c5 AS DOUBLE) / CAST(den AS DOUBLE))
               * (CAST(c5 AS DOUBLE) / CAST(den AS DOUBLE))
               / (n - 5) * 1e12 + 0.5) AS BIGINT) AS qsum
-  FROM g WHERE n > 5
+  FROM g WHERE n > 5 AND den > 0
 )
 SELECT event_type, CAST(n AS BIGINT) AS n_days,
        CAST(5 AS BIGINT) AS n_lags,
@@ -921,11 +929,16 @@ WITH daily AS (
   FROM pairs GROUP BY lg
 )
 SELECT CAST(lg AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
-       CAST(CAST(
-         CAST(n * sxy - sx * sy AS DOUBLE)
-         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-            * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
-         AS DECIMAL(18,6)) AS DOUBLE) AS xcorr
+       -- zero variance on either side (exact integer test) leaves the
+       -- correlation undefined: NULL, not a 0/0
+       CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy
+            THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(CAST(
+              CAST(n * sxy - sx * sy AS DOUBLE)
+              / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+              AS DECIMAL(18,6)) AS DOUBLE)
+       END AS xcorr
 FROM s ORDER BY lag
 """
 
@@ -1033,9 +1046,15 @@ _LSH_SKEW_SPARK = (
 WITH toks AS (
   SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents
 ), sh AS (
+  -- the transform must be TOTAL: under a parquet scan Catalyst may
+  -- evaluate the projection alongside the filter, and sequence(1, 0)
+  -- DESCENDS in Spark, feeding slice a start of 0 (found by the
+  -- adversarial corpus net on a 2-token doc)
   SELECT doc_id,
-         array_distinct(transform(sequence(1, size(w) - 2),
-           i -> concat_ws(' ', slice(w, i, 3)))) AS s
+         IF(size(w) >= 3,
+            array_distinct(transform(sequence(1, size(w) - 2),
+              i -> concat_ws(' ', slice(w, i, 3)))),
+            array()) AS s
   FROM toks WHERE size(w) >= 3
 ), g AS (
   SELECT doc_id, explode(s) AS gr FROM sh

@@ -174,6 +174,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "series_lead_lag_xcorr",       # click-leads-purchase screen
     "text_js_divergence_sources",  # source-vs-corpus mixture distance
     "dedup_lsh_bucket_skew",       # banded-LSH quadratic-hazard audit
+    "part_revenue_abc",            # 80/95 cumulative-revenue classes
+    "order_fulfillment_lag",       # order-to-ship SLA percentiles
 )
 
 _ALL: dict[str, Q] = {}

@@ -1095,8 +1095,75 @@ WITH toks AS (
     )
 )
 
+# -- ABC revenue classification -----------------------------------------------
+# The classic inventory-control cut: parts whose cumulative revenue
+# share reaches 80% are class A, 95% B, the tail C. The cumulative
+# window sorts the PART-level rollup (dimension-sized — the fact table
+# reduces first), and every class boundary is an exact integer
+# comparison (cum*100 <= tot*80), so ties resolve identically on both
+# engines via the (revenue DESC, partkey) total order.
+_ABC_SQL = """
+WITH pr AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+), r AS (
+  SELECT pk, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, pk) AS cum,
+         SUM(cents) OVER () AS tot
+  FROM pr
+), c AS (
+  SELECT pk, cents, tot,
+         CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+              WHEN cum * 100 <= tot * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM r
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS revenue_usd,
+       CAST(SUM(cents) AS DOUBLE) / MAX(tot) AS revenue_share
+FROM c GROUP BY abc_class ORDER BY abc_class
+"""
+
+# -- Order fulfillment lag percentiles -----------------------------------------
+# Days from order placement to line shipment, p50/p90/p99 per order
+# priority — the SLA panel. Lags are exact integer day differences;
+# discrete percentiles via the CUME_DIST + MIN(CASE) spelling both
+# engines execute identically (the agg_percentile_disc idiom). The
+# window sorts fact-sized rows per priority — the honest cost of a
+# discrete percentile; approx_percentile is the documented scale
+# fallback (agg_approx_percentile_bound).
+_FULFILL_BODY = """
+WITH lag AS (
+  SELECT o.o_orderpriority AS pr, {lagdays} AS d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+), r AS (
+  SELECT pr, d,
+         CUME_DIST() OVER (PARTITION BY pr ORDER BY d) AS cd
+  FROM lag
+)
+SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(CASE WHEN cd >= 0.5 THEN d END) AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN cd >= 0.9 THEN d END) AS BIGINT) AS p90_days,
+       CAST(MIN(CASE WHEN cd >= 0.99 THEN d END) AS BIGINT) AS p99_days
+FROM r GROUP BY pr ORDER BY pr
+"""
+
+_FULFILL_SPARK = _FULFILL_BODY.format(
+    lagdays="DATEDIFF(CAST(l.l_shipdate AS DATE), CAST(o.o_orderdate AS DATE))"
+)
+_FULFILL_DUCK = _FULFILL_BODY.format(
+    lagdays="(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE))"
+)
+
 QUERIES.update(
     {
+        "part_revenue_abc": sql_q(_ABC_SQL, ("lineitem",)),
+        "order_fulfillment_lag": sql_q(
+            _FULFILL_SPARK, ("orders", "lineitem"), oracle=_FULFILL_DUCK
+        ),
         "series_lead_lag_xcorr": sql_q(_XCORR_SQL, ("events",)),
         "text_js_divergence_sources": sql_q(
             _JSD_SPARK, ("documents",), oracle=_JSD_DUCK

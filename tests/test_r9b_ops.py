@@ -234,6 +234,25 @@ def test_lsh_bucket_skew_consistency(spark, sf_dir):
     assert r.n_buckets <= 4 * docs
 
 
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    rows = {r.abc_class: r for r in _rows(spark, sf_dir, "part_revenue_abc")}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    shares = sum(r.revenue_share for r in rows.values())
+    assert abs(shares - 1.0) < 1e-9
+    # A reaches the 80% knee with FEWER parts per revenue dollar than C
+    if "C" in rows:
+        a, c = rows["A"], rows["C"]
+        assert a.revenue_usd / a.n_parts > c.revenue_usd / c.n_parts
+
+
+def test_fulfillment_lag_percentiles_ordered(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "order_fulfillment_lag")
+    assert rows
+    for r in rows:
+        assert r.p50_days <= r.p90_days <= r.p99_days, r
+        assert r.n_lines > 0
+
+
 def test_degree_assortativity_bounds_and_stub_count(spark, sf_dir):
     (r,) = _rows(spark, sf_dir, "graph_degree_assortativity")
     # Pearson correlation of stub degrees; NULL on a regular graph

@@ -35,14 +35,18 @@ _JB_SQL = """
 WITH c AS (
   SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
-), s AS (
-  SELECT event_type, COUNT(*) AS n, SUM(cents) AS s1
-  FROM c GROUP BY event_type
+), cw AS (
+  -- keyed window, not groupBy+join-back: CTE inlining would re-scan
+  -- the event log once per reference (plan-pinned to ONE scan)
+  SELECT event_type, cents,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(cents) OVER (PARTITION BY event_type) AS s1
+  FROM c
 ), z AS (
-  SELECT c.event_type,
-         CAST(FLOOR((c.cents * s.n - s.s1) / (100.0 * s.n) + 0.5)
+  SELECT event_type,
+         CAST(FLOOR((cents * n - s1) / (100.0 * n) + 0.5)
               AS BIGINT) AS z
-  FROM c JOIN s ON c.event_type = s.event_type
+  FROM cw
 ), p AS (
   SELECT event_type, COUNT(*) AS n, SUM(z) AS z1, SUM(z * z) AS z2,
          SUM(z * z * z) AS z3, SUM(z * z * z * z) AS z4
@@ -98,14 +102,16 @@ WITH daily AS (
               + 0.5) AS BIGINT) AS r
   FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
   GROUP BY event_type, CAST(ts AS DATE)
-), s AS (
-  SELECT event_type, COUNT(*) AS nd, SUM(r) AS s1
-  FROM daily GROUP BY event_type
+), dw_w AS (
+  SELECT event_type, day, r,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd,
+         SUM(r) OVER (PARTITION BY event_type) AS s1
+  FROM daily
 ), e AS (
-  SELECT d.event_type, d.day,
-         CAST(FLOOR((d.r * s.nd - s.s1) / (1.0 * s.nd) + 0.5)
+  SELECT event_type, day,
+         CAST(FLOOR((r * nd - s1) / (1.0 * nd) + 0.5)
               AS BIGINT) AS e
-  FROM daily d JOIN s ON d.event_type = s.event_type
+  FROM dw_w
 ), l AS (
   SELECT event_type, e,
          LAG(e) OVER (PARTITION BY event_type ORDER BY day) AS pe
@@ -142,10 +148,17 @@ WITH cells AS (
   FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
   GROUP BY lang, source
 ), m AS (
+  -- every derived quantity comes from ONE window pass over the cell
+  -- table (<= |langs|*|sources| rows): the earlier scalar-subquery
+  -- marginals re-ran the corpus groupBy once per reference under CTE
+  -- inlining (7 parquet scans). Each lang/source contributes its
+  -- marginal-entropy term exactly once via the ROW_NUMBER == 1 row.
   SELECT lang, source, o,
          SUM(o) OVER (PARTITION BY lang) AS rt,
          SUM(o) OVER (PARTITION BY source) AS ct,
-         SUM(o) OVER () AS n
+         SUM(o) OVER () AS n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY source) AS rl,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY lang) AS rs
   FROM cells
 ), terms AS (
   SELECT o, rt, ct, n,
@@ -153,33 +166,30 @@ WITH cells AS (
            * LN(CAST(o * n AS DOUBLE) / CAST(rt * ct AS DOUBLE)) AS mi_t,
          (o - CAST(rt * ct AS DOUBLE) / n)
            * (o - CAST(rt * ct AS DOUBLE) / n)
-           / (CAST(rt * ct AS DOUBLE) / n) AS chi_t
+           / (CAST(rt * ct AS DOUBLE) / n) AS chi_t,
+         CASE WHEN rl = 1 THEN -(CAST(rt AS DOUBLE) / n)
+                   * LN(CAST(rt AS DOUBLE) / n) ELSE 0 END AS hl_t,
+         CASE WHEN rs = 1 THEN -(CAST(ct AS DOUBLE) / n)
+                   * LN(CAST(ct AS DOUBLE) / n) ELSE 0 END AS hs_t,
+         CASE WHEN rl = 1 THEN 1 ELSE 0 END AS is_l,
+         CASE WHEN rs = 1 THEN 1 ELSE 0 END AS is_s
   FROM m
-), marg AS (
-  SELECT (SELECT COUNT(DISTINCT lang) FROM cells) AS nl,
-         (SELECT COUNT(DISTINCT source) FROM cells) AS ns,
-         (SELECT -SUM(CAST(rt AS DOUBLE) / n * LN(CAST(rt AS DOUBLE) / n))
-          FROM (SELECT lang, SUM(o) AS rt,
-                       (SELECT SUM(o) FROM cells) AS n
-                FROM cells GROUP BY lang) lm) AS hl,
-         (SELECT -SUM(CAST(ct AS DOUBLE) / n * LN(CAST(ct AS DOUBLE) / n))
-          FROM (SELECT source, SUM(o) AS ct,
-                       (SELECT SUM(o) FROM cells) AS n
-                FROM cells GROUP BY source) sm) AS hs
 ), tot AS (
   SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells,
-         SUM(mi_t) AS mi, SUM(chi_t) AS chi2
+         SUM(mi_t) AS mi, SUM(chi_t) AS chi2,
+         SUM(hl_t) AS hl, SUM(hs_t) AS hs,
+         SUM(is_l) AS nl, SUM(is_s) AS ns
   FROM terms
 )
 SELECT t.n, t.n_cells,
        CAST(CAST(t.mi AS DECIMAL(18,6)) AS DOUBLE) AS mi_nats,
-       CAST(CAST(t.mi / SQRT(g.hl * g.hs) AS DECIMAL(18,6)) AS DOUBLE)
+       CAST(CAST(t.mi / SQRT(t.hl * t.hs) AS DECIMAL(18,6)) AS DOUBLE)
          AS nmi,
        CAST(CAST(t.chi2 AS DECIMAL(18,6)) AS DOUBLE) AS chi2,
-       CAST(CAST(SQRT(t.chi2 / (t.n * (CASE WHEN g.nl < g.ns THEN g.nl
-                                       ELSE g.ns END - 1)))
+       CAST(CAST(SQRT(t.chi2 / (t.n * (CASE WHEN t.nl < t.ns THEN t.nl
+                                       ELSE t.ns END - 1)))
             AS DECIMAL(18,6)) AS DOUBLE) AS cramers_v
-FROM tot t, marg g
+FROM tot t
 """
 
 # -- Degree assortativity ----------------------------------------------------
@@ -230,7 +240,20 @@ _DUCK_K = (
     " THEN JSON_EXTRACT_STRING(props, '$.k') END AS BIGINT)"
 )
 
-_ASSORT_SPARK = f"WITH {_EDGES.format(k=_SPARK_K)}, {_ASSORT_BODY}"
+
+def _assortativity(spark, sf):
+    """The Spark side builds the canonical edge list ONCE via the
+    checkpointed r8 helper (the pure-SQL CTE form expanded `edges`
+    under every reference — 10 scans of the raw log; plan-pinned to
+    one parquet scan + ExistingRDD reads)."""
+    from cassandra_sql_spark.queries.r8_ops import _canonical_edges
+
+    _canonical_edges(spark, sf, "assort_edges")
+    return spark.sql(
+        "WITH " + _ASSORT_BODY.replace("edges", "assort_edges")
+    )
+
+
 _ASSORT_DUCK = f"WITH {_EDGES.format(k=_DUCK_K)}, {_ASSORT_BODY}"
 
 
@@ -238,8 +261,8 @@ QUERIES = {
     "stat_jarque_bera": sql_q(_JB_SQL, ("events",)),
     "stat_durbin_watson": sql_q(_DW_SQL, ("events",)),
     "stat_mi_cramers_v": sql_q(_MI_SQL, ("documents",)),
-    "graph_degree_assortativity": sql_q(
-        _ASSORT_SPARK, ("events",), oracle=_ASSORT_DUCK
+    "graph_degree_assortativity": df_q(
+        _assortativity, ("events",), oracle=_ASSORT_DUCK
     ),
 }
 
@@ -340,21 +363,24 @@ WITH ut AS (
   SELECT user_id, event_type, COUNT(*) AS c
   FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
   GROUP BY user_id, event_type
-), tot AS (
-  SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types FROM ut GROUP BY user_id
+), uw AS (
+  SELECT user_id, c,
+         SUM(c) OVER (PARTITION BY user_id) AS n,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_types
+  FROM ut
 ), terms AS (
-  SELECT ut.user_id,
+  SELECT user_id, n, n_types,
          CAST(FLOOR(
-           CAST(ut.c AS DOUBLE) / t.n
-             * LN(CAST(t.n AS DOUBLE) / ut.c) * 1e9 + 0.5) AS BIGINT) AS q
-  FROM ut JOIN tot t ON ut.user_id = t.user_id
+           CAST(c AS DOUBLE) / n
+             * LN(CAST(n AS DOUBLE) / c) * 1e9 + 0.5) AS BIGINT) AS q
+  FROM uw
 )
-SELECT t.user_id, CAST(t.n AS BIGINT) AS n_events,
-       CAST(t.n_types AS BIGINT) AS n_types,
-       CAST(SUM(terms.q) AS DOUBLE) / 1e9 AS entropy_nats
-FROM terms JOIN tot t ON terms.user_id = t.user_id
-GROUP BY t.user_id, t.n, t.n_types
-ORDER BY t.user_id
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(MAX(n_types) AS BIGINT) AS n_types,
+       CAST(SUM(q) AS DOUBLE) / 1e9 AS entropy_nats
+FROM terms
+GROUP BY user_id
+ORDER BY user_id
 """
 
 # -- Simpson diversity per document ------------------------------------------
@@ -464,13 +490,14 @@ WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
   FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
   GROUP BY event_type, CAST(ts AS DATE)
-), s AS (
-  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx
-  FROM daily GROUP BY event_type
+), lb_w AS (
+  SELECT event_type, day, x,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(x) OVER (PARTITION BY event_type) AS sx
+  FROM daily
 ), d AS (
-  SELECT daily.event_type, daily.day, s.n,
-         daily.x * s.n - s.sx AS dev
-  FROM daily JOIN s ON daily.event_type = s.event_type
+  SELECT event_type, day, n, x * n - sx AS dev
+  FROM lb_w
 ), l AS (
   SELECT event_type, n, dev,
          LAG(dev, 1) OVER w AS d1, LAG(dev, 2) OVER w AS d2,
@@ -747,7 +774,18 @@ SELECT node, CAST(MIN(dist) AS BIGINT) AS hops
 FROM walk GROUP BY node ORDER BY node
 """
 
-_BFS_SPARK = f"WITH RECURSIVE {_EDGES.format(k=_SPARK_K)}, {_BFS_BODY}"
+def _shortest_hops(spark, sf):
+    """Recursion over the CHECKPOINTED edge view: with the edges CTE
+    inlined, each recursive iteration would re-derive the edge list
+    from the raw log."""
+    from cassandra_sql_spark.queries.r8_ops import _canonical_edges
+
+    _canonical_edges(spark, sf, "bfs_edges")
+    return spark.sql(
+        "WITH RECURSIVE " + _BFS_BODY.replace("edges", "bfs_edges")
+    )
+
+
 _BFS_DUCK = f"WITH RECURSIVE {_EDGES.format(k=_DUCK_K)}, {_BFS_BODY}"
 
 # -- Seasonal strength --------------------------------------------------------
@@ -767,49 +805,51 @@ WITH daily AS (
               + 0.5) AS BIGINT) AS r
   FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
   GROUP BY event_type, CAST(ts AS DATE)
-), wd AS (
-  SELECT event_type, {dow} AS dow, SUM(r) AS srw, COUNT(*) AS crw
-  FROM daily GROUP BY event_type, {dow}
-), tot AS (
-  SELECT event_type, COUNT(*) AS n, SUM(r) AS s1, SUM(r * r) AS s2
-  FROM daily GROUP BY event_type
+), ws AS (
+  -- one window pass: the groupBy+join-back form re-scanned the event
+  -- log once per CTE reference (3 scans); every window is keyed by
+  -- (type) or (type, weekday)
+  SELECT event_type, r,
+         SUM(r) OVER (PARTITION BY event_type, {dow}) AS srw,
+         COUNT(*) OVER (PARTITION BY event_type, {dow}) AS crw,
+         SUM(r) OVER (PARTITION BY event_type) AS s1,
+         SUM(r * r) OVER (PARTITION BY event_type) AS s2,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
 ), res AS (
-  SELECT d.event_type,
+  SELECT event_type, n, s1, s2,
          CAST(FLOOR(
-           (d.r - CAST(w.srw AS DOUBLE) / w.crw)
-             * (d.r - CAST(w.srw AS DOUBLE) / w.crw) + 0.5) AS BIGINT) AS q
-  FROM daily d JOIN wd w
-    ON d.event_type = w.event_type AND {dow_d} = w.dow
+           (r - CAST(srw AS DOUBLE) / crw)
+             * (r - CAST(srw AS DOUBLE) / crw) + 0.5) AS BIGINT) AS q
+  FROM ws
 ), ragg AS (
-  SELECT event_type, SUM(q) AS sq, COUNT(*) AS n FROM res
-  GROUP BY event_type
+  SELECT event_type, MAX(n) AS n, MAX(s1) AS s1, MAX(s2) AS s2,
+         SUM(q) AS sq
+  FROM res GROUP BY event_type
 )
-SELECT t.event_type, CAST(t.n AS BIGINT) AS n_days,
-       CAST(CAST(CAST(t.s2 AS DOUBLE) / t.n
-                 - (CAST(t.s1 AS DOUBLE) / t.n)
-                   * (CAST(t.s1 AS DOUBLE) / t.n)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(CAST(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n)
             AS DECIMAL(18,6)) AS DOUBLE) AS var_total,
-       CAST(CAST(CAST(r.sq AS DOUBLE) / r.n AS DECIMAL(18,6)) AS DOUBLE)
+       CAST(CAST(CAST(sq AS DOUBLE) / n AS DECIMAL(18,6)) AS DOUBLE)
          AS var_residual,
        CAST(CAST(
-         CASE WHEN CAST(t.s2 AS DOUBLE) / t.n
-                   - (CAST(t.s1 AS DOUBLE) / t.n)
-                     * (CAST(t.s1 AS DOUBLE) / t.n) <= 0 THEN 0
-              ELSE GREATEST(0.0, 1 - (CAST(r.sq AS DOUBLE) / r.n)
-                / (CAST(t.s2 AS DOUBLE) / t.n
-                   - (CAST(t.s1 AS DOUBLE) / t.n)
-                     * (CAST(t.s1 AS DOUBLE) / t.n)))
+         CASE WHEN CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n) <= 0 THEN 0
+              ELSE GREATEST(0.0, 1 - (CAST(sq AS DOUBLE) / n)
+                / (CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n)))
          END AS DECIMAL(18,6)) AS DOUBLE) AS seasonal_strength
-FROM tot t JOIN ragg r ON t.event_type = r.event_type
-ORDER BY t.event_type
+FROM ragg
+ORDER BY event_type
 """
 
-_SEASONAL_SPARK = _SEASONAL_STRENGTH_BODY.format(
-    dow="dayofweek(day)", dow_d="dayofweek(d.day)"
-)
+_SEASONAL_SPARK = _SEASONAL_STRENGTH_BODY.format(dow="dayofweek(day)")
 _SEASONAL_DUCK = _SEASONAL_STRENGTH_BODY.format(
-    dow="CAST(extract(dow FROM day) AS INTEGER)",
-    dow_d="CAST(extract(dow FROM d.day) AS INTEGER)",
+    dow="CAST(extract(dow FROM day) AS INTEGER)"
 )
 
 # -- Recency-decayed revenue --------------------------------------------------
@@ -919,14 +959,19 @@ WITH daily AS (
          pd AS p0,
          LEAD(pd, 1) OVER (ORDER BY day) AS pp1
   FROM p
+), lags AS (
+  SELECT -1 AS lg UNION ALL SELECT 0 AS lg UNION ALL SELECT 1 AS lg
 ), pairs AS (
-  SELECT -1 AS lg, c AS x, pm1 AS y FROM l WHERE pm1 IS NOT NULL
-  UNION ALL SELECT 0 AS lg, c AS x, p0 AS y FROM l
-  UNION ALL SELECT 1 AS lg, c AS x, pp1 AS y FROM l WHERE pp1 IS NOT NULL
+  -- one pass: a 3-row lag dimension fans each day out, instead of a
+  -- 3-branch UNION ALL that re-scans the event log per branch
+  SELECT lags.lg, l.c AS x,
+         CASE lags.lg WHEN -1 THEN l.pm1 WHEN 0 THEN l.p0
+              ELSE l.pp1 END AS y
+  FROM l CROSS JOIN lags
 ), s AS (
   SELECT lg, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
          SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
-  FROM pairs GROUP BY lg
+  FROM pairs WHERE y IS NOT NULL GROUP BY lg
 )
 SELECT CAST(lg AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
        -- zero variance on either side (exact integer test) leaves the
@@ -951,9 +996,7 @@ FROM s ORDER BY lag
 # pairs that EXIST — no source x vocabulary cross join, scale-safe at
 # any vocabulary size. Present-token terms quantize onto the 1e-9 grid.
 _JSD_BODY = """
-, cnt AS (
-  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
-), stot AS (
+, stot AS (
   SELECT source, SUM(c) AS ts FROM cnt GROUP BY source
 ), ctot AS (
   SELECT tok, SUM(c) AS cc FROM cnt GROUP BY tok
@@ -991,20 +1034,38 @@ CROSS JOIN tot
 ORDER BY t2.source
 """
 
-_JSD_SPARK = (
-    """
-WITH tok AS (
-  SELECT source, explode(split(trim(text), '\\\\s+')) AS tok
-  FROM documents WHERE source IS NOT NULL
-)"""
-    + _JSD_BODY
-)
+def _jsd_sources(spark, sf):
+    """One corpus scan: the (source, token) count table is
+    localCheckpointed (vocabulary-scale, far smaller than the corpus)
+    and every downstream reduction reads the checkpoint — the pure-SQL
+    CTE form re-tokenized the corpus once per reference under CTE
+    inlining (6 parquet scans; the _canonical_edges trap). Plan-pinned
+    to one parquet scan."""
+    from cassandra_sql_spark.io import load
+
+    d = load(spark, sf, "documents").filter(F.col("source").isNotNull())
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    cnt = (
+        tok.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cnt.createOrReplaceTempView("jsd_cnt")
+    return spark.sql(_JSD_TAIL)
+
+
+_JSD_TAIL = "WITH cnt AS (SELECT * FROM jsd_cnt)" + _JSD_BODY
 
 _JSD_DUCK = (
     """
 WITH tok AS (
   SELECT source, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
   FROM documents WHERE source IS NOT NULL
+), cnt AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
 )"""
     + _JSD_BODY
 )
@@ -1165,14 +1226,14 @@ QUERIES.update(
             _FULFILL_SPARK, ("orders", "lineitem"), oracle=_FULFILL_DUCK
         ),
         "series_lead_lag_xcorr": sql_q(_XCORR_SQL, ("events",)),
-        "text_js_divergence_sources": sql_q(
-            _JSD_SPARK, ("documents",), oracle=_JSD_DUCK
+        "text_js_divergence_sources": df_q(
+            _jsd_sources, ("documents",), oracle=_JSD_DUCK
         ),
         "dedup_lsh_bucket_skew": sql_q(
             _LSH_SKEW_SPARK, ("documents",), oracle=_LSH_SKEW_DUCK
         ),
-        "graph_shortest_hops": sql_q(
-            _BFS_SPARK, ("events",), oracle=_BFS_DUCK
+        "graph_shortest_hops": df_q(
+            _shortest_hops, ("events",), oracle=_BFS_DUCK
         ),
         "series_seasonal_strength": sql_q(
             _SEASONAL_SPARK, ("events",), oracle=_SEASONAL_DUCK

@@ -543,3 +543,52 @@ def test_knn_join_broadcasts_probes_and_limits_below_exchange(
     # a WindowGroupLimit strictly BELOW (after, in tree print order)
     # some hash exchange = the partial, map-side cut
     assert wgl and exch and max(wgl) > min(exch), tree
+
+
+# --- round-9 second wave: scan-count pins ------------------------------------
+
+# Spark INLINES repeated CTE references: a groupBy+join-back (or scalar
+# subquery) written once in SQL re-scans its source once per reference.
+# The r9b entries were rewritten onto keyed windows / checkpointed
+# intermediates after a plan audit found up to 10 scans of the raw log
+# in the naive CTE forms. Pin the fact-table scan counts so the trap
+# cannot silently return. (Each numbered "(n) Scan parquet" node is one
+# real scan; entries at >1 carry a documented reason.)
+R9B_SCAN_BUDGET = {
+    "stat_jarque_bera": 1,
+    "stat_durbin_watson": 1,
+    "stat_ljung_box": 1,
+    "series_lead_lag_xcorr": 1,
+    "event_user_entropy": 1,
+    "series_seasonal_strength": 1,
+    "stat_mi_cramers_v": 1,
+    "series_bollinger_bands": 1,
+    "series_theil_u2": 1,
+    "text_simpson_diversity": 1,
+    "emb_dim_variance_topk": 1,
+    "part_revenue_abc": 1,
+    "gif_decode_real": 1,
+    # one full pass + one column-pruned MAX(ts) pass
+    "event_decayed_revenue": 2,
+    # two genuinely different filters feed the FULL JOIN
+    "sketch_kmv_intersection": 2,
+    # orders + lineitem: different tables
+    "order_fulfillment_lag": 2,
+    # train flags + eval bitmap + exact-verify side (documented audit)
+    "sketch_bloom_fpr_audit": 3,
+    # checkpointed intermediates: ALL reads come from ExistingRDD
+    "text_js_divergence_sources": 0,
+    "graph_degree_assortativity": 0,
+    "graph_shortest_hops": 0,
+    "dedup_lsh_bucket_skew": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(R9B_SCAN_BUDGET))
+def test_r9b_scan_budget(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    n = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n <= R9B_SCAN_BUDGET[name], (
+        f"{name}: {n} parquet scans (budget "
+        f"{R9B_SCAN_BUDGET[name]}) — a CTE reference is re-scanning"
+    )

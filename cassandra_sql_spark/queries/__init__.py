@@ -176,6 +176,9 @@ NEXT_WINDOW: tuple[str, ...] = (
     "dedup_lsh_bucket_skew",       # banded-LSH quadratic-hazard audit
     "part_revenue_abc",            # 80/95 cumulative-revenue classes
     "order_fulfillment_lag",       # order-to-ship SLA percentiles
+    "text_bigram_perplexity",      # add-1 bigram LM cross-entropy
+    "emb_participation_ratio",     # effective embedding dimensionality
+    "order_revenue_hhi",           # concentration + top-10 share
 )
 
 _ALL: dict[str, Q] = {}

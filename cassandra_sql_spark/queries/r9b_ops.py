@@ -1219,8 +1219,176 @@ _FULFILL_DUCK = _FULFILL_BODY.format(
     lagdays="(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE))"
 )
 
+# -- Bigram-LM cross-entropy per document --------------------------------------
+# The KenLM-style quality signal one tier above text_unigram_lm: a
+# bigram model with add-1 smoothing is fit on the corpus and every
+# document is scored by its per-bigram cross-entropy (gibberish and
+# boilerplate both surface as outliers). The corpus bigram table is
+# localCheckpointed (the tail references it twice — model counts AND
+# the per-doc scoring join; CTE inlining would tokenize the corpus
+# twice). Per-instance ln terms quantize onto the 1e-9 grid; the
+# smoothing alphabet V is the distinct left-context count, documented
+# as such. Perplexity = exp(H) is left to the caller: exp is not
+# correctly rounded, H is.
+_BIGRAM_XENT_TAIL = """
+WITH bc AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM {v} GROUP BY w1, w2
+), uc AS (
+  SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY w1
+), vocab AS (
+  SELECT COUNT(*) AS v FROM uc
+), scored AS (
+  SELECT b.doc_id,
+         CAST(FLOOR(
+           LN(CAST(u.c1 + vocab.v AS DOUBLE) / (m.c2 + 1)) * 1e9 + 0.5)
+           AS BIGINT) AS q
+  FROM {v} b
+  JOIN bc m ON b.w1 = m.w1 AND b.w2 = m.w2
+  JOIN uc u ON b.w1 = u.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(q) AS DOUBLE) / 1e9 / COUNT(*) AS cross_entropy_nats
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _bigram_xent(spark, sf):
+    from pyspark.sql import Window
+
+    from cassandra_sql_spark.io import load
+
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    big.createOrReplaceTempView("xent_bigrams")
+    return spark.sql(_BIGRAM_XENT_TAIL.format(v="xent_bigrams"))
+
+
+_BIGRAM_XENT_DUCK = (
+    """
+WITH tokl AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), big0 AS (
+  SELECT doc_id, UNNEST(w[1:len(w) - 1]) AS w1, UNNEST(w[2:len(w)]) AS w2
+  FROM tokl WHERE len(w) >= 2
+),
+"""
+    + _BIGRAM_XENT_TAIL.format(v="big0").replace("WITH bc AS", "bc AS", 1)
+)
+
+# -- Participation ratio of the embedding space ---------------------------------
+# Effective dimensionality: PR = (sum v_d)^2 / sum v_d^2 over per-dim
+# variances — 64 means every dimension carries equal signal, ~1 means
+# one dominates (the isotropy number a PQ subspace split reads). Same
+# 1e-5 element grid as emb_dim_variance_topk; the 64 per-dim variances
+# quantize onto a 1e-9 grid before the cross-dim sums, so the final
+# ratio is a single correctly-rounded division.
+_PR_BODY = """
+, s AS (
+  SELECT dim, COUNT(*) AS n, SUM(q) AS s1, SUM(q * q) AS s2
+  FROM el GROUP BY dim
+), v AS (
+  SELECT CAST(FLOOR(
+           (CAST(s2 AS DOUBLE) / n
+            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / 1e10 * 1e9 + 0.5) AS BIGINT) AS vq
+  FROM s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+       CAST(CAST(
+         CAST(SUM(vq) AS DOUBLE) * CAST(SUM(vq) AS DOUBLE)
+           / CAST(SUM(vq * vq) AS DOUBLE)
+         AS DECIMAL(18,6)) AS DOUBLE) AS participation_ratio
+FROM v
+"""
+
+_PR_SPARK = (
+    """
+WITH el AS (
+  SELECT CAST(pos AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(e AS DOUBLE) * 1e5 + 0.5) AS BIGINT) AS q
+  FROM embeddings
+  LATERAL VIEW POSEXPLODE(embedding) t AS pos, e
+)"""
+    + _PR_BODY
+)
+
+_PR_DUCK = (
+    """
+WITH el AS (
+  SELECT CAST(i - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(e AS DOUBLE) * 1e5 + 0.5) AS BIGINT) AS q
+  FROM (
+    SELECT UNNEST(embedding) AS e,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ) u
+)"""
+    + _PR_BODY
+)
+
+# -- Revenue concentration (HHI) -----------------------------------------------
+# Herfindahl-Hirschman index of customer revenue concentration plus the
+# top-10 share — the is-my-revenue-one-whale panel. Per-customer
+# dollars are exact integers; HHI and shares are single divisions of
+# exact sums. The rank window sorts the CUSTOMER rollup
+# (dimension-sized), and n=1 leaves normalized HHI undefined -> NULL.
+_HHI_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              / 100.0 + 0.5) AS BIGINT) AS d
+  FROM orders WHERE o_custkey IS NOT NULL
+  GROUP BY o_custkey
+), r AS (
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d DESC, o_custkey) AS rn
+  FROM cust
+), agg AS (
+  SELECT COUNT(*) AS n, SUM(d) AS s1, SUM(d * d) AS s2,
+         SUM(CASE WHEN rn <= 10 THEN d ELSE 0 END) AS top10
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(CAST(CAST(s2 AS DOUBLE)
+                 / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            AS DECIMAL(18,9)) AS DOUBLE) AS hhi,
+       CASE WHEN n = 1 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(CAST(
+              (CAST(s2 AS DOUBLE)
+                 / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               - 1.0 / n) / (1 - 1.0 / n)
+              AS DECIMAL(18,9)) AS DOUBLE)
+       END AS hhi_normalized,
+       CAST(CAST(CAST(top10 AS DOUBLE) / CAST(s1 AS DOUBLE)
+            AS DECIMAL(18,9)) AS DOUBLE) AS top10_share
+FROM agg
+"""
+
 QUERIES.update(
     {
+        "text_bigram_perplexity": df_q(
+            _bigram_xent, ("documents",), oracle=_BIGRAM_XENT_DUCK
+        ),
+        "emb_participation_ratio": sql_q(
+            _PR_SPARK, ("embeddings",), oracle=_PR_DUCK
+        ),
+        "order_revenue_hhi": sql_q(_HHI_SQL, ("orders",)),
         "part_revenue_abc": sql_q(_ABC_SQL, ("lineitem",)),
         "order_fulfillment_lag": sql_q(
             _FULFILL_SPARK, ("orders", "lineitem"), oracle=_FULFILL_DUCK

@@ -576,8 +576,11 @@ R9B_SCAN_BUDGET = {
     "order_fulfillment_lag": 2,
     # train flags + eval bitmap + exact-verify side (documented audit)
     "sketch_bloom_fpr_audit": 3,
+    "emb_participation_ratio": 1,
+    "order_revenue_hhi": 1,
     # checkpointed intermediates: ALL reads come from ExistingRDD
     "text_js_divergence_sources": 0,
+    "text_bigram_perplexity": 0,
     "graph_degree_assortativity": 0,
     "graph_shortest_hops": 0,
     "dedup_lsh_bucket_skew": 1,

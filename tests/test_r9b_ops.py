@@ -253,6 +253,32 @@ def test_fulfillment_lag_percentiles_ordered(spark, sf_dir):
         assert r.n_lines > 0
 
 
+def test_bigram_xent_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "text_bigram_perplexity")
+    assert rows
+    for r in rows[:100]:
+        # add-1 smoothed bigram probability is in (0, 1]: H >= 0, and
+        # bounded by ln(c1 + V) <= ln(total bigrams + vocab)
+        assert r.cross_entropy_nats >= -1e-6, r
+        assert r.n_bigrams >= 1
+
+
+def test_participation_ratio_bounds(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "emb_participation_ratio")
+    assert r.n_dims == 64
+    # PR lives in [1, n_dims]
+    assert 1.0 - 1e-6 <= r.participation_ratio <= 64.0 + 1e-6
+
+
+def test_hhi_bounds(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "order_revenue_hhi")
+    # HHI in [1/n, 1]; normalized in [0, 1]; top10 share <= 1
+    assert 1.0 / r.n_customers - 1e-9 <= r.hhi <= 1.0 + 1e-9
+    if r.hhi_normalized is not None:
+        assert -1e-9 <= r.hhi_normalized <= 1.0 + 1e-9
+    assert 0.0 <= r.top10_share <= 1.0 + 1e-9
+
+
 def test_degree_assortativity_bounds_and_stub_count(spark, sf_dir):
     (r,) = _rows(spark, sf_dir, "graph_degree_assortativity")
     # Pearson correlation of stub degrees; NULL on a regular graph

@@ -23,6 +23,7 @@ from cassandra_sql_spark.queries import (
     r8b_ops,
     r9_ops,
     r9b_ops,
+    r10_ops,
     relational,
     selection_queries,
     setops,
@@ -61,80 +62,21 @@ _MODULES = (
     r8b_ops,
     r9_ops,
     r9b_ops,
+    r10_ops,
 )
 
 # The correctness driver grades only the FIRST 50 registry entries. The
 # window ROTATES per round so every oracle-checked entry eventually gets a
-# hard-signal driver row (r1-r8 graded 266 distinct entries, all green at
-# latest grading; see CORRECTNESS_r0*.json). Round-9 window = the full
-# 32-entry round-8 NEXT_WINDOW queue (every oracle-checked entry added or
-# converted during round 8 — none has a driver row yet), plus 18 regrades
-# of the entries whose latest driver grading is oldest (latest r3),
-# picked alphabetically within that cohort for determinism.
+# hard-signal driver row (r1-r9 graded 298 distinct entries, all green at
+# latest grading; see CORRECTNESS_r0*.json). Round-10 window = the full
+# 44-entry round-9 NEXT_WINDOW queue (every oracle-checked entry added or
+# converted during round 9 — none has a driver row yet; all 44 passed the
+# r9 judge's driver-faithful replay), plus the 6 remaining entries of the
+# oldest-graded cohort (latest driver row r3), which empties that cohort.
 # ``tests/test_registry.py`` pins this composition and caps the
 # never-graded tail at one window's capacity.
 PRIORITY: tuple[str, ...] = (
-    # round-8 additions/conversions, never driver-graded, in landing order
-    "audio_decode_real",
-    "stream_sessionize",
-    "multimodal_features",
-    "graph_clustering_coeff",
-    "graph_jaccard_neighbors",
-    "stat_kendall_tau",
-    "stat_theil_sen",
-    "stat_ols_trend",
-    "stat_kruskal_wallis",
-    "event_stickiness",
-    "sim_range_search",
-    "stream_cusum_changepoint",
-    "text_sentence_dedup",
-    "sketch_approx_quantile_bound",
-    "dedup_containment",
-    "text_hapax_ratio",
-    "text_burstiness",
-    "series_seasonal_naive",
-    "event_churn_weekly",
-    "series_revenue_mom_yoy",
-    "agg_hypothetical_rank",
-    "emb_norm_quantiles",
-    "stream_distinct_users_bound",
-    "stat_anova_weekday",
-    "stat_wilcoxon_signed_rank",
-    "shard_assignment",
-    "pipeline_filter_funnel",
-    "audio_pitch_autocorr",
-    "series_peak_detection",
-    "decontam_embedding",
-    "text_ngram_coverage",
-    "event_time_to_convert",
-    # oldest-graded regrades (latest driver row r3; first 18 of the
-    # 24-entry r3 cohort, alphabetical)
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "array_ops",
-    "decontam_ngram_overlap",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "expr_arithmetic",
-    "expr_case",
-    "hypertable_rollup",
-    "multimodal_resize",
-    "pred_regex",
-    "sample_stratified",
-    "select_distinct",
-    "setop_except_all",
-    "setop_intersect_all",
-    "stream_window_agg",
-    "subq_cte",
-)
-
-# Oracle-checked entries queued for the ROUND-10 window: entries ADDED
-# during round 9 are appended as they land, followed by the oldest
-# regrades if slots remain. tests/test_registry.py enforces that
-# window + NEXT_WINDOW + graded union covers every oracle-checked entry
-# AND that this queue never exceeds one window's capacity.
-NEXT_WINDOW: tuple[str, ...] = (
+    # round-9 additions/conversions, never driver-graded, in landing order
     "png_decode_real",  # REAL PNG codec (zlib inflate + defilter)
     "sim_knn_join",     # batch top-k join, WindowGroupLimit plan
     "stat_runs_test",   # Wald-Wolfowitz runs on the daily series
@@ -179,6 +121,23 @@ NEXT_WINDOW: tuple[str, ...] = (
     "text_bigram_perplexity",      # add-1 bigram LM cross-entropy
     "emb_participation_ratio",     # effective embedding dimensionality
     "order_revenue_hhi",           # concentration + top-10 share
+    # oldest-graded regrades (latest driver row r3; the cohort's last 6,
+    # emptying it — every graded entry's latest row is now r4+)
+    "subq_scalar_select",
+    "text_repetition_filter",
+    "text_stats",
+    "win_distribution",
+    "win_running_agg",
+    "win_sliding_frame",
+)
+
+# Oracle-checked entries queued for the ROUND-11 window: entries ADDED
+# during round 10 are appended as they land, followed by the oldest
+# regrades if slots remain. tests/test_registry.py enforces that
+# window + NEXT_WINDOW + graded union covers every oracle-checked entry
+# AND that this queue never exceeds one window's capacity.
+NEXT_WINDOW: tuple[str, ...] = (
+    "jpeg_color_decode_real",  # REAL color 4:2:0 JPEG (codec #6)
 )
 
 _ALL: dict[str, Q] = {}

@@ -183,12 +183,24 @@ WITH cells AS (
 )
 SELECT t.n, t.n_cells,
        CAST(CAST(t.mi AS DECIMAL(18,6)) AS DOUBLE) AS mi_nats,
-       CAST(CAST(t.mi / SQRT(t.hl * t.hs) AS DECIMAL(18,6)) AS DOUBLE)
-         AS nmi,
+       -- a single-category axis has zero marginal entropy (hl/hs = 0
+       -- EXACTLY: the lone ln(1) term) and leaves NMI undefined; the
+       -- guard mirrors the regular-graph NULL branch in assortativity
+       -- because Spark and DuckDB disagree on double 0/0 (NULL vs inf)
+       CASE WHEN t.hl <= 0 OR t.hs <= 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(CAST(t.mi / SQRT(t.hl * t.hs) AS DECIMAL(18,6))
+                 AS DOUBLE)
+       END AS nmi,
        CAST(CAST(t.chi2 AS DECIMAL(18,6)) AS DOUBLE) AS chi2,
-       CAST(CAST(SQRT(t.chi2 / (t.n * (CASE WHEN t.nl < t.ns THEN t.nl
-                                       ELSE t.ns END - 1)))
-            AS DECIMAL(18,6)) AS DOUBLE) AS cramers_v
+       -- same degenerate case for V: min(nl, ns) = 1 zeroes the
+       -- denominator, and chi2/0 diverges differently per engine
+       CASE WHEN (CASE WHEN t.nl < t.ns THEN t.nl ELSE t.ns END) <= 1
+            THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(CAST(
+              SQRT(t.chi2 / (t.n * (CASE WHEN t.nl < t.ns THEN t.nl
+                                    ELSE t.ns END - 1)))
+              AS DECIMAL(18,6)) AS DOUBLE)
+       END AS cramers_v
 FROM tot t
 """
 
@@ -296,13 +308,22 @@ WITH daily AS (
               - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k))
            AS sigma
   FROM w
+), sn AS (
+  -- snap the bands FIRST, then derive is_breakout from the snapped
+  -- values: comparing against the unsnapped mid +- 2*sigma doubles
+  -- would let a revenue value within an ulp of the band edge flip the
+  -- boolean on one engine only (the FMA/codegen hazard the JB comment
+  -- documents), and a boolean has no snap to absorb it
+  SELECT day, d, k,
+         CAST(CAST(mid AS DECIMAL(18,6)) AS DOUBLE) AS bb_mid,
+         CAST(CAST(mid + 2 * sigma AS DECIMAL(18,6)) AS DOUBLE) AS bb_upper,
+         CAST(CAST(mid - 2 * sigma AS DECIMAL(18,6)) AS DOUBLE) AS bb_lower
+  FROM b
 )
 SELECT day, d AS revenue_usd, CAST(k AS BIGINT) AS bb_n,
-       CAST(CAST(mid AS DECIMAL(18,6)) AS DOUBLE) AS bb_mid,
-       CAST(CAST(mid + 2 * sigma AS DECIMAL(18,6)) AS DOUBLE) AS bb_upper,
-       CAST(CAST(mid - 2 * sigma AS DECIMAL(18,6)) AS DOUBLE) AS bb_lower,
-       d > mid + 2 * sigma OR d < mid - 2 * sigma AS is_breakout
-FROM b ORDER BY day
+       bb_mid, bb_upper, bb_lower,
+       d > bb_upper OR d < bb_lower AS is_breakout
+FROM sn ORDER BY day
 """
 
 # -- Theil's U2 forecast-quality ratio ---------------------------------------
@@ -883,37 +904,34 @@ _DECAYED_DUCK = _DECAYED_BODY.format(age="(mx.m - CAST(e.ts AS DATE))")
 # and purchase user sets, union-sketch Jaccard x KMV union cardinality
 # = intersection estimate, graded NEXT TO the exact intersection (the
 # sketch_kmv_distinct contract: the estimate IS the checked value, and
-# its error is visible in the same row). Mergeable bottom-k semantics —
-# per-shard sketches fold without rescanning. Small-set branch falls
-# back to exact on both engines identically.
-_KMV_INTERSECT_BODY = """
-WITH a AS (
-  SELECT DISTINCT user_id FROM events
-  WHERE event_type = 'click' AND user_id IS NOT NULL
-), b AS (
-  SELECT DISTINCT user_id FROM events
-  WHERE event_type = 'purchase' AND user_id IS NOT NULL
-), m AS (
-  SELECT COALESCE(a.user_id, b.user_id) AS uid,
-         a.user_id IS NOT NULL AS ina,
-         b.user_id IS NOT NULL AS inb
-  FROM a FULL JOIN b ON a.user_id = b.user_id
-), r AS (
-  SELECT uid, ina, inb,
-         ROW_NUMBER() OVER (ORDER BY md5(CAST(uid AS {str})))
-           AS rn,
-         COUNT(*) OVER () AS nd,
-         md5(CAST(uid AS {str})) AS hx
-  FROM m
-), agg AS (
+# its error is visible in the same row). HONESTLY mergeable now: the
+# per-user flag table is built in ONE event-log pass and checkpointed,
+# the exact counts are a plain partial+final aggregate over it, and the
+# bottom-32 comes from a rank-FILTER subquery (rn <= 32 in a WHERE) so
+# Spark's WindowGroupLimit plants a PARTIAL top-32 below the exchange —
+# each input partition forwards at most 32 rows, the single-partition
+# sort sees <= 32 x partitions rows, never the distinct-user set. (The
+# earlier form ran ROW_NUMBER + COUNT(*) OVER () over ALL distinct
+# users in one partition — the rank consumed inside an aggregate CASE
+# defeats the pushdown; r9 verdict, What's wrong #2. Plan-pinned.)
+# Small-set branch falls back to exact on both engines identically.
+_KMV_INTERSECT_TAIL = """
+WITH counts AS (
   SELECT SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS n_a,
          SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS n_b,
          SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS n_ab,
-         MAX(nd) AS n_union,
-         SUM(CASE WHEN rn <= 32 AND ina AND inb THEN 1 ELSE 0 END)
-           AS s_both,
-         MAX(CASE WHEN rn = 32 THEN hx END) AS h32
-  FROM r
+         COUNT(*) AS n_union
+  FROM {v}
+), bot AS (
+  SELECT hx, ina, inb FROM (
+    SELECT hx, ina, inb,
+           ROW_NUMBER() OVER (ORDER BY hx) AS rn
+    FROM {v}
+  ) t WHERE rn <= 32
+), sk AS (
+  SELECT SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS s_both,
+         MAX(hx) AS h32
+  FROM bot
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        CAST(n_ab AS BIGINT) AS exact_intersection,
@@ -922,70 +940,145 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
               ELSE CAST(s_both AS DOUBLE) / 32
                    * (31.0 / ({h32int} / POWER(16.0, 12)))
          END AS DECIMAL(18,4)) AS DOUBLE) AS est_intersection
-FROM agg
+FROM counts CROSS JOIN sk
 """
 
-_KMV_I_SPARK = _KMV_INTERSECT_BODY.format(
-    str="STRING",
-    h32int="CAST(conv(substring(h32, 1, 12), 16, 10) AS DOUBLE)",
-)
-_KMV_I_DUCK = _KMV_INTERSECT_BODY.format(
-    str="VARCHAR",
-    h32int="CAST(('0x' || substring(h32, 1, 12))::BIGINT AS DOUBLE)",
+_KMV_USERS = """
+  SELECT user_id AS uid,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+           AS ina,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+           AS inb,
+         md5(CAST(user_id AS {str})) AS hx
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY user_id
+"""
+
+
+def _kmv_intersection(spark, sf):
+    """One fact scan: the per-user flag+hash table is checkpointed (the
+    tail reads it twice — exact counts AND the bottom-32 sketch; CTE
+    inlining would re-scan the event log per reference)."""
+    users = spark.sql(_KMV_USERS.format(str="STRING")).localCheckpoint(
+        eager=True
+    )
+    users.createOrReplaceTempView("kmv_users")
+    return spark.sql(
+        _KMV_INTERSECT_TAIL.format(
+            v="kmv_users",
+            h32int="CAST(conv(substring(h32, 1, 12), 16, 10) AS DOUBLE)",
+        )
+    )
+
+
+_KMV_I_DUCK = (
+    "WITH kmv_users AS ("
+    + _KMV_USERS.format(str="VARCHAR")
+    + "), "
+    + _KMV_INTERSECT_TAIL.format(
+        v="kmv_users",
+        h32int="CAST(('0x' || substring(h32, 1, 12))::BIGINT AS DOUBLE)",
+    ).replace("WITH ", "", 1)
 )
 
 # -- Lead-lag cross-correlation -----------------------------------------------
 # Does click volume LEAD purchase revenue? Pearson r between daily
 # click counts and purchase dollars at lags -1/0/+1 — the
 # cause-precedes-effect screen before anyone fits an attribution
-# model. All power sums are exact BIGINTs on the daily count/dollar
-# grids; one division + two sqrts per lag. Windows run over the day
-# domain.
-_XCORR_SQL = """
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS day,
-         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
-         SUM(CASE WHEN event_type = 'purchase'
-             THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
-             ELSE 0 END) AS pc
-  FROM events WHERE ts IS NOT NULL
-  GROUP BY CAST(ts AS DATE)
-), p AS (
+# model. The raw-sum Pearson spelling (n*syy - sy*sy) overflows int64
+# near sf10 on daily purchase DOLLARS (~1.6e7/day -> n*syy ~ 3e20), so
+# the moments are computed on n-scaled integer DEVIATIONS (the
+# stat_durbin_watson trick): x*n - sx is an exact BIGINT, one
+# correctly-rounded double division by n, FLOOR to the unit grid, and
+# every power sum below is an exact order-free integer. Largest sum is
+# n*ayy ~ 1.2e18 at sf10 (deviations, not raw values, get squared);
+# the documented sf100 path swaps the unit grid for a 10-dollar one.
+# The residual quantization mean (|zbar| <= 0.5) is folded back via the
+# central-moment form, mirroring the JB entry. Windows run over the
+# checkpointed day-domain table (one fact scan at build; the tail's two
+# passes read the ExistingRDD).
+_XCORR_DAILY = """
   SELECT day, c, CAST(FLOOR(pc / 100.0 + 0.5) AS BIGINT) AS pd
-  FROM daily
-), l AS (
+  FROM (
+    SELECT CAST(ts AS DATE) AS day,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+           SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               ELSE 0 END) AS pc
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+  ) d
+"""
+
+_XCORR_TAIL = """
+WITH l AS (
   SELECT c,
          LAG(pd, 1) OVER (ORDER BY day) AS pm1,
          pd AS p0,
          LEAD(pd, 1) OVER (ORDER BY day) AS pp1
-  FROM p
+  FROM {v}
 ), lags AS (
   SELECT -1 AS lg UNION ALL SELECT 0 AS lg UNION ALL SELECT 1 AS lg
 ), pairs AS (
   -- one pass: a 3-row lag dimension fans each day out, instead of a
-  -- 3-branch UNION ALL that re-scans the event log per branch
+  -- 3-branch UNION ALL that re-scans the day table per branch
   SELECT lags.lg, l.c AS x,
          CASE lags.lg WHEN -1 THEN l.pm1 WHEN 0 THEN l.p0
               ELSE l.pp1 END AS y
   FROM l CROSS JOIN lags
-), s AS (
-  SELECT lg, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+), s1 AS (
+  SELECT lg, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy
   FROM pairs WHERE y IS NOT NULL GROUP BY lg
+), z AS (
+  SELECT p.lg,
+         CAST(FLOOR((p.x * s1.n - s1.sx) / (1.0 * s1.n) + 0.5)
+              AS BIGINT) AS zx,
+         CAST(FLOOR((p.y * s1.n - s1.sy) / (1.0 * s1.n) + 0.5)
+              AS BIGINT) AS zy
+  FROM pairs p JOIN s1 ON p.lg = s1.lg
+  WHERE p.y IS NOT NULL
+), s2 AS (
+  SELECT lg, COUNT(*) AS n, SUM(zx) AS ax, SUM(zy) AS ay,
+         SUM(zx * zy) AS axy, SUM(zx * zx) AS axx, SUM(zy * zy) AS ayy
+  FROM z GROUP BY lg
 )
 SELECT CAST(lg AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
-       -- zero variance on either side (exact integer test) leaves the
-       -- correlation undefined: NULL, not a 0/0
-       CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy
+       -- zero QUANTIZED variance on either side (exact integer test,
+       -- catches both the all-equal case and sub-grid wiggle) leaves
+       -- the correlation undefined at this grid: NULL, not a 0/0
+       CASE WHEN n * axx = ax * ax OR n * ayy = ay * ay
             THEN CAST(NULL AS DOUBLE)
             ELSE CAST(CAST(
-              CAST(n * sxy - sx * sy AS DOUBLE)
-              / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-                 * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+              (CAST(axy AS DOUBLE) / n
+                 - (CAST(ax AS DOUBLE) / n) * (CAST(ay AS DOUBLE) / n))
+              / (SQRT(CAST(axx AS DOUBLE) / n
+                      - (CAST(ax AS DOUBLE) / n)
+                        * (CAST(ax AS DOUBLE) / n))
+                 * SQRT(CAST(ayy AS DOUBLE) / n
+                        - (CAST(ay AS DOUBLE) / n)
+                          * (CAST(ay AS DOUBLE) / n)))
               AS DECIMAL(18,6)) AS DOUBLE)
        END AS xcorr
-FROM s ORDER BY lag
+FROM s2 ORDER BY lag
 """
+
+
+def _xcorr(spark, sf):
+    """Day-domain table checkpointed once: the two-pass deviation dance
+    (means, then central moments) references it repeatedly and CTE
+    inlining would re-scan the event log per reference."""
+    daily = spark.sql(_XCORR_DAILY).localCheckpoint(eager=True)
+    daily.createOrReplaceTempView("xcorr_daily")
+    return spark.sql(_XCORR_TAIL.format(v="xcorr_daily"))
+
+
+_XCORR_DUCK = (
+    "WITH xd AS ("
+    + _XCORR_DAILY
+    + "), "
+    + _XCORR_TAIL.format(v="xd").replace("WITH ", "", 1)
+)
 
 # -- Jensen-Shannon divergence per source --------------------------------------
 # How far is each source's unigram distribution from the corpus mix? —
@@ -1189,26 +1282,39 @@ FROM c GROUP BY abc_class ORDER BY abc_class
 
 # -- Order fulfillment lag percentiles -----------------------------------------
 # Days from order placement to line shipment, p50/p90/p99 per order
-# priority — the SLA panel. Lags are exact integer day differences;
-# discrete percentiles via the CUME_DIST + MIN(CASE) spelling both
-# engines execute identically (the agg_percentile_disc idiom). The
-# window sorts fact-sized rows per priority — the honest cost of a
-# discrete percentile; approx_percentile is the documented scale
-# fallback (agg_approx_percentile_bound).
+# priority — the SLA panel. Lags are exact integer day differences on a
+# BOUNDED domain (1..~125 days per the TPC-H generation rules), so the
+# scale-safe exact-percentile idiom is the _TTC_BODY distinct-value
+# shape (queries/r8b_ops.py, event_time_to_convert): GROUP BY (pr, d)
+# reduces the fact-sized join to <= 5 x ~125 rows BEFORE any window
+# runs, and the discrete percentile is the smallest d whose cumulative
+# count clears the exact-integer threshold (cum * 100 >= tot * P —
+# identical tie handling on both engines, no double CUME_DIST compare).
+# The earlier CUME_DIST-over-raw-rows form sorted the whole
+# orders><lineitem join through 5 reducers — a single-key hot-partition
+# scale-killer at 100x (r9 verdict, What's wrong #1); plan-pinned now:
+# the Window input subtree must contain a final HashAggregate and the
+# windowed row count is day-domain-bounded.
 _FULFILL_BODY = """
 WITH lag AS (
   SELECT o.o_orderpriority AS pr, {lagdays} AS d
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
   WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+), g AS (
+  SELECT pr, d, COUNT(*) AS c FROM lag GROUP BY pr, d
 ), r AS (
-  SELECT pr, d,
-         CUME_DIST() OVER (PARTITION BY pr ORDER BY d) AS cd
-  FROM lag
+  SELECT pr, d, c,
+         SUM(c) OVER (PARTITION BY pr ORDER BY d) AS cum,
+         SUM(c) OVER (PARTITION BY pr) AS tot
+  FROM g
 )
-SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(MIN(CASE WHEN cd >= 0.5 THEN d END) AS BIGINT) AS p50_days,
-       CAST(MIN(CASE WHEN cd >= 0.9 THEN d END) AS BIGINT) AS p90_days,
-       CAST(MIN(CASE WHEN cd >= 0.99 THEN d END) AS BIGINT) AS p99_days
+SELECT pr AS o_orderpriority, CAST(MAX(tot) AS BIGINT) AS n_lines,
+       CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN d END)
+            AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN d END)
+            AS BIGINT) AS p90_days,
+       CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN d END)
+            AS BIGINT) AS p99_days
 FROM r GROUP BY pr ORDER BY pr
 """
 
@@ -1345,40 +1451,74 @@ WITH el AS (
 
 # -- Revenue concentration (HHI) -----------------------------------------------
 # Herfindahl-Hirschman index of customer revenue concentration plus the
-# top-10 share — the is-my-revenue-one-whale panel. Per-customer
-# dollars are exact integers; HHI and shares are single divisions of
-# exact sums. The rank window sorts the CUSTOMER rollup
-# (dimension-sized), and n=1 leaves normalized HHI undefined -> NULL.
-_HHI_SQL = """
-WITH cust AS (
+# top-10 share — the is-my-revenue-one-whale panel. Two scale fixes over
+# the first spelling (r9 verdict What's wrong #3 + advisor): (1) the
+# top-10 comes from a 10-row ORDER BY ... LIMIT 10 derived table
+# (TakeOrderedAndProject = per-partition partial top-k), NOT an
+# unpartitioned ROW_NUMBER consumed inside a CASE-aggregate that
+# defeats rank pushdown and single-partition-sorts the customer rollup;
+# (2) HHI sums share^2 quantized onto the 1e-15 grid (exact BIGINT
+# terms bounded by 1e15 + n/2, order-free) instead of SUM(d*d), whose
+# raw dollar squares overflow int64 near sf30 while DuckDB's HUGEINT
+# silently masks it. share = d/s1 is one correctly-rounded divide of
+# exact integers — identical on both engines. The customer rollup is
+# checkpointed: the tail reads it three times (sums, share terms,
+# top-10) and CTE inlining would re-scan orders per reference. n=1
+# leaves normalized HHI undefined -> NULL.
+_HHI_CUST = """
   SELECT o_custkey,
          CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
               / 100.0 + 0.5) AS BIGINT) AS d
   FROM orders WHERE o_custkey IS NOT NULL
   GROUP BY o_custkey
-), r AS (
-  SELECT d, ROW_NUMBER() OVER (ORDER BY d DESC, o_custkey) AS rn
-  FROM cust
-), agg AS (
-  SELECT COUNT(*) AS n, SUM(d) AS s1, SUM(d * d) AS s2,
-         SUM(CASE WHEN rn <= 10 THEN d ELSE 0 END) AS top10
-  FROM r
+"""
+
+_HHI_TAIL = """
+WITH s AS (
+  SELECT COUNT(*) AS n, SUM(d) AS s1 FROM {v}
+), t AS (
+  SELECT CAST(FLOOR(
+           (CAST(c.d AS DOUBLE) / CAST(s.s1 AS DOUBLE))
+           * (CAST(c.d AS DOUBLE) / CAST(s.s1 AS DOUBLE)) * 1e15 + 0.5)
+         AS BIGINT) AS q
+  FROM {v} c CROSS JOIN s
+), hh AS (
+  SELECT SUM(q) AS sq FROM t
+), top AS (
+  SELECT SUM(d) AS top10 FROM (
+    SELECT d FROM {v} ORDER BY d DESC, o_custkey LIMIT 10
+  ) h
 )
-SELECT CAST(n AS BIGINT) AS n_customers,
-       CAST(CAST(CAST(s2 AS DOUBLE)
-                 / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+SELECT CAST(s.n AS BIGINT) AS n_customers,
+       CAST(CAST(CAST(hh.sq AS DOUBLE) / 1e15
             AS DECIMAL(18,9)) AS DOUBLE) AS hhi,
-       CASE WHEN n = 1 THEN CAST(NULL AS DOUBLE)
+       CASE WHEN s.n = 1 THEN CAST(NULL AS DOUBLE)
             ELSE CAST(CAST(
-              (CAST(s2 AS DOUBLE)
-                 / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-               - 1.0 / n) / (1 - 1.0 / n)
+              (CAST(hh.sq AS DOUBLE) / 1e15 - 1.0 / s.n)
+              / (1 - 1.0 / s.n)
               AS DECIMAL(18,9)) AS DOUBLE)
        END AS hhi_normalized,
-       CAST(CAST(CAST(top10 AS DOUBLE) / CAST(s1 AS DOUBLE)
+       CAST(CAST(CAST(top.top10 AS DOUBLE) / CAST(s.s1 AS DOUBLE)
             AS DECIMAL(18,9)) AS DOUBLE) AS top10_share
-FROM agg
+FROM s CROSS JOIN hh CROSS JOIN top
 """
+
+
+def _hhi(spark, sf):
+    """Customer rollup checkpointed once (dimension-rollup-sized); the
+    tail's three consumers read the ExistingRDD, zero parquet scans in
+    the final plan."""
+    cust = spark.sql(_HHI_CUST).localCheckpoint(eager=True)
+    cust.createOrReplaceTempView("hhi_cust")
+    return spark.sql(_HHI_TAIL.format(v="hhi_cust"))
+
+
+_HHI_DUCK = (
+    "WITH hc AS ("
+    + _HHI_CUST
+    + "), "
+    + _HHI_TAIL.format(v="hc").replace("WITH ", "", 1)
+)
 
 QUERIES.update(
     {
@@ -1388,12 +1528,14 @@ QUERIES.update(
         "emb_participation_ratio": sql_q(
             _PR_SPARK, ("embeddings",), oracle=_PR_DUCK
         ),
-        "order_revenue_hhi": sql_q(_HHI_SQL, ("orders",)),
+        "order_revenue_hhi": df_q(_hhi, ("orders",), oracle=_HHI_DUCK),
         "part_revenue_abc": sql_q(_ABC_SQL, ("lineitem",)),
         "order_fulfillment_lag": sql_q(
             _FULFILL_SPARK, ("orders", "lineitem"), oracle=_FULFILL_DUCK
         ),
-        "series_lead_lag_xcorr": sql_q(_XCORR_SQL, ("events",)),
+        "series_lead_lag_xcorr": df_q(
+            _xcorr, ("events",), oracle=_XCORR_DUCK
+        ),
         "text_js_divergence_sources": df_q(
             _jsd_sources, ("documents",), oracle=_JSD_DUCK
         ),
@@ -1409,8 +1551,8 @@ QUERIES.update(
         "event_decayed_revenue": sql_q(
             _DECAYED_SPARK, ("events",), oracle=_DECAYED_DUCK
         ),
-        "sketch_kmv_intersection": sql_q(
-            _KMV_I_SPARK, ("events",), oracle=_KMV_I_DUCK
+        "sketch_kmv_intersection": df_q(
+            _kmv_intersection, ("events",), oracle=_KMV_I_DUCK
         ),
     }
 )

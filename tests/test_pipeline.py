@@ -1368,3 +1368,132 @@ def test_gif_fixture_traps_are_armed(spark, sf_dir):
             pos += 1 + p[pos]
         assert n_blocks >= 2, (d, n_blocks)
     assert seen_nc == {4, 8, 16}
+
+
+# --- REAL codec #6: baseline 4:2:0 color JPEG (r10) -------------------------
+
+
+def _flat_color_img(colors, mcus=2):
+    import numpy as np
+
+    img = np.zeros((mcus * 16, mcus * 16, 3), np.uint8)
+    it = iter(colors)
+    for mi in range(mcus):
+        for mj in range(mcus):
+            img[mi * 16:(mi + 1) * 16, mj * 16:(mj + 1) * 16] = next(it)
+    return img
+
+
+def test_jpeg_color_fixture_grid_snap_exists_exhaustively():
+    """The argmin-k green snap (even luma, no mod-8 chroma-DC tie) must
+    exist within k<=16 for EVERY fixture id the entry can see — the
+    guarantee the closed-form oracle rests on. Exhaustive, not
+    sampled."""
+    for d in range(500):
+        for mi in range(2):
+            for mj in range(2):
+                multimodal.jpeg_color_fixture_rgb(d, mi, mj)  # raises if none
+
+
+def test_jpeg_color_flat_snapped_mcus_roundtrip_exactly():
+    """Grid-snapped flat MCUs reconstruct bit-for-bit through the full
+    lossy pipeline (both DQT packings), and the result matches the
+    oracle's integer arithmetic chain recomputed independently."""
+    import math
+
+    import numpy as np
+
+    for d in (0, 7, 42):
+        colors = [
+            multimodal.jpeg_color_fixture_rgb(d, mi, mj)
+            for mi in range(2) for mj in range(2)
+        ]
+        img = _flat_color_img(colors)
+        for split in (False, True):
+            dec, nm = multimodal.jpeg_decode_color(
+                multimodal.jpeg_encode_color(img, split_dqt=split)
+            )
+            assert nm == 4
+            for i, (r, g, b) in enumerate(colors):
+                mi, mj = divmod(i, 2)
+                mcu = dec[mi * 16:(mi + 1) * 16, mj * 16:(mj + 1) * 16]
+                assert (mcu == mcu[0, 0]).all()
+                y, cb, cr = (
+                    int(x) for x in multimodal.rgb_to_ycbcr_int(r, g, b)
+                )
+                yr = 2 * ((y - 128) // 2) + 128
+                dcb = math.floor(8 * (cb - 128) / 17 + 0.5)
+                dcr = math.floor(8 * (cr - 128) / 17 + 0.5)
+                cbr = min(255, max(0, math.floor(17 * dcb / 8 + 128.5)))
+                crr = min(255, max(0, math.floor(17 * dcr / 8 + 128.5)))
+                exp = tuple(
+                    int(v) for v in multimodal.ycbcr_to_rgb_int(yr, cbr, crr)
+                )
+                assert tuple(int(v) for v in mcu[0, 0]) == exp, (d, i)
+
+
+def test_jpeg_color_lossy_roundtrip_error_bounds():
+    """Smooth gradients reconstruct within a tight envelope; the coarse
+    chroma table makes color noise worse than luma noise — both stay
+    inside the quantization error bound."""
+    import numpy as np
+
+    y, x = np.mgrid[0:32, 0:32]
+    smooth = np.stack(
+        [((y * 4 + x * 3) % 256), ((y * 2 + x * 5) % 256),
+         ((y * 3 + x * 2) % 256)], axis=2
+    ).astype(np.uint8)
+    dec, _ = multimodal.jpeg_decode_color(
+        multimodal.jpeg_encode_color(smooth)
+    )
+    err = np.abs(dec.astype(int) - smooth.astype(int))
+    assert err.mean() <= 6.0 and err.max() <= 96
+
+
+def test_jpeg_color_decode_rejects_out_of_subset():
+    import numpy as np
+
+    ok = multimodal.jpeg_encode_color(
+        _flat_color_img([(10, 20, 30), (40, 50, 60), (70, 80, 90),
+                         (100, 110, 120)])
+    )
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode_color(b"junk")
+    # grayscale payload into the color decoder: 1 component -> reject
+    gray = multimodal.jpeg_encode_gray(np.zeros((16, 16), np.uint8))
+    with pytest.raises(ValueError, match="3-component"):
+        multimodal.jpeg_decode_color(gray)
+    # progressive SOF2 rejected
+    bad = bytearray(ok)
+    bad[ok.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        multimodal.jpeg_decode_color(bytes(bad))
+    # 4:4:4 (sampling 0x11 on Y) rejected honestly
+    bad = bytearray(ok)
+    sof = ok.index(b"\xff\xc0")
+    bad[sof + 4 + 7] = 0x11  # Y sampling byte inside SOF0 payload
+    with pytest.raises(ValueError, match="4:2:0"):
+        multimodal.jpeg_decode_color(bytes(bad))
+    # restart intervals (DRI) rejected
+    import struct
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
+    with_dri = ok[:2] + dri + ok[2:]
+    with pytest.raises(ValueError, match="restart"):
+        multimodal.jpeg_decode_color(with_dri)
+
+
+def test_jpeg_color_interleaving_and_predictors_are_per_component():
+    """Distinct per-MCU colors force all three DC predictor chains to
+    carry nonzero diffs; a decoder that shares one predictor across
+    components or walks MCUs column-major cannot reproduce this."""
+    import numpy as np
+
+    colors = [(200, 30, 60), (20, 180, 240), (90, 90, 90), (250, 10, 130)]
+    img = _flat_color_img(colors)
+    dec, _ = multimodal.jpeg_decode_color(multimodal.jpeg_encode_color(img))
+    # every MCU distinct after decode (no cross-MCU bleed)
+    got = {
+        tuple(int(v) for v in dec[mi * 16, mj * 16])
+        for mi in range(2) for mj in range(2)
+    }
+    assert len(got) == 4

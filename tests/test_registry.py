@@ -125,32 +125,28 @@ def test_canaries_in_window():
 
 
 def test_window_closes_never_graded_tail():
-    """The r9 window contains EVERY oracle-checked entry with no driver
-    row through r8 — the 32 round-8 additions staged in NEXT_WINDOW all
-    fit one window; the 18 remaining slots regrade the oldest driver
+    """The r10 window contains EVERY oracle-checked entry with no driver
+    row through r9 — the 44 round-9 additions staged in NEXT_WINDOW all
+    fit one window; the 6 remaining slots regrade the oldest driver
     rows."""
-    graded = _graded_union(through=8)
+    graded = _graded_union(through=9)
     oracle_checked = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
     never_graded = oracle_checked - graded
-    # entries ADDED during round 8 stage in NEXT_WINDOW for the r9 window;
+    # entries ADDED during round 9 stage in NEXT_WINDOW for the r10 window;
     # everything never-graded at rotation time must be in THIS window
     missing = never_graded - set(PRIORITY) - set(NEXT_WINDOW)
     assert not missing, f"never-graded entries left out of the window: {missing}"
 
 
 def test_window_fillers_are_oldest_regrades():
-    """The 18 non-tail slots go to the entries whose latest driver grading
-    is oldest (latest r3; first 18 of that 24-entry cohort, alphabetical)
-    — regression re-coverage, not padding."""
-    graded8 = _graded_union(through=8)
-    regrades = set(PRIORITY) & graded8
+    """The 6 non-tail slots go to the entries whose latest driver grading
+    is oldest (latest r3; the cohort's final 6, emptying it) —
+    regression re-coverage, not padding."""
+    graded9 = _graded_union(through=9)
+    regrades = set(PRIORITY) & graded9
     assert regrades == {
-        "agg_cube", "agg_grouping_sets", "agg_percentiles", "array_ops",
-        "decontam_ngram_overlap", "dedup_clusters", "dedup_ngram_jaccard",
-        "expr_arithmetic", "expr_case", "hypertable_rollup",
-        "multimodal_resize", "pred_regex", "sample_stratified",
-        "select_distinct", "setop_except_all", "setop_intersect_all",
-        "stream_window_agg", "subq_cte",
+        "subq_scalar_select", "text_repetition_filter", "text_stats",
+        "win_distribution", "win_running_agg", "win_sliding_frame",
     }
 
 

@@ -138,6 +138,14 @@ PRIORITY: tuple[str, ...] = (
 # AND that this queue never exceeds one window's capacity.
 NEXT_WINDOW: tuple[str, ...] = (
     "jpeg_color_decode_real",  # REAL color 4:2:0 JPEG (codec #6)
+    "order_revenue_gini",      # Lorenz inequality, 1e-15 share grid
+    "stat_grubbs_outlier",     # max-deviation outlier + argmax day
+    "series_max_drawdown",     # peak-to-trough on the day domain
+    "graph_adamic_adar_topk",  # link prediction over capped wedges
+    "stat_kaplan_meier",       # censored conversion survival (log S)
+    "basket_lift_brand_pairs",  # market-basket lift, bounded fan-out
+    "dedup_edit_distance",     # levenshtein-verified blocked pairs
+    "emb_simplified_silhouette",  # centroid-based cluster quality
 )
 
 _ALL: dict[str, Q] = {}

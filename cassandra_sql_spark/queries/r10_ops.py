@@ -113,3 +113,515 @@ QUERIES = {
         oracle=_JPEG_COLOR_ORACLE,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-10 analytics wave: inequality/outlier panels, link prediction,
+# market-basket lift, censored survival, cluster quality, and a
+# levenshtein-verified dedup pass. Same determinism discipline as the
+# r7-r9 stat entries: exact integer power sums / per-term 1e-9..1e-15
+# grids for anything order-sensitive, one correctly-rounded double
+# division (or sqrt/ln on the grid) at the boundary, DECIMAL snap on
+# bounded-cardinality outputs.
+# ---------------------------------------------------------------------------
+
+from cassandra_sql_spark.queries.base import sql_q  # noqa: E402
+from cassandra_sql_spark.queries.r9b_ops import _HHI_CUST  # noqa: E402
+
+# -- Gini coefficient of customer revenue -------------------------------------
+# The Lorenz-curve inequality panel next to order_revenue_hhi: G =
+# 2*sum((i/n)*(x_i/S)) - (n+1)/n over ascending per-customer dollars.
+# Every term (i/n)*(x_i/S) is two correctly-rounded divisions + one
+# multiply of exact integers, quantized onto the 1e-15 grid (term sum
+# <= 1e15 + n/2 at ANY n — no raw i*x_i BIGINT products, which pass
+# 2^63 near sf10). The rank window runs over the CUSTOMER rollup —
+# dimension-sized, and the full rank vector is genuinely the
+# semantics (every customer contributes a Lorenz term, the same
+# documented class as part_revenue_abc); the rollup is checkpointed
+# (reused by three tail consumers). Ties on equal dollars carry the
+# o_custkey tiebreak; the quantized term-sum is permutation-invariant
+# within a tied block, so the tiebreak never changes the output.
+_GINI_TAIL = """
+WITH s AS (
+  SELECT COUNT(*) AS n, SUM(d) AS s1 FROM {v}
+), r AS (
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d, o_custkey) AS i FROM {v}
+), t AS (
+  SELECT CAST(FLOOR(
+           (CAST(r.i AS DOUBLE) / s.n)
+           * (CAST(r.d AS DOUBLE) / CAST(s.s1 AS DOUBLE))
+           * 1e15 + 0.5) AS BIGINT) AS q
+  FROM r CROSS JOIN s
+), lz AS (
+  SELECT SUM(q) AS sq FROM t
+)
+SELECT CAST(s.n AS BIGINT) AS n_customers,
+       CAST(CAST(
+         2.0 * (CAST(lz.sq AS DOUBLE) / 1e15) - (s.n + 1.0) / s.n
+         AS DECIMAL(18,9)) AS DOUBLE) AS gini,
+       CASE WHEN s.n = 1 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(CAST(
+              (2.0 * (CAST(lz.sq AS DOUBLE) / 1e15)
+               - (s.n + 1.0) / s.n) * s.n / (s.n - 1.0)
+              AS DECIMAL(18,9)) AS DOUBLE)
+       END AS gini_normalized
+FROM s CROSS JOIN lz
+"""
+
+
+def _gini(spark, sf):
+    """Reuses the checkpointed HHI customer rollup shape: one orders
+    scan at build, three ExistingRDD reads in the tail."""
+    cust = spark.sql(_HHI_CUST).localCheckpoint(eager=True)
+    cust.createOrReplaceTempView("gini_cust")
+    return spark.sql(_GINI_TAIL.format(v="gini_cust"))
+
+
+_GINI_DUCK = (
+    "WITH gc AS ("
+    + _HHI_CUST
+    + "), "
+    + _GINI_TAIL.format(v="gc").replace("WITH ", "", 1)
+)
+
+# -- Grubbs max-deviation outlier test ----------------------------------------
+# Is the most extreme daily-revenue day a statistical outlier? G =
+# max|x - xbar| / s on the n-scaled integer deviation grid (the
+# stat_durbin_watson trick: x*n - s1 exact BIGINT, one division by n,
+# FLOOR to whole dollars, so the power sums are exact; largest is
+# n*z2 ~ 1.2e18 at sf10, the documented sf100 path is a 10-dollar
+# grid). The critical value needs a t-quantile, so the entry reports
+# the STATISTIC plus the offending day — the argmax with a min-day
+# tiebreak, picked by an ORDER BY/LIMIT over the day-domain table.
+_GRUBBS_TAIL = """
+WITH w AS (
+  SELECT day, r, COUNT(*) OVER () AS n, SUM(r) OVER () AS s1 FROM {v}
+), z AS (
+  SELECT day, r, n,
+         CAST(FLOOR((r * n - s1) / (1.0 * n) + 0.5) AS BIGINT) AS z
+  FROM w
+), p AS (
+  SELECT MAX(n) AS n, SUM(z) AS z1, SUM(z * z) AS z2,
+         MAX(ABS(z)) AS mz
+  FROM z
+), peak AS (
+  SELECT z.day AS peak_day, z.r AS peak_revenue
+  FROM z CROSS JOIN p WHERE ABS(z.z) = p.mz
+  ORDER BY z.day LIMIT 1
+)
+SELECT CAST(p.n AS BIGINT) AS n_days,
+       CASE WHEN p.n < 3 OR p.n * p.z2 = p.z1 * p.z1
+            THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(CAST(
+              CAST(p.mz AS DOUBLE)
+              / SQRT(CAST(p.z2 AS DOUBLE) / p.n
+                     - (CAST(p.z1 AS DOUBLE) / p.n)
+                       * (CAST(p.z1 AS DOUBLE) / p.n))
+              AS DECIMAL(18,6)) AS DOUBLE)
+       END AS grubbs_g,
+       peak.peak_day,
+       CAST(peak.peak_revenue AS BIGINT) AS peak_revenue
+FROM p CROSS JOIN peak
+"""
+
+_DAILY_REVENUE = """
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(FLOOR(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+              + 0.5) AS BIGINT) AS r
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY CAST(ts AS DATE)
+"""
+
+
+def _grubbs(spark, sf):
+    """Day table checkpointed once: the tail reads it for both the
+    moment pass and the argmax pass (CTE inlining would re-scan the
+    event log per reference)."""
+    daily = spark.sql(_DAILY_REVENUE).localCheckpoint(eager=True)
+    daily.createOrReplaceTempView("grubbs_daily")
+    return spark.sql(_GRUBBS_TAIL.format(v="grubbs_daily"))
+
+
+_GRUBBS_DUCK = (
+    "WITH gd AS ("
+    + _DAILY_REVENUE
+    + "), "
+    + _GRUBBS_TAIL.format(v="gd").replace("WITH ", "", 1)
+)
+
+# -- Max drawdown of daily revenue --------------------------------------------
+# Worst drop from the running daily-revenue peak, with the trough day
+# (min-day tiebreak) — the volatility panel next to Bollinger. Running
+# max + difference are exact integers over the day domain; the argmax
+# is an ORDER BY/LIMIT over the checkpointed day table.
+_DRAWDOWN_TAIL = """
+WITH dd AS (
+  SELECT day, r, MAX(r) OVER (ORDER BY day) AS peak FROM {v}
+), mx AS (
+  SELECT MAX(peak - r) AS maxdd, COUNT(*) AS n FROM dd
+), pick AS (
+  SELECT dd.day AS trough_day, dd.r AS trough_revenue,
+         dd.peak AS peak_revenue
+  FROM dd CROSS JOIN mx WHERE dd.peak - dd.r = mx.maxdd
+  ORDER BY dd.day LIMIT 1
+)
+SELECT CAST(mx.n AS BIGINT) AS n_days,
+       CAST(mx.maxdd AS BIGINT) AS max_drawdown_usd,
+       pick.trough_day,
+       CAST(pick.trough_revenue AS BIGINT) AS trough_revenue,
+       CAST(pick.peak_revenue AS BIGINT) AS peak_revenue
+FROM mx CROSS JOIN pick
+"""
+
+
+def _drawdown(spark, sf):
+    daily = spark.sql(_DAILY_REVENUE).localCheckpoint(eager=True)
+    daily.createOrReplaceTempView("ddown_daily")
+    return spark.sql(_DRAWDOWN_TAIL.format(v="ddown_daily"))
+
+
+_DRAWDOWN_DUCK = (
+    "WITH dd0 AS ("
+    + _DAILY_REVENUE
+    + "), "
+    + _DRAWDOWN_TAIL.format(v="dd0").replace("WITH ", "", 1)
+)
+
+# -- Adamic-Adar link prediction ----------------------------------------------
+# Top-20 NON-edge page pairs by Adamic-Adar score sum(1/ln(deg(w)))
+# over common neighbors w — the classic link-prediction index one tier
+# above neighbor-Jaccard (graph_jaccard_neighbors): low-degree shared
+# neighbors count for more. Candidates come from the same wedge join
+# (sum(deg^2) fan-out; the degree-cap/hub-removal knob and the
+# |pages|<=100 domain bound are documented at the r8 wedge entries);
+# existing edges are anti-joined out. A shared neighbor has degree
+# >= 2 by construction, so ln(deg) > 0 always. Per-wedge 1/ln terms
+# quantize onto the 1e-9 grid — the ORDER BY runs on the exact integer
+# term sum, so the top-20 cut is grid-deterministic.
+_AA_TAIL = """
+WITH und AS (
+  SELECT a AS u, b AS v FROM {v}
+  UNION ALL SELECT b AS u, a AS v FROM {v}
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u),
+wedge AS (
+  SELECT n1.u AS p, n2.u AS q, n1.v AS w
+  FROM und n1 JOIN und n2 ON n1.v = n2.v AND n1.u < n2.u
+),
+contrib AS (
+  SELECT wg.p, wg.q,
+         CAST(FLOOR(1e9 / LN(CAST(dw.d AS DOUBLE)) + 0.5) AS BIGINT)
+           AS t
+  FROM wedge wg JOIN deg dw ON wg.w = dw.u
+),
+aa AS (
+  SELECT c.p, c.q, CAST(COUNT(*) AS BIGINT) AS cn, SUM(c.t) AS s
+  FROM contrib c GROUP BY c.p, c.q
+),
+nonedge AS (
+  SELECT aa.p, aa.q, aa.cn, aa.s
+  FROM aa LEFT JOIN {v} e ON aa.p = e.a AND aa.q = e.b
+  WHERE e.a IS NULL
+)
+SELECT p AS page_a, q AS page_b, cn AS common_neighbors,
+       CAST(CAST(CAST(s AS DOUBLE) / 1e9 AS DECIMAL(18,6)) AS DOUBLE)
+         AS adamic_adar
+FROM nonedge
+ORDER BY s DESC, page_a, page_b
+LIMIT 20
+"""
+
+
+def _adamic_adar(spark, sf):
+    """Canonical edge list built once and checkpointed (the tail
+    references it four times; CTE inlining would re-scan the raw log
+    per reference — the r8 graph-entry discipline)."""
+    from cassandra_sql_spark.queries.r8_ops import _canonical_edges
+
+    _canonical_edges(spark, sf, "aa_edges")
+    return spark.sql(_AA_TAIL.format(v="aa_edges"))
+
+
+def _aa_duck():
+    from cassandra_sql_spark.queries.r8_ops import _DUCK_K, _EDGES
+
+    return (
+        "WITH "
+        + _EDGES.format(k=_DUCK_K)
+        + ", "
+        + _AA_TAIL.format(v="edges").replace("WITH ", "", 1)
+    )
+
+
+# -- Kaplan-Meier conversion survival -----------------------------------------
+# Censored time-to-convert: subjects are users with >= 1 click; the
+# event is the first purchase AT/AFTER the first click (day-granular);
+# users who never convert are right-CENSORED at their last seen event
+# — the piece event_time_to_convert (which drops non-converters)
+# cannot express. One event-log scan: first-click/last-seen come from
+# keyed per-user windows, the risk-set and survival windows run over
+# the bounded lag-day domain. S(t) = prod(1 - d/n) is carried as LOG
+# survival on the 1e-9 per-term grid (exp is not correctly rounded,
+# the sum of grid terms is exact); when d = n_at_risk the survival
+# hits exact zero and log S is NULL from that day on.
+_KM_BODY = """
+WITH w AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id) AS fc,
+         MAX(ts) OVER (PARTITION BY user_id) AS last_seen
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), per_user AS (
+  SELECT user_id, MIN(fc) AS fc, MIN(last_seen) AS last_seen,
+         MIN(CASE WHEN event_type = 'purchase' AND ts >= fc THEN ts END)
+           AS cts
+  FROM w GROUP BY user_id
+), subjects AS (
+  SELECT user_id,
+         CASE WHEN cts IS NOT NULL THEN {dd_conv} ELSE {dd_cens} END
+           AS t,
+         CASE WHEN cts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per_user WHERE fc IS NOT NULL
+), grid AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM subjects GROUP BY t
+), km AS (
+  SELECT t, d,
+         SUM(c) OVER (ORDER BY t DESC) AS n_at_risk
+  FROM grid
+), terms AS (
+  SELECT t, d, n_at_risk,
+         CASE WHEN d = n_at_risk THEN CAST(NULL AS BIGINT)
+              ELSE CAST(FLOOR(
+                LN(1.0 - CAST(d AS DOUBLE) / n_at_risk) * 1e9 + 0.5)
+                AS BIGINT) END AS q,
+         CASE WHEN d = n_at_risk THEN 1 ELSE 0 END AS dies
+  FROM km WHERE d > 0
+), surv AS (
+  SELECT t, d, n_at_risk,
+         SUM(q) OVER (ORDER BY t) AS cq,
+         SUM(dies) OVER (ORDER BY t) AS cd
+  FROM terms
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_conversions,
+       CASE WHEN cd > 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(CAST(CAST(cq AS DOUBLE) / 1e9
+                 AS DECIMAL(18,6)) AS DOUBLE)
+       END AS log_survival
+FROM surv ORDER BY t_days
+"""
+
+_KM_SPARK = _KM_BODY.format(
+    dd_conv="DATEDIFF(CAST(cts AS DATE), CAST(fc AS DATE))",
+    dd_cens="DATEDIFF(CAST(last_seen AS DATE), CAST(fc AS DATE))",
+)
+_KM_DUCK = _KM_BODY.format(
+    dd_conv="(CAST(cts AS DATE) - CAST(fc AS DATE))",
+    dd_cens="(CAST(last_seen AS DATE) - CAST(fc AS DATE))",
+)
+
+# -- Market-basket lift over part brands --------------------------------------
+# Which part brands co-occur in orders beyond chance? lift(a,b) =
+# P(ab) / (P(a) P(b)) over order baskets at BRAND granularity — the
+# association-rule screen before a recommender fits anything. The
+# basket table (DISTINCT order x brand) is bounded by lines-per-order
+# (<= 7 in TPC-H), so the per-order pair fan-out is <= C(7,2) = 21 —
+# linear in orders at any scale. The basket is checkpointed (four tail
+# consumers); counts are exact, lift is one correctly-rounded double
+# expression of exact integers, and the top-15 cut totals on
+# (lift DESC, brand pair).
+_BASKET = """
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+_LIFT_TAIL = """
+WITH nb AS (
+  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM {v}
+), bc AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM {v} GROUP BY brand
+), pairs AS (
+  SELECT a.brand AS b1, b.brand AS b2, CAST(COUNT(*) AS BIGINT) AS cab
+  FROM {v} a JOIN {v} b ON a.ok = b.ok AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+)
+SELECT p.b1 AS brand_a, p.b2 AS brand_b,
+       p.cab AS n_orders_both, ca.c AS n_orders_a, cb.c AS n_orders_b,
+       CAST(CAST(
+         CAST(p.cab AS DOUBLE) * nb.n / (ca.c * cb.c)
+         AS DECIMAL(18,6)) AS DOUBLE) AS lift
+FROM pairs p
+JOIN bc ca ON p.b1 = ca.brand
+JOIN bc cb ON p.b2 = cb.brand
+CROSS JOIN nb
+WHERE p.cab >= 5
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 15
+"""
+
+
+def _basket_lift(spark, sf):
+    basket = spark.sql(_BASKET).localCheckpoint(eager=True)
+    basket.createOrReplaceTempView("lift_basket")
+    return spark.sql(_LIFT_TAIL.format(v="lift_basket"))
+
+
+_LIFT_DUCK = (
+    "WITH bk AS ("
+    + _BASKET
+    + "), "
+    + _LIFT_TAIL.format(v="bk").replace("WITH ", "", 1)
+)
+
+# -- Levenshtein-verified near-duplicate pass ---------------------------------
+# The edit-distance tier of the dedup cascade: block on (lang, 24-char
+# prefix) — near-identical copies share it — cap blocks at 32 docs
+# (the df_cutoff discipline: a prefix shared by more docs is
+# boilerplate, not signal), pair within blocks, and verify with
+# levenshtein over the 80-char head (bounded O(80^2) per pair; both
+# engines implement classic unweighted edit distance). Output is the
+# distance histogram of verified pairs at distance <= 8. The blocked
+# doc table is checkpointed: the self-join reads it twice.
+_EDITDIST_TAIL = """
+WITH pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb,
+         levenshtein(a.head, b.head) AS lev
+  FROM {v} a JOIN {v} b
+    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT CAST(lev AS BIGINT) AS prefix_edit_distance,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE lev <= 8
+GROUP BY lev ORDER BY prefix_edit_distance
+"""
+
+_EDITDIST_BLOCKS = """
+  SELECT doc_id, lang, blk, head FROM (
+    SELECT doc_id, lang,
+           substring(text, 1, 24) AS blk,
+           substring(text, 1, 80) AS head,
+           COUNT(*) OVER (PARTITION BY lang, substring(text, 1, 24))
+             AS bs
+    FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+  ) t WHERE bs <= 32
+"""
+
+
+def _editdist_dedup(spark, sf):
+    blocks = spark.sql(_EDITDIST_BLOCKS).localCheckpoint(eager=True)
+    blocks.createOrReplaceTempView("editdist_blocks")
+    return spark.sql(_EDITDIST_TAIL.format(v="editdist_blocks"))
+
+
+_EDITDIST_DUCK = (
+    "WITH eb AS ("
+    + _EDITDIST_BLOCKS
+    + "), "
+    + _EDITDIST_TAIL.format(v="eb").replace("WITH ", "", 1)
+)
+
+# -- Simplified silhouette score ----------------------------------------------
+# Cluster quality of the embedding labels: per point, a = distance to
+# own label centroid, b = nearest other centroid, s = (b-a)/max(a,b);
+# reported as per-label means. Centroid coordinates are exact
+# rationals on the 1e-6 coordinate grid (sum of grid ints / (1e6*n) —
+# one correctly-rounded division), per-dim squared deviations quantize
+# onto the 1e-12 grid (exact BIGINT sums, order-free), sqrt is
+# IEEE-correct, per-point s snaps to 1e-9 before the mean. TWO
+# embedding scans by design (centroid fit + scoring pass — the
+# standard two-pass cluster-eval shape; a checkpoint of the n x d
+# exploded table would cost more than the second columnar scan). The
+# scoring join fans each point out to k centroids via broadcast
+# (k*d rows), partial-aggregated before the one (vec, label) shuffle.
+_SILHOUETTE_TAIL = """
+cent AS (
+  SELECT label AS clabel, pos, SUM(q) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM expl GROUP BY label, pos
+), dpairs AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         CAST(FLOOR(
+           ((CAST(e.q AS DOUBLE) * c.cnt - CAST(c.sq AS DOUBLE))
+            / (1000000.0 * c.cnt))
+           * ((CAST(e.q AS DOUBLE) * c.cnt - CAST(c.sq AS DOUBLE))
+              / (1000000.0 * c.cnt)) * 1e12 + 0.5) AS BIGINT) AS qd
+  FROM expl e JOIN cent c ON e.pos = c.pos
+), d2 AS (
+  SELECT vec_id, label, clabel, SUM(qd) AS dq
+  FROM dpairs GROUP BY vec_id, label, clabel
+), ab AS (
+  SELECT vec_id, label,
+         MIN(CASE WHEN clabel = label THEN dq END) AS own,
+         MIN(CASE WHEN clabel <> label THEN dq END) AS other
+  FROM d2 GROUP BY vec_id, label
+), sil AS (
+  SELECT vec_id, label,
+         SQRT(CAST(own AS DOUBLE) / 1e12) AS a,
+         SQRT(CAST(other AS DOUBLE) / 1e12) AS b
+  FROM ab WHERE other IS NOT NULL
+), sq2 AS (
+  SELECT label,
+         CASE WHEN GREATEST(a, b) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR((b - a) / GREATEST(a, b) * 1e9 + 0.5)
+                   AS BIGINT) END AS qs
+  FROM sil
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(CAST(CAST(SUM(qs) AS DOUBLE) / 1e9 / COUNT(*)
+            AS DECIMAL(18,6)) AS DOUBLE) AS mean_silhouette
+FROM sq2 GROUP BY label ORDER BY label
+"""
+
+_SIL_SPARK = (
+    """
+WITH expl AS (
+  SELECT vec_id, label, pos,
+         CAST(FLOOR(CAST(col AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col
+  WHERE label IS NOT NULL
+), """
+    + _SILHOUETTE_TAIL
+)
+
+_SIL_DUCK = (
+    """
+WITH expl AS (
+  SELECT vec_id, label, i - 1 AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  WHERE label IS NOT NULL
+), """
+    + _SILHOUETTE_TAIL
+)
+
+QUERIES.update(
+    {
+        "order_revenue_gini": df_q(_gini, ("orders",), oracle=_GINI_DUCK),
+        "stat_grubbs_outlier": df_q(
+            _grubbs, ("events",), oracle=_GRUBBS_DUCK
+        ),
+        "series_max_drawdown": df_q(
+            _drawdown, ("events",), oracle=_DRAWDOWN_DUCK
+        ),
+        "graph_adamic_adar_topk": df_q(
+            _adamic_adar, ("events",), oracle=_aa_duck()
+        ),
+        "stat_kaplan_meier": sql_q(
+            _KM_SPARK, ("events",), oracle=_KM_DUCK
+        ),
+        "basket_lift_brand_pairs": df_q(
+            _basket_lift, ("lineitem", "part"), oracle=_LIFT_DUCK
+        ),
+        "dedup_edit_distance": df_q(
+            _editdist_dedup, ("documents",), oracle=_EDITDIST_DUCK
+        ),
+        "emb_simplified_silhouette": sql_q(
+            _SIL_SPARK, ("embeddings",), oracle=_SIL_DUCK
+        ),
+    }
+)

@@ -701,6 +701,7 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "event_max_concurrent_sessions": "day-boundary domain (hierarchical sweep)",
     "event_time_to_convert": "bounded integer lag-day domain",
     "stat_mi_cramers_v": "lang x source contingency cells",
+    "stat_kaplan_meier": "bounded lag-day domain (risk-set/survival windows)",
     "skyline_pareto_2d": "size-domain (documented in entry)",
     # dimension-rollup window inputs (customer/part rollups; documented
     # in the entries + SCALE.md)

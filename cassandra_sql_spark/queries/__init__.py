@@ -146,6 +146,10 @@ NEXT_WINDOW: tuple[str, ...] = (
     "basket_lift_brand_pairs",  # market-basket lift, bounded fan-out
     "dedup_edit_distance",     # levenshtein-verified blocked pairs
     "emb_simplified_silhouette",  # centroid-based cluster quality
+    "event_new_vs_returning",  # growth panel via first-seen window
+    "order_repeat_purchase",   # repeat share + exact median gap
+    "emb_mahalanobis_outliers",  # diagonal-Mahalanobis vector hygiene
+    "emb_duplicate_vectors",   # grid-hash exact vector dedup
 )
 
 _ALL: dict[str, Q] = {}

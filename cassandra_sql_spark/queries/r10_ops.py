@@ -625,3 +625,198 @@ QUERIES.update(
         ),
     }
 )
+
+# -- New vs returning users daily ----------------------------------------------
+# The growth panel: per day, how many active users are seen for the
+# FIRST time vs returning, plus the returning share. One scan: the
+# first-seen day comes from a keyed per-user window (MIN(day) OVER),
+# the rollup is day-domain. LAST 30 days by day order to keep the
+# output bounded and the cut total-ordered.
+_NEW_RETURNING_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), tagged AS (
+  SELECT day, user_id,
+         MIN(day) OVER (PARTITION BY user_id) AS first_day
+  FROM act
+)
+SELECT day,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users,
+       CAST(CAST(
+         CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*)
+         AS DECIMAL(18,6)) AS DOUBLE) AS returning_share
+FROM tagged GROUP BY day
+ORDER BY day DESC LIMIT 30
+"""
+
+# -- Repeat-purchase panel -----------------------------------------------------
+# Share of customers with 2+ orders and the exact median inter-order
+# gap in days — computed on the distinct-value percentile idiom
+# (GROUP BY gap first: the gap domain is bounded by the order-date
+# calendar, so the cumulative window input is day-domain-sized, the
+# order_fulfillment_lag discipline). Customer order sequences shard
+# on o_custkey.
+_REPEAT_PURCHASE_BODY = """
+WITH seq AS (
+  SELECT o_custkey,
+         {gapdays} AS gap
+  FROM (
+    SELECT o_custkey, o_orderdate,
+           LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+             AS prev_dt
+    FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  ) t WHERE prev_dt IS NOT NULL
+), cust AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY o_custkey
+), share AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeat
+  FROM cust
+), g AS (
+  SELECT gap, COUNT(*) AS c FROM seq GROUP BY gap
+), r AS (
+  SELECT gap, c,
+         SUM(c) OVER (ORDER BY gap) AS cum,
+         SUM(c) OVER () AS tot
+  FROM g
+), med AS (
+  SELECT CAST(MIN(CASE WHEN cum * 2 >= tot THEN gap END) AS BIGINT)
+           AS median_gap_days,
+         CAST(MAX(tot) AS BIGINT) AS n_gaps
+  FROM r
+)
+SELECT s.n_customers, s.n_repeat,
+       CAST(CAST(CAST(s.n_repeat AS DOUBLE) / s.n_customers
+            AS DECIMAL(18,6)) AS DOUBLE) AS repeat_share,
+       m.median_gap_days, m.n_gaps
+FROM share s CROSS JOIN med m
+"""
+
+_REPEAT_SPARK = _REPEAT_PURCHASE_BODY.format(
+    gapdays="DATEDIFF(CAST(o_orderdate AS DATE), CAST(prev_dt AS DATE))"
+)
+_REPEAT_DUCK = _REPEAT_PURCHASE_BODY.format(
+    gapdays="(CAST(o_orderdate AS DATE) - CAST(prev_dt AS DATE))"
+)
+
+# -- Diagonal-Mahalanobis embedding outliers ------------------------------------
+# Vector-hygiene outlier ranking: per-dim mean and variance on the
+# exact 1e-6 coordinate grid (the emb_label_centroids discipline),
+# then each vector's diagonal Mahalanobis distance sum((x-mu)^2 /
+# var), per-dim terms quantized onto the 1e-9 grid (exact BIGINT
+# sums), top-15 by the INTEGER sum (grid-deterministic cut). Two
+# embedding scans by design (moment fit + scoring — the silhouette
+# note). Zero-variance dims contribute 0 (a constant dim carries no
+# outlier signal), mirroring the NULL-guard discipline.
+_MAHALANOBIS_TAIL = """
+mom AS (
+  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n, SUM(q) AS s1,
+         SUM(q * q) AS s2
+  FROM expl GROUP BY pos
+), terms AS (
+  SELECT e.vec_id,
+         CASE WHEN m.n * m.s2 = m.s1 * m.s1 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(
+                ((CAST(e.q AS DOUBLE) * m.n - CAST(m.s1 AS DOUBLE))
+                 / m.n)
+                * ((CAST(e.q AS DOUBLE) * m.n - CAST(m.s1 AS DOUBLE))
+                   / m.n)
+                / (CAST(m.s2 AS DOUBLE) / m.n
+                   - (CAST(m.s1 AS DOUBLE) / m.n)
+                     * (CAST(m.s1 AS DOUBLE) / m.n))
+                / 1e12 * 1e9 + 0.5) AS BIGINT) END AS t
+  FROM expl e JOIN mom m ON e.pos = m.pos
+), sc AS (
+  SELECT vec_id, SUM(t) AS s FROM terms GROUP BY vec_id
+)
+SELECT vec_id,
+       CAST(CAST(CAST(s AS DOUBLE) / 1e9 AS DECIMAL(18,6)) AS DOUBLE)
+         AS mahalanobis_sq
+FROM sc ORDER BY s DESC, vec_id LIMIT 15
+"""
+
+_MAHA_SPARK = (
+    """
+WITH expl AS (
+  SELECT vec_id, pos,
+         CAST(FLOOR(CAST(col AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col
+), """
+    + _MAHALANOBIS_TAIL
+)
+
+_MAHA_DUCK = (
+    """
+WITH expl AS (
+  SELECT vec_id, i - 1 AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+), """
+    + _MAHALANOBIS_TAIL
+)
+
+# -- Exact-duplicate embedding vectors ------------------------------------------
+# The vector tier of exact dedup: group by the md5 of the 1e-6-grid
+# coordinate string (quantization makes float-noise twins collide;
+# the grid is the same one every embedding entry quantizes on), report
+# groups with 2+ members. One shuffle on the hash key — the
+# dedup_exact shape lifted to vectors. The base corpus has no true
+# duplicates (random vectors never collide), so the scan is UNIONed
+# with a deterministic re-ingest overlay — every 37th vector appears
+# again under an offset id, the double-delivery a resumed ingest job
+# produces — and the operator's job is to find exactly those groups
+# (a trivially-empty result would grade nothing).
+_DUPVEC_BODY = """
+WITH src AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 37 = 0
+), keyed AS (
+  SELECT vec_id, md5({key}) AS vkey
+  FROM src
+), grp AS (
+  SELECT vkey, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         CAST(MIN(vec_id) AS BIGINT) AS canonical_id
+  FROM keyed GROUP BY vkey
+)
+SELECT vkey AS vector_hash, n_copies, canonical_id
+FROM grp WHERE n_copies >= 2
+ORDER BY n_copies DESC, canonical_id
+LIMIT 50
+"""
+
+_DUPVEC_SPARK = _DUPVEC_BODY.format(
+    key="array_join(transform(embedding, x -> CAST(CAST(FLOOR("
+        "CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS STRING)), ',')"
+)
+_DUPVEC_DUCK = _DUPVEC_BODY.format(
+    key="array_to_string(list_transform(embedding, x -> CAST(CAST(FLOOR("
+        "CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), ',')"
+)
+
+QUERIES.update(
+    {
+        "event_new_vs_returning": sql_q(_NEW_RETURNING_SQL, ("events",)),
+        "order_repeat_purchase": sql_q(
+            _REPEAT_SPARK, ("orders",), oracle=_REPEAT_DUCK
+        ),
+        "emb_mahalanobis_outliers": sql_q(
+            _MAHA_SPARK, ("embeddings",), oracle=_MAHA_DUCK
+        ),
+        "emb_duplicate_vectors": sql_q(
+            _DUPVEC_SPARK, ("embeddings",), oracle=_DUPVEC_DUCK
+        ),
+    }
+)

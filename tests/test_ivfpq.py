@@ -162,3 +162,80 @@ def test_production_path_recall_at_sf01(spark):
     assert lsh0 >= 0.12, lsh0
     assert lsh2 >= 0.30, lsh2
     assert ivf4 >= 0.45, ivf4
+
+
+@pytest.mark.slow
+def test_production_path_recall_at_sf1_scale(spark):
+    """The sf0.1 recall point, repeated at sf1 SCALE (20,000 x 64-dim)
+    where LSH bucket occupancy is realistic (~1,250 rows/bucket at 4
+    planes) — a recall CURVE, not a point (r9 verdict task #7). The
+    driver's sf1 fixture is 10 identical copies of sf0.1 (key-offset
+    clones), which makes ANN recall trivially high (duplicates share
+    buckets by construction), so the corpus here is synthesized:
+    20k deterministic N(0,1) 64-dim vectors (seeded PCG64 —
+    bit-reproducible across platforms), near-uniform on the sphere,
+    the hard case for ANN. What must hold: every knob setting beats
+    its scan-fraction baseline by a clear factor, knobs are monotone,
+    and the measured floors reproduce (margin for float drift only).
+    Measured on first pin (2026-08-16) in SCALE.md §10."""
+    import numpy as np
+
+    rng = np.random.default_rng(421)
+    n, dim = 20_000, 64
+    V = rng.standard_normal((n, dim)).astype(np.float32).astype(np.float64)
+    ids = np.arange(n)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    ).repartition(8).cache()
+    emb.count()
+    norms = np.linalg.norm(V, axis=1)
+    k = 10
+    qids = [0, 1234, 4567, 7890, 10111, 13000, 16500, 19999]
+
+    def exact_topk(qid):
+        qi = int(qid)
+        cos = (V @ V[qi]) / (norms * norms[qi])
+        cos[qi] = -2.0
+        order = np.lexsort((ids, -cos))
+        return set(ids[order][:k].tolist())
+
+    def avg_recall(fn):
+        recs = [
+            len({r.vec_id for r in fn(q).collect()} & exact_topk(q)) / k
+            for q in qids
+        ]
+        return sum(recs) / len(recs)
+
+    lsh0 = avg_recall(lambda q: similarity.topk_lsh(emb, q, k=k, planes=4))
+    lsh2 = avg_recall(
+        lambda q: similarity.topk_lsh(emb, q, k=k, planes=4, multiprobe=2)
+    )
+    ivf4 = avg_recall(
+        lambda q: similarity.topk_ivf(emb, q, k=k, n_centroids=16, nprobe=4)
+    )
+    ivf8 = avg_recall(
+        lambda q: similarity.topk_ivf(emb, q, k=k, n_centroids=16, nprobe=8)
+    )
+    emb.unpersist()
+    print(f"sf1-scale recall@10: lsh0={lsh0} lsh2={lsh2} "
+          f"ivf4={ivf4} ivf8={ivf8}")
+    # scan-fraction baselines. The honest sf1-scale finding (SCALE.md
+    # §10): hyperplane-LSH recall-per-probe DEGRADES at 10x corpus
+    # (4-plane single-bucket beats its 1/16 baseline by only ~1.6x,
+    # down from ~3x at sf0.1) while IVF holds its recall exactly
+    # (k-means lists adapt to the data; random hyperplanes do not) —
+    # so the factors below are the measured truth, not aspirations.
+    assert lsh0 >= 1.4 * (1 / 16), lsh0
+    assert lsh2 >= 1.2 * (3 / 16), lsh2
+    assert ivf4 >= 1.5 * (4 / 16), ivf4
+    # knob monotonicity
+    assert lsh2 >= lsh0, (lsh0, lsh2)
+    assert ivf8 >= ivf4, (ivf4, ivf8)
+    # measured floors (deterministic seeded corpus + models; margin
+    # for arithmetic-environment drift only). First pin 2026-08-16:
+    # lsh0 0.100, lsh2 0.2625, ivf4 0.5625, ivf8 0.800.
+    assert lsh0 >= 0.08, lsh0
+    assert lsh2 >= 0.21, lsh2
+    assert ivf4 >= 0.48, ivf4
+    assert ivf8 >= 0.70, ivf8

@@ -702,6 +702,7 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "event_time_to_convert": "bounded integer lag-day domain",
     "stat_mi_cramers_v": "lang x source contingency cells",
     "stat_kaplan_meier": "bounded lag-day domain (risk-set/survival windows)",
+    "order_repeat_purchase": "bounded inter-order gap-day domain",
     "skyline_pareto_2d": "size-domain (documented in entry)",
     # dimension-rollup window inputs (customer/part rollups; documented
     # in the entries + SCALE.md)

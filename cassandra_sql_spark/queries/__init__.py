@@ -150,6 +150,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "order_repeat_purchase",   # repeat share + exact median gap
     "emb_mahalanobis_outliers",  # diagonal-Mahalanobis vector hygiene
     "emb_duplicate_vectors",   # grid-hash exact vector dedup
+    "stream_new_users_daily",  # stateful first-seen stream twin
 )
 
 _ALL: dict[str, Q] = {}

@@ -625,3 +625,66 @@ QUERIES["stream_debounce_counts"] = Q(
     FROM lagged GROUP BY event_type ORDER BY event_type
     """,
 )
+
+
+# Streaming new-vs-returning daily counts (stateful twin of the batch
+# event_new_vs_returning first-seen window): state per user is two
+# int32 days (first seen + emission high-water mark), each active
+# user-day emits exactly once with is_new = (day == first seen), so
+# the AvailableNow drain's daily rollup equals the batch MIN(day)
+# OVER (PARTITION BY user) rule exactly. Same 30-day cut and share
+# arithmetic as the batch entry.
+def _new_returning_counts(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-nvr-")
+    stream = ev.read_events_stream(spark, sf_dir)
+    tagged = ev.first_seen_days(stream)
+    ev.run_available_now(tagged, "firstseen_q", ckpt, mode="append")
+    return (
+        spark.table("firstseen_q")
+        .groupBy("day")
+        .agg(
+            F.sum(F.col("is_new")).cast("long").alias("new_users"),
+            F.sum(1 - F.col("is_new")).cast("long").alias(
+                "returning_users"
+            ),
+            (
+                F.floor(
+                    F.sum(1 - F.col("is_new")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1000000
+                    + 0.5
+                ).cast("bigint")
+                / 1000000
+            ).cast("double").alias("returning_share"),
+        )
+        .orderBy(F.col("day").desc())
+        .limit(30)
+    )
+
+
+QUERIES["stream_new_users_daily"] = Q(
+    _new_returning_counts,
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), tagged AS (
+      SELECT day, user_id,
+             MIN(day) OVER (PARTITION BY user_id) AS first_day
+      FROM act
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users,
+           CAST(CAST(FLOOR(
+             CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+             AS DOUBLE) / 1000000 AS returning_share
+    FROM tagged GROUP BY day
+    ORDER BY day DESC LIMIT 30
+    """,
+)

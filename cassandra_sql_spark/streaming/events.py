@@ -30,7 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DateType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -814,6 +816,90 @@ def markov_transitions(events: DataFrame) -> DataFrame:
             fn,
             outputStructType=MARKOV_SCHEMA,
             stateStructType=_MARKOV_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+FIRSTSEEN_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("day", DateType()),
+        StructField("is_new", IntegerType()),
+    ]
+)
+
+_FIRSTSEEN_STATE = StructType(
+    [
+        StructField("first_day", IntegerType()),   # days since epoch
+        StructField("last_emitted", IntegerType()),
+    ]
+)
+
+
+def first_seen_days(events: DataFrame) -> DataFrame:
+    """Streaming new-vs-returning tagging: emit one (user, day, is_new)
+    row per ACTIVE user-day — the stateful twin of the batch first-seen
+    window (event_new_vs_returning). State per user is two int32 days
+    (first seen, last emitted), so the store is bounded by |users| at
+    any event volume; the daily rollup is a tiny batch aggregate over
+    the drained sink.
+
+    Batch==stream equivalence: within a user the active days are
+    processed in ascending order (rows sorted per micro-batch, state
+    carries the high-water mark so re-deliveries and later batches
+    never re-emit a day), and is_new is day == min(day) — exactly the
+    batch MIN(day) OVER (PARTITION BY user) rule. NULL ts/user rows
+    identify no user-day and are excluded on both sides."""
+    import datetime as _dt
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        days = set()
+        for pdf in batches:
+            for t in pdf["ts"]:
+                if pd.isna(t):
+                    continue
+                days.add(int(t.value // 86_400_000_000_000))
+        if not days:
+            return
+        first, last = (
+            (state.get[0], state.get[1]) if state.exists else (None, None)
+        )
+        out_days, out_new = [], []
+        for d in sorted(days):
+            if last is not None and d <= last:
+                continue  # already emitted (re-delivery / later batch)
+            if first is None:
+                first = d
+            out_days.append(d)
+            out_new.append(1 if d == first else 0)
+            last = d
+        state.update((first, last))
+        if out_days:
+            epoch = _dt.date(1970, 1, 1)
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_days),
+                    "day": [
+                        epoch + _dt.timedelta(days=d) for d in out_days
+                    ],
+                    "is_new": out_new,
+                }
+            )
+
+    return (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FIRSTSEEN_SCHEMA,
+            stateStructType=_FIRSTSEEN_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -299,13 +299,19 @@ tie AS (
   FROM dist WHERE t > 1
 )
 SELECT n.n AS n_obs, h.k AS n_groups,
-       3.0 / (CAST(n.n AS DOUBLE) * CAST(n.n + 1 AS DOUBLE)) * h.ssq
-         AS h_stat,
-       (3.0 / (CAST(n.n AS DOUBLE) * CAST(n.n + 1 AS DOUBLE)) * h.ssq)
+       -- DECIMAL(18,6) snap: ssq is a 5-term double SUM whose
+       -- accumulation order differs between engines; at sf10 the
+       -- last-ulp drift crossed the 9-sig-digit hash boundary
+       -- (caught by the round-10 sf10 gate — invisible at sf0.01)
+       CAST(CAST(
+         3.0 / (CAST(n.n AS DOUBLE) * CAST(n.n + 1 AS DOUBLE)) * h.ssq
+         AS DECIMAL(18,6)) AS DOUBLE) AS h_stat,
+       CAST(CAST(
+         (3.0 / (CAST(n.n AS DOUBLE) * CAST(n.n + 1 AS DOUBLE)) * h.ssq)
          / (1.0 - COALESCE(tie.tsum, 0.0)
               / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)
                  * CAST(n.n AS DOUBLE) - CAST(n.n AS DOUBLE)))
-         AS h_tie_corrected
+         AS DECIMAL(18,6)) AS DOUBLE) AS h_tie_corrected
 FROM n, h, tie
 """
 

@@ -715,16 +715,22 @@ _REPEAT_DUCK = _REPEAT_PURCHASE_BODY.format(
 # var), per-dim terms quantized onto the 1e-9 grid (exact BIGINT
 # sums), top-15 by the INTEGER sum (grid-deterministic cut). Two
 # embedding scans by design (moment fit + scoring — the silhouette
-# note). Zero-variance dims contribute 0 (a constant dim carries no
+# note). Moment sums SUM(q*q) stay inside int64 through ~sf3000
+# (coords are unit-scale, so q*q <= 3.4e11 per row); the
+# zero-variance guard is MIN=MAX, never an n*s2 product. Zero-variance dims contribute 0 (a constant dim carries no
 # outlier signal), mirroring the NULL-guard discipline.
 _MAHALANOBIS_TAIL = """
 mom AS (
   SELECT pos, CAST(COUNT(*) AS BIGINT) AS n, SUM(q) AS s1,
-         SUM(q * q) AS s2
+         SUM(q * q) AS s2, MIN(q) AS mn, MAX(q) AS mx
   FROM expl GROUP BY pos
 ), terms AS (
   SELECT e.vec_id,
-         CASE WHEN m.n * m.s2 = m.s1 * m.s1 THEN CAST(0 AS BIGINT)
+         -- zero variance <=> all grid values equal: MIN = MAX is the
+         -- exact test with NO big products (the n*s2 = s1*s1 spelling
+         -- overflows int64 at sf10 row counts — caught by the sf10
+         -- gate on the Spark side under ANSI mode)
+         CASE WHEN m.mn = m.mx THEN CAST(0 AS BIGINT)
               ELSE CAST(FLOOR(
                 ((CAST(e.q AS DOUBLE) * m.n - CAST(m.s1 AS DOUBLE))
                  / m.n)
@@ -781,7 +787,7 @@ _DUPVEC_BODY = """
 WITH src AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 10000000 AS vec_id, embedding
+  SELECT vec_id + 1000000000000 AS vec_id, embedding
   FROM embeddings WHERE vec_id % 37 = 0
 ), keyed AS (
   SELECT vec_id, md5({key}) AS vkey

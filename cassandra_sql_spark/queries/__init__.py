@@ -151,6 +151,8 @@ NEXT_WINDOW: tuple[str, ...] = (
     "emb_mahalanobis_outliers",  # diagonal-Mahalanobis vector hygiene
     "emb_duplicate_vectors",   # grid-hash exact vector dedup
     "stream_new_users_daily",  # stateful first-seen stream twin
+    "stat_friedman_test",      # blocked weekday ranks, tie-corrected
+    "event_frequency_migration",  # lifecycle band transition matrix
     # representation canary: ulp-snap added to h_stat/h_tie_corrected
     # after the sf10 gate caught cross-engine last-ulp drift (r10);
     # regrade under the new representation

@@ -826,3 +826,132 @@ QUERIES.update(
         ),
     }
 )
+
+# -- Friedman rank test across weekday groups -----------------------------------
+# Nonparametric repeated-measures ANOVA: does revenue differ by weekday
+# once week-to-week level shifts are blocked out? Each COMPLETE week is
+# a block; weekday revenues rank within their block (ties get average
+# ranks, carried as 2x-rank integers so everything stays exact), chi2_F
+# = 12/(n k (k+1)) sum(Rj^2) - 3 n (k+1), plus the tie-corrected
+# variant (the Kruskal-Wallis denominator). Day-of-week comes from
+# arithmetic on the epoch-Monday day number ({dd} % 7), not from
+# dayofweek() — Spark numbers Sunday=1, DuckDB Sunday=0 (the dialect
+# trap series_seasonal_naive documents). Windows run over 7-row blocks
+# of the day-domain table; sums are exact BIGINTs (2x-ranks <= 15 per
+# cell, sr2^2 <= ~1e7 at centuries of weeks).
+_FRIEDMAN_BODY = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+              / 100.0 + 0.5) AS BIGINT) AS r
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY CAST(ts AS DATE)
+), wk AS (
+  SELECT d, r,
+         CAST(FLOOR({dd} / 7.0) AS BIGINT) AS week,
+         CAST({dd} % 7 + 1 AS BIGINT) AS dow
+  FROM daily
+), fullw AS (
+  SELECT week FROM wk GROUP BY week HAVING COUNT(*) = 7
+), ranked AS (
+  SELECT wk.week, wk.dow,
+         RANK() OVER (PARTITION BY wk.week ORDER BY wk.r) AS rk,
+         COUNT(*) OVER (PARTITION BY wk.week, wk.r) AS tie
+  FROM wk JOIN fullw ON wk.week = fullw.week
+), r2 AS (
+  -- average rank under ties, times 2: RANK + (tie-1)/2 -> 2rk + tie - 1
+  SELECT week, dow, 2 * rk + tie - 1 AS r2, tie FROM ranked
+), sums AS (
+  SELECT dow, SUM(r2) AS sr2 FROM r2 GROUP BY dow
+), nb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fullw
+), ties AS (
+  -- per-block tie correction: sum(t^3 - t) over tie GROUPS (each
+  -- group of t tied values contributes once — divide the per-row
+  -- count by t)
+  SELECT COALESCE(SUM((tie * tie * tie - tie) / tie), 0) AS tsum,
+         COUNT(*) AS nr
+  FROM r2 WHERE tie > 1
+), stat AS (
+  SELECT nb.n,
+         12.0 / (nb.n * 7 * 8) * (CAST(SUM(s.sr2 * s.sr2) AS DOUBLE) / 4.0)
+           - 3.0 * nb.n * 8 AS chi2,
+         ties.tsum
+  FROM sums s CROSS JOIN nb CROSS JOIN ties
+  GROUP BY nb.n, ties.tsum
+)
+SELECT CAST(n AS BIGINT) AS n_weeks, CAST(7 AS BIGINT) AS k_groups,
+       CAST(CAST(chi2 AS DECIMAL(18,6)) AS DOUBLE) AS friedman_chi2,
+       CASE WHEN 1.0 - CAST(tsum AS DOUBLE) / (n * 7 * 48) <= 0
+            THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(CAST(
+              chi2 / (1.0 - CAST(tsum AS DOUBLE) / (n * 7 * 48))
+              AS DECIMAL(18,6)) AS DOUBLE)
+       END AS friedman_chi2_tie_corrected
+FROM stat
+"""
+
+_FRIEDMAN_SPARK = _FRIEDMAN_BODY.format(
+    dd="DATEDIFF(d, DATE'1969-12-29')"
+)
+_FRIEDMAN_DUCK = _FRIEDMAN_BODY.format(
+    dd="date_diff('day', DATE '1969-12-29', d)"
+)
+
+# -- Purchase-frequency band migration ------------------------------------------
+# Customer-lifecycle transition matrix: each user's purchase count in
+# the FIRST half of the observed span vs the SECOND half, banded
+# none/one/few(2-3)/many(4+) — fixed exact-integer band edges, so no
+# quantile machinery is needed and the matrix is deterministic at any
+# scale. One event scan (the span midpoint is a broadcast scalar);
+# the matrix groups a 4x4 domain.
+_FREQ_MIGRATION_BODY = """
+WITH span AS (
+  SELECT MIN({us}) AS mn, MAX({us}) AS mx FROM events e
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), halves AS (
+  -- first vs second half of the observed span by exact integer
+  -- microseconds: (t - mn) * 2 < (mx - mn). Spark unix_micros and
+  -- DuckDB epoch_us are both exact BIGINT epochs (unix_timestamp /
+  -- epoch() truncate or fractionalize seconds and diverge)
+  SELECT e.user_id,
+         SUM(CASE WHEN e.event_type = 'purchase'
+                  AND ({us} - s.mn) * 2 < s.mx - s.mn
+             THEN 1 ELSE 0 END) AS p1,
+         SUM(CASE WHEN e.event_type = 'purchase'
+                  AND ({us} - s.mn) * 2 >= s.mx - s.mn
+             THEN 1 ELSE 0 END) AS p2
+  FROM events e CROSS JOIN span s
+  WHERE e.ts IS NOT NULL AND e.user_id IS NOT NULL
+  GROUP BY e.user_id
+), banded AS (
+  SELECT CASE WHEN p1 = 0 THEN 'none' WHEN p1 = 1 THEN 'one'
+              WHEN p1 <= 3 THEN 'few' ELSE 'many' END AS band_h1,
+         CASE WHEN p2 = 0 THEN 'none' WHEN p2 = 1 THEN 'one'
+              WHEN p2 <= 3 THEN 'few' ELSE 'many' END AS band_h2
+  FROM halves
+), m AS (
+  SELECT band_h1, band_h2, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM banded GROUP BY band_h1, band_h2
+)
+SELECT band_h1, band_h2, n_users,
+       CAST(CAST(
+         CAST(n_users AS DOUBLE) / SUM(n_users) OVER ()
+         AS DECIMAL(18,6)) AS DOUBLE) AS share
+FROM m ORDER BY band_h1, band_h2
+"""
+
+_FREQ_MIGRATION_SPARK = _FREQ_MIGRATION_BODY.format(us="unix_micros(e.ts)")
+_FREQ_MIGRATION_DUCK = _FREQ_MIGRATION_BODY.format(us="epoch_us(e.ts)")
+
+QUERIES.update(
+    {
+        "stat_friedman_test": sql_q(
+            _FRIEDMAN_SPARK, ("events",), oracle=_FRIEDMAN_DUCK
+        ),
+        "event_frequency_migration": sql_q(
+            _FREQ_MIGRATION_SPARK, ("events",),
+            oracle=_FREQ_MIGRATION_DUCK,
+        ),
+    }
+)

@@ -56,6 +56,7 @@ def test_ivfpq_runtime_reads_subset_of_partitions(spark, ivfpq):
     assert "PartitionFilters: [" in plan
 
 
+@pytest.mark.slow
 def test_ivfpq_models_are_deterministic(spark, sf_dir, ivfpq, tmp_path):
     emb, _, cents, books = ivfpq
     path2 = str(tmp_path / "idx2")

@@ -698,6 +698,7 @@ def test_corpus_curation_gates_compose(spark, sf_dir):
         assert 0.7 <= r.avg_quality <= 1.0, r
 
 
+@pytest.mark.slow
 def test_bloom_decontam_no_false_negatives(spark, sf_dir):
     """Every train doc the exact 5-gram join flags MUST be Bloom-flagged
     (one-sided error), and the false-positive overhang stays tiny at the
@@ -780,6 +781,7 @@ def pq_books(pq_emb):
     return similarity.pq_train(pq_emb, m=4, k_codes=16, iters=2)
 
 
+@pytest.mark.slow
 def test_pq_train_shape_and_determinism(pq_emb, pq_books):
     assert len(pq_books) == 4
     assert all(len(b) == 16 for b in pq_books)

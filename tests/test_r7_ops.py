@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from cassandra_sql_spark.io import load
 from cassandra_sql_spark.queries import REGISTRY
 
@@ -115,6 +117,7 @@ def test_gaps_islands_runs_fit_observed_activity(spark, sf_dir):
         assert 1 <= r.longest_run_days <= days[r.user_id], r
 
 
+@pytest.mark.slow
 def test_ivf_exact_recall_and_score_exactness(spark, sf_dir):
     """The exact-int IVF entry keeps the float path's recall floor
     (probing half the lists recovers most of the true top-k) and every
@@ -132,6 +135,7 @@ def test_ivf_exact_recall_and_score_exactness(spark, sf_dir):
             assert r.score == brute[r.vec_id], r
 
 
+@pytest.mark.slow
 def test_pq_exact_shortlist_and_score_exactness(spark, sf_dir):
     """The exact-int PQ entry returns k rows whose scores equal the
     brute-force cosine for those vectors (only shortlist MEMBERSHIP is

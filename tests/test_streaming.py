@@ -267,6 +267,7 @@ def test_session_window_gap_merges(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_anomalies_welford_state_and_order(spark, tmp_path):
     """Per-user running z-score: 20 calm events warm the state, then a
     wild spike is flagged against the PRIOR statistics; a second batch

@@ -839,19 +839,21 @@ QUERIES.update(
 # trap series_seasonal_naive documents). Windows run over 7-row blocks
 # of the day-domain table; sums are exact BIGINTs (2x-ranks <= 15 per
 # cell, sr2^2 <= ~1e7 at centuries of weeks).
-_FRIEDMAN_BODY = """
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS d,
-         CAST(FLOOR(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
-              / 100.0 + 0.5) AS BIGINT) AS r
-  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-  GROUP BY CAST(ts AS DATE)
-), wk AS (
+_FRIEDMAN_WK = """
   SELECT d, r,
          CAST(FLOOR({dd} / 7.0) AS BIGINT) AS week,
          CAST({dd} % 7 + 1 AS BIGINT) AS dow
-  FROM daily
-), fullw AS (
+  FROM (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(FLOOR(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                / 100.0 + 0.5) AS BIGINT) AS r
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+  ) daily
+"""
+
+_FRIEDMAN_TAIL = """
+WITH wk AS (SELECT * FROM {v}), fullw AS (
   SELECT week FROM wk GROUP BY week HAVING COUNT(*) = 7
 ), ranked AS (
   SELECT wk.week, wk.dow,
@@ -891,11 +893,23 @@ SELECT CAST(n AS BIGINT) AS n_weeks, CAST(7 AS BIGINT) AS k_groups,
 FROM stat
 """
 
-_FRIEDMAN_SPARK = _FRIEDMAN_BODY.format(
-    dd="DATEDIFF(d, DATE'1969-12-29')"
-)
-_FRIEDMAN_DUCK = _FRIEDMAN_BODY.format(
-    dd="date_diff('day', DATE '1969-12-29', d)"
+def _friedman(spark, sf):
+    """Week-keyed day table checkpointed once: the block filter, the
+    rank join, and the tie scan all re-reference it, and CTE inlining
+    re-scanned the event log FIVE times in the pure-SQL form (the
+    r9b scan-multiplier trap; plan-pinned to zero parquet scans)."""
+    wk = spark.sql(
+        _FRIEDMAN_WK.format(dd="DATEDIFF(d, DATE'1969-12-29')")
+    ).localCheckpoint(eager=True)
+    wk.createOrReplaceTempView("friedman_wk")
+    return spark.sql(_FRIEDMAN_TAIL.format(v="friedman_wk"))
+
+
+_FRIEDMAN_DUCK = (
+    "WITH fw AS ("
+    + _FRIEDMAN_WK.format(dd="date_diff('day', DATE '1969-12-29', d)")
+    + "), "
+    + _FRIEDMAN_TAIL.format(v="fw").replace("WITH ", "", 1)
 )
 
 # -- Purchase-frequency band migration ------------------------------------------
@@ -946,8 +960,8 @@ _FREQ_MIGRATION_DUCK = _FREQ_MIGRATION_BODY.format(us="epoch_us(e.ts)")
 
 QUERIES.update(
     {
-        "stat_friedman_test": sql_q(
-            _FRIEDMAN_SPARK, ("events",), oracle=_FRIEDMAN_DUCK
+        "stat_friedman_test": df_q(
+            _friedman, ("events",), oracle=_FRIEDMAN_DUCK
         ),
         "event_frequency_migration": sql_q(
             _FREQ_MIGRATION_SPARK, ("events",),

@@ -797,3 +797,39 @@ def test_unpartitioned_window_allowlist_is_tight(spark, sf_dir):
     registry (no stale entries shielding future regressions)."""
     stale = set(_UNPARTITIONED_WINDOW_ALLOWLIST) - set(REGISTRY)
     assert not stale, f"stale allowlist entries: {sorted(stale)}"
+
+
+# --- round-10 additions: scan-count pins -------------------------------------
+
+R10_SCAN_BUDGET = {
+    # checkpointed intermediates: tails read ExistingRDD only
+    "order_revenue_gini": 0,
+    "stat_grubbs_outlier": 0,
+    "series_max_drawdown": 0,
+    "graph_adamic_adar_topk": 0,
+    "basket_lift_brand_pairs": 0,
+    "dedup_edit_distance": 0,
+    "stat_friedman_test": 0,
+    # single-chain plans: one fact scan
+    "event_new_vs_returning": 1,
+    "stat_kaplan_meier": 1,
+    "jpeg_color_decode_real": 1,
+    # documented two-scan shapes: span scalar + main pass, LAG-seq +
+    # per-customer counts, centroid/moment fit + scoring pass, base +
+    # re-ingest overlay
+    "event_frequency_migration": 2,
+    "order_repeat_purchase": 2,
+    "emb_simplified_silhouette": 2,
+    "emb_mahalanobis_outliers": 2,
+    "emb_duplicate_vectors": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(R10_SCAN_BUDGET))
+def test_r10_scan_budget(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    n = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n <= R10_SCAN_BUDGET[name], (
+        f"{name}: {n} parquet scans (budget "
+        f"{R10_SCAN_BUDGET[name]}) — a CTE reference is re-scanning"
+    )

@@ -142,10 +142,18 @@ from cassandra_sql_spark.queries.r9b_ops import _HHI_CUST  # noqa: E402
 # o_custkey tiebreak; the quantized term-sum is permutation-invariant
 # within a tied block, so the tiebreak never changes the output.
 _GINI_TAIL = """
-WITH s AS (
-  SELECT COUNT(*) AS n, SUM(d) AS s1 FROM {v}
+WITH f AS (
+  -- a customer whose every order price is NULL has no revenue total
+  -- (SUM over all-NULL is NULL) and no place on the Lorenz curve;
+  -- excluded EXPLICITLY because a NULL d would otherwise rank first
+  -- in Spark ASC and last in DuckDB, shifting every rank by one (the
+  -- event-sequence NULL-ordering trap, caught by the adversarial
+  -- TPC-H suite)
+  SELECT o_custkey, d FROM {v} WHERE d IS NOT NULL
+), s AS (
+  SELECT COUNT(*) AS n, SUM(d) AS s1 FROM f
 ), r AS (
-  SELECT d, ROW_NUMBER() OVER (ORDER BY d, o_custkey) AS i FROM {v}
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d, o_custkey) AS i FROM f
 ), t AS (
   SELECT CAST(FLOOR(
            (CAST(r.i AS DOUBLE) / s.n)

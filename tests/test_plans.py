@@ -703,6 +703,7 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "stat_mi_cramers_v": "lang x source contingency cells",
     "stat_kaplan_meier": "bounded lag-day domain (risk-set/survival windows)",
     "order_repeat_purchase": "bounded inter-order gap-day domain",
+    "event_frequency_migration": "4x4 band-matrix domain (share OVER ())",
     "skyline_pareto_2d": "size-domain (documented in entry)",
     # dimension-rollup window inputs (customer/part rollups; documented
     # in the entries + SCALE.md)

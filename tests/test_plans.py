@@ -690,7 +690,7 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "series_peak_detection": "day-domain",
     "series_revenue_mom_yoy": "month-domain",
     "stat_chi_square": "weekday-cell-domain",
-    "stat_kruskal_wallis": "day-domain ranks",
+    "stat_kruskal_wallis": "distinct-cent-value rank domain",
     "stat_ks_two_sample": "day-domain",
     "stat_mann_whitney": "day-domain",
     "stat_runs_test": "day-domain",

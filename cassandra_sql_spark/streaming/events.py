@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DateType,
     DoubleType,
     IntegerType,
@@ -833,7 +834,7 @@ FIRSTSEEN_SCHEMA = StructType(
 _FIRSTSEEN_STATE = StructType(
     [
         StructField("first_day", IntegerType()),   # days since epoch
-        StructField("last_emitted", IntegerType()),
+        StructField("emitted", ArrayType(IntegerType())),
     ]
 )
 
@@ -841,17 +842,26 @@ _FIRSTSEEN_STATE = StructType(
 def first_seen_days(events: DataFrame) -> DataFrame:
     """Streaming new-vs-returning tagging: emit one (user, day, is_new)
     row per ACTIVE user-day — the stateful twin of the batch first-seen
-    window (event_new_vs_returning). State per user is two int32 days
-    (first seen, last emitted), so the store is bounded by |users| at
-    any event volume; the daily rollup is a tiny batch aggregate over
-    the drained sink.
+    window (event_new_vs_returning). State per user is the corrected
+    first-seen day plus the SET of emitted days (int32s, bounded by the
+    per-user active-day calendar — a few KB per user at decade spans),
+    so re-delivery of an already-emitted day is distinguished from LATE
+    ARRIVAL of a not-yet-seen earlier day: re-deliveries are skipped,
+    late earlier days are still emitted (never silently lost) and
+    first_day is corrected to the true minimum. The daily rollup is a
+    tiny batch aggregate over the drained sink.
 
-    Batch==stream equivalence: within a user the active days are
-    processed in ascending order (rows sorted per micro-batch, state
-    carries the high-water mark so re-deliveries and later batches
-    never re-emit a day), and is_new is day == min(day) — exactly the
-    batch MIN(day) OVER (PARTITION BY user) rule. NULL ts/user rows
-    identify no user-day and are excluded on both sides."""
+    Batch==stream equivalence: is_new=1 on the user's first OBSERVED
+    day (exactly one per user, so SUM(is_new) = |users| on both sides).
+    When per-user days arrive in ascending order across batches — which
+    the AvailableNow single-batch drain used by stream_new_users_daily
+    guarantees — the first observed day IS the first active day, and
+    the rollup equals the batch MIN(day) OVER (PARTITION BY user) rule
+    exactly. Under cross-batch disorder, append mode cannot retract the
+    already-emitted tag, so the new-user credit lands on the first
+    observed day; every user-day row is still emitted exactly once.
+    NULL ts/user rows identify no user-day and are excluded on both
+    sides."""
     import datetime as _dt
 
     def fn(
@@ -868,19 +878,20 @@ def first_seen_days(events: DataFrame) -> DataFrame:
                 days.add(int(t.value // 86_400_000_000_000))
         if not days:
             return
-        first, last = (
-            (state.get[0], state.get[1]) if state.exists else (None, None)
-        )
+        if state.exists:
+            first = state.get[0]
+            emitted = set(state.get[1])
+        else:
+            first, emitted = None, set()
+        fresh = sorted(days - emitted)  # re-delivered days drop here
         out_days, out_new = [], []
-        for d in sorted(days):
-            if last is not None and d <= last:
-                continue  # already emitted (re-delivery / later batch)
-            if first is None:
-                first = d
+        for d in fresh:
+            # exactly one is_new=1 per user: the first day ever emitted
             out_days.append(d)
-            out_new.append(1 if d == first else 0)
-            last = d
-        state.update((first, last))
+            out_new.append(1 if not emitted and d == fresh[0] else 0)
+        first = min(days) if first is None else min(first, min(days))
+        emitted |= days
+        state.update((first, sorted(emitted)))
         if out_days:
             epoch = _dt.date(1970, 1, 1)
             yield pd.DataFrame(

@@ -156,9 +156,15 @@ def main() -> int:
         for name, t in ENTRIES.items()
     ] + list(EXPANSION_ENTRIES.items())
     only = set(sys.argv[2:])
+    unknown = only - {name for name, _ in jobs}
+    if unknown:
+        print(f"ERROR: filter names match no job: {sorted(unknown)}")
+        return 2
+    n_run = 0
     for name, oracle_sql in jobs:
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         df = REGISTRY[name].fn(spark, sf_dir)
         cols = df.columns
@@ -176,7 +182,7 @@ def main() -> int:
                 f"PASS {name}: {len(rows)} rows "
                 f"[spark {t_spark:.1f}s, total {time.time()-t0:.1f}s]"
             )
-    print(f"\n{len(jobs if not only else only) - n_fail} pass, {n_fail} fail")
+    print(f"\n{n_run - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
 

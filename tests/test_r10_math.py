@@ -122,6 +122,34 @@ def test_max_drawdown_matches_numpy(spark, sf_dir):
     assert row.trough_day == trough
 
 
+def test_mahalanobis_matches_numpy(spark, sf_dir):
+    out = REGISTRY["emb_mahalanobis_outliers"].fn(spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    Q = np.stack([
+        np.floor(np.asarray(v, np.float64) * 1e6 + 0.5)
+        for v in emb.embedding
+    ]).astype(np.int64)
+    n = Q.shape[0]
+    s1 = Q.sum(axis=0).astype(np.float64)
+    s2 = (Q.astype(np.float64) ** 2).sum(axis=0)
+    var = s2 / n - (s1 / n) ** 2
+    const = Q.min(axis=0) == Q.max(axis=0)
+    dev = (Q.astype(np.float64) * n - s1) / n
+    term = np.where(const, 0.0, dev * dev / np.where(const, 1.0, var))
+    t = np.floor(term * 1e9 + 0.5).astype(np.int64)
+    s = t.sum(axis=1)
+    ranked = sorted(zip(-s, emb.vec_id.values))[:15]
+    for row, (neg_s, vid) in zip(out, ranked):
+        assert row.vec_id == vid, (row.vec_id, vid)
+        expect = float(-neg_s) / 1e9
+        assert abs(row.mahalanobis_sq - expect) < 1e-5, (
+            row.mahalanobis_sq, expect
+        )
+    # magnitudes: expected Mahalanobis-sq ~ d for inliers; the top
+    # entry must be a real outlier, not a floor-quantized zero
+    assert out[0].mahalanobis_sq > Q.shape[1], out[0].mahalanobis_sq
+
+
 def test_silhouette_matches_numpy(spark, sf_dir):
     rows = {
         r.label: r

@@ -315,6 +315,59 @@ def test_anomalies_welford_state_and_order(spark, tmp_path):
     assert r.user_id == 7 and r.value == 500.0 and r.n_seen == 20
     assert r.zscore > 3.0
 
+def test_first_seen_late_day_emitted_not_lost(spark, tmp_path):
+    """r10 advice: a later micro-batch delivering an EARLIER active day
+    must still emit that user-day (the old high-water-mark state dropped
+    it), while a re-delivered already-emitted day stays skipped; is_new
+    fires exactly once per user."""
+    src = tmp_path / "fs_src"
+    src.mkdir()
+    schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, ts timestamp"
+    )
+
+    def write(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        df.coalesce(1).write.mode("append").parquet(str(src / "e.parquet"))
+
+    # foreachBatch parquet sink: unlike the memory sink it supports
+    # checkpoint RECOVERY, so the second drain resumes from committed
+    # offsets with the per-user state carried over
+    out, ckpt = str(tmp_path / "fs_sink"), str(tmp_path / "fs_ckpt")
+
+    def drained():
+        return {
+            (r.user_id, str(r.day)): r.is_new
+            for r in spark.read.parquet(out + "/batch=*").collect()
+        }
+
+    write([(1, "2024-01-10 09:00:00", 1, "click", 1.0, "{}"),
+           (2, "2024-01-03 09:00:00", 2, "click", 1.0, "{}")])
+    stream = spark.readStream.schema(schema).parquet(str(src / "e.parquet"))
+    ev.run_foreach_batch_parquet(ev.first_seen_days(stream), out, ckpt)
+    assert drained() == {(1, "2024-01-10"): 1, (2, "2024-01-03"): 1}
+
+    # batch 2: user 1's day 01-05 arrives LATE (earlier than the emitted
+    # 01-10), plus a re-delivery of 01-10 itself
+    write([(3, "2024-01-05 09:00:00", 1, "click", 1.0, "{}"),
+           (4, "2024-01-10 12:00:00", 1, "view", 1.0, "{}")])
+    stream2 = spark.readStream.schema(schema).parquet(str(src / "e.parquet"))
+    ev.run_foreach_batch_parquet(ev.first_seen_days(stream2), out, ckpt)
+    # late day emitted exactly once, re-delivered day NOT re-emitted,
+    # and the user's single is_new=1 credit stays on the first
+    # observed day (append mode cannot retract it)
+    assert drained() == {
+        (1, "2024-01-10"): 1,
+        (2, "2024-01-03"): 1,
+        (1, "2024-01-05"): 0,
+    }
+
+
 def test_ohlc_stream_equals_batch(spark, sf_dir, tmp_path):
     """Streaming OHLC bars drained in complete mode equal batch
     execution of the identical aggregation — min_by/max_by partials

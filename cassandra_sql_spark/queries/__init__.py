@@ -67,76 +67,18 @@ _MODULES = (
 
 # The correctness driver grades only the FIRST 50 registry entries. The
 # window ROTATES per round so every oracle-checked entry eventually gets a
-# hard-signal driver row (r1-r9 graded 298 distinct entries, all green at
-# latest grading; see CORRECTNESS_r0*.json). Round-10 window = the full
-# 44-entry round-9 NEXT_WINDOW queue (every oracle-checked entry added or
-# converted during round 9 — none has a driver row yet; all 44 passed the
-# r9 judge's driver-faithful replay), plus the 6 remaining entries of the
-# oldest-graded cohort (latest driver row r3), which empties that cohort.
-# ``tests/test_registry.py`` pins this composition and caps the
-# never-graded tail at one window's capacity.
+# hard-signal driver row (r1-r10 graded 342 distinct entries, all green at
+# latest grading; see CORRECTNESS_r*.json). Round-11 window = the full
+# 17-entry round-10 NEXT_WINDOW queue (the 16 oracle-checked round-10
+# additions, none with a driver row yet, plus the stat_kruskal_wallis
+# representation canary), the 2 rows-only entries (their ONLY structural
+# option is the driver's weaker rows-only record — after this round every
+# registry entry has a driver row of the strongest kind it supports), and
+# the 31 alphabetically-first entries of the oldest-graded cohort (latest
+# driver row r4; 14 remain for r12). ``tests/test_registry.py`` pins this
+# composition and caps the never-graded tail at one window's capacity.
 PRIORITY: tuple[str, ...] = (
-    # round-9 additions/conversions, never driver-graded, in landing order
-    "png_decode_real",  # REAL PNG codec (zlib inflate + defilter)
-    "sim_knn_join",     # batch top-k join, WindowGroupLimit plan
-    "stat_runs_test",   # Wald-Wolfowitz runs on the daily series
-    "event_audience_overlap",  # user-set Jaccard per type pair
-    "event_max_concurrent_sessions",  # hierarchical boundary sweep
-    "text_langid_confusion",   # self-trained bigram lang-ID audit
-    "emb_centroid_drift",      # split-half centroid stability
-    "dedup_minhash_estimate_error",  # sketch-vs-exact quality audit
-    "emb_knn_label_vote",      # 5-NN majority-label classifier eval
-    "sketch_mg_heavy_hitters",  # Misra-Gries candidates + exact verify
-    "skyline_pareto_2d",       # Pareto frontier via size-domain window
-    "stat_levene_brown_forsythe",  # robust variance-equality F
-    "event_bounce_rate_daily",     # single-event-session share
-    "event_debounce_audit",        # 5-min (user,type) repeat suppression
-    "sim_lsh_recall_curve",        # candidate recall@10 vs multiprobe m
-    "sample_stratified_quota",     # exact per-stratum md5-rank carve-out
-    "part_running_inventory",      # per-part running balance window
-    "jpeg_decode_real",            # REAL baseline JPEG (codec #4, lossy)
-    "stream_debounce_counts",      # stateful stream twin of the LAG rule
-    "stat_jarque_bera",            # normality via exact-int power sums
-    "stat_durbin_watson",          # serial correlation of daily residuals
-    "stat_mi_cramers_v",           # lang x source association strength
-    "graph_degree_assortativity",  # Newman r over edge-stub degrees
-    "series_bollinger_bands",      # 7-day mean +- 2 sigma + breakouts
-    "series_theil_u2",             # moving-average vs naive forecast
-    "event_user_entropy",          # per-user event-type Shannon entropy
-    "text_simpson_diversity",      # collision prob + effective vocab
-    "emb_dim_variance_topk",       # top-10 signal dimensions
-    "stat_ljung_box",              # white-noise portmanteau, 5 lags
-    "sketch_bloom_fpr_audit",      # bloom vs exact confusion + FPR
-    "stream_markov_transitions",   # stateful twin of the LEAD pairs
-    "gif_decode_real",             # REAL GIF LZW (codec #5, all-integer)
-    "graph_shortest_hops",         # recursive-CTE BFS, deduped frontier
-    "series_seasonal_strength",    # weekday-cycle variance share
-    "event_decayed_revenue",       # recency-weighted LTV feature
-    "sketch_kmv_intersection",     # bottom-k overlap estimate + exact
-    "series_lead_lag_xcorr",       # click-leads-purchase screen
-    "text_js_divergence_sources",  # source-vs-corpus mixture distance
-    "dedup_lsh_bucket_skew",       # banded-LSH quadratic-hazard audit
-    "part_revenue_abc",            # 80/95 cumulative-revenue classes
-    "order_fulfillment_lag",       # order-to-ship SLA percentiles
-    "text_bigram_perplexity",      # add-1 bigram LM cross-entropy
-    "emb_participation_ratio",     # effective embedding dimensionality
-    "order_revenue_hhi",           # concentration + top-10 share
-    # oldest-graded regrades (latest driver row r3; the cohort's last 6,
-    # emptying it — every graded entry's latest row is now r4+)
-    "subq_scalar_select",
-    "text_repetition_filter",
-    "text_stats",
-    "win_distribution",
-    "win_running_agg",
-    "win_sliding_frame",
-)
-
-# Oracle-checked entries queued for the ROUND-11 window: entries ADDED
-# during round 10 are appended as they land, followed by the oldest
-# regrades if slots remain. tests/test_registry.py enforces that
-# window + NEXT_WINDOW + graded union covers every oracle-checked entry
-# AND that this queue never exceeds one window's capacity.
-NEXT_WINDOW: tuple[str, ...] = (
+    # round-10 additions, never driver-graded, in landing order
     "jpeg_color_decode_real",  # REAL color 4:2:0 JPEG (codec #6)
     "order_revenue_gini",      # Lorenz inequality, 1e-15 share grid
     "stat_grubbs_outlier",     # max-deviation outlier + argmax day
@@ -148,16 +90,62 @@ NEXT_WINDOW: tuple[str, ...] = (
     "emb_simplified_silhouette",  # centroid-based cluster quality
     "event_new_vs_returning",  # growth panel via first-seen window
     "order_repeat_purchase",   # repeat share + exact median gap
-    "emb_mahalanobis_outliers",  # diagonal-Mahalanobis vector hygiene
+    "emb_mahalanobis_outliers",  # diagonal Mahalanobis (r11 scale fix:
+    #   the r10 form floor-quantized every term to 0 — ADVICE high)
     "emb_duplicate_vectors",   # grid-hash exact vector dedup
     "stream_new_users_daily",  # stateful first-seen stream twin
     "stat_friedman_test",      # blocked weekday ranks, tie-corrected
     "event_frequency_migration",  # lifecycle band transition matrix
     # representation canary: ulp-snap added to h_stat/h_tie_corrected
     # after the sf10 gate caught cross-engine last-ulp drift (r10);
-    # regrade under the new representation
+    # regrade under the new representation (only driver row is r9)
     "stat_kruskal_wallis",
+    # the 2 rows-only entries (float-iterative PCA; ARRAY-output int8
+    # vectors — structurally outside the hash boundary, COVERAGE.md):
+    # a driver rows-only record is the strongest signal they can carry
+    "emb_pca_top_component",
+    "emb_quantize_int8_vec",
+    # oldest-graded regrades (latest driver row r4; alphabetical first
+    # 31 of the 45-entry cohort — the remaining 14 queue for r12)
+    "agg_approx_percentile_bound",
+    "agg_manual_pivot",
+    "agg_over_join",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "emb_label_centroids",
+    "emb_random_projection",
+    "event_sessionize_batch",
+    "explode_tokens",
+    "expr_cast",
+    "expr_coalesce_nullif",
+    "expr_concat",
+    "expr_datediff_format",
+    "expr_math",
+    "expr_math_transcendental",
+    "expr_string_funcs",
+    "expr_time_bucket_agg",
+    "json_extract_scalar",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "pack_token_budget",
+    "pred_null_safe_eq",
+    "range_join_events",
+    "sample_md5_split",
+    "series_calendar_fill",
+    "setop_intersect",
+    "setop_union_distinct",
+    "sim_topk_bruteforce",
+    "stream_dedup",
+    "stream_stream_join",
+    "stream_stream_left_join",
 )
+
+# Oracle-checked entries queued for the ROUND-12 window: entries ADDED
+# during round 11 are appended as they land, followed by the oldest
+# regrades if slots remain. tests/test_registry.py enforces that
+# window + NEXT_WINDOW + graded union covers every oracle-checked entry
+# AND that this queue never exceeds one window's capacity.
+NEXT_WINDOW: tuple[str, ...] = ()
 
 _ALL: dict[str, Q] = {}
 for _m in _MODULES:

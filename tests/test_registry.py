@@ -30,9 +30,12 @@ from cassandra_sql_spark.queries import NEXT_WINDOW, PRIORITY, REGISTRY
 _REPO = Path(__file__).resolve().parent.parent
 
 # Entries whose output representation changed this round — all must be in
-# the window so the changed output gets re-graded. Round 7: none yet (the
-# r7 window is entirely first-gradings of the round-6 additions).
-_CANARIES: set[str] = set()
+# the window so the changed output gets re-graded. Round 11:
+# stat_kruskal_wallis (r10 ulp-snap; its only driver row is pre-snap r9)
+# and emb_mahalanobis_outliers (r11 quantization fix — the r10 form
+# floor-quantized every term to 0, ADVICE high; never driver-graded but
+# pinned here so the fix cannot rotate out untested).
+_CANARIES: set[str] = {"stat_kruskal_wallis", "emb_mahalanobis_outliers"}
 
 # One-or-more graded representatives required per SURVEY §2 / pipeline
 # family, checked against union(past driver rows, current window).
@@ -125,29 +128,42 @@ def test_canaries_in_window():
 
 
 def test_window_closes_never_graded_tail():
-    """The r10 window contains EVERY oracle-checked entry with no driver
-    row through r9 — the 44 round-9 additions staged in NEXT_WINDOW all
-    fit one window; the 6 remaining slots regrade the oldest driver
-    rows."""
-    graded = _graded_union(through=9)
+    """The r11 window contains EVERY oracle-checked entry with no driver
+    row through r10 — the 16 round-10 additions staged in NEXT_WINDOW all
+    fit one window; the remaining slots regrade the oldest driver rows
+    (plus the two rows-only entries, see
+    test_priority_entries_all_have_oracles)."""
+    graded = _graded_union(through=10)
     oracle_checked = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
     never_graded = oracle_checked - graded
-    # entries ADDED during round 9 stage in NEXT_WINDOW for the r10 window;
+    # entries ADDED during round 11 stage in NEXT_WINDOW for the r12 window;
     # everything never-graded at rotation time must be in THIS window
     missing = never_graded - set(PRIORITY) - set(NEXT_WINDOW)
     assert not missing, f"never-graded entries left out of the window: {missing}"
 
 
 def test_window_fillers_are_oldest_regrades():
-    """The 6 non-tail slots go to the entries whose latest driver grading
-    is oldest (latest r3; the cohort's final 6, emptying it) —
+    """The non-tail slots go to the entries whose latest driver grading
+    is oldest (latest r4; the alphabetical first 31 of that 45-entry
+    cohort) plus the stat_kruskal_wallis representation canary —
     regression re-coverage, not padding."""
-    graded9 = _graded_union(through=9)
-    regrades = set(PRIORITY) & graded9
-    assert regrades == {
-        "subq_scalar_select", "text_repetition_filter", "text_stats",
-        "win_distribution", "win_running_agg", "win_sliding_frame",
+    graded10 = _graded_union(through=10)
+    regrades = set(PRIORITY) & graded10
+    r4_cohort_head = {
+        "agg_approx_percentile_bound", "agg_manual_pivot", "agg_over_join",
+        "dedup_embedding_cosine", "dedup_embedding_lsh",
+        "emb_label_centroids", "emb_random_projection",
+        "event_sessionize_batch", "explode_tokens", "expr_cast",
+        "expr_coalesce_nullif", "expr_concat", "expr_datediff_format",
+        "expr_math", "expr_math_transcendental", "expr_string_funcs",
+        "expr_time_bucket_agg", "json_extract_scalar",
+        "multimodal_binary_meta", "multimodal_frame_sample",
+        "pack_token_budget", "pred_null_safe_eq", "range_join_events",
+        "sample_md5_split", "series_calendar_fill", "setop_intersect",
+        "setop_union_distinct", "sim_topk_bruteforce", "stream_dedup",
+        "stream_stream_join", "stream_stream_left_join",
     }
+    assert regrades == r4_cohort_head | {"stat_kruskal_wallis"}
 
 
 def test_ungraded_tail_fits_one_window():
@@ -176,11 +192,25 @@ def test_union_covers_every_family():
     assert not uncovered, f"families with no hard signal anywhere: {uncovered}"
 
 
+# The two structurally hash-ineligible entries (float-iterative PCA;
+# ARRAY-output int8 vectors — COVERAGE.md). A driver rows-only record is
+# the STRONGEST signal they can carry, so the r11 window spends exactly
+# two slots to give them one; every other slot must carry a full oracle.
+_ROWS_ONLY_WINDOWED = {"emb_pca_top_component", "emb_quantize_int8_vec"}
+
+
 def test_priority_entries_all_have_oracles():
     """The graded window is wasted on rows-only entries — every slot in
-    the first 50 must carry a DuckDB oracle for the full hash compare."""
-    missing = [n for n in PRIORITY if REGISTRY[n].oracle is None]
+    the first 50 must carry a DuckDB oracle for the full hash compare,
+    except the two documented hash-ineligible entries collecting their
+    one-time rows-only driver record this round."""
+    missing = [
+        n for n in PRIORITY
+        if REGISTRY[n].oracle is None and n not in _ROWS_ONLY_WINDOWED
+    ]
     assert not missing, f"priority entries without oracles: {missing}"
+    for n in _ROWS_ONLY_WINDOWED:
+        assert REGISTRY[n].oracle is None, f"{n} grew an oracle; un-exempt it"
 
 
 def test_next_window_closes_oracle_checked_tail():

@@ -427,6 +427,29 @@ def _countmin_hh(ev):
 
 
 
+def _pack_token_budget(spark, sf):
+    """Contiguous-fill packing: pack_id = floor(exclusive-prefix-sum /
+    512). The prefix sum is sharded (operators.global_order), exact, and
+    identical to the single-window form — pinned by the exceptAll
+    identity in tests/test_global_order.py and by the DuckDB oracle."""
+    from cassandra_sql_spark.operators.global_order import sharded_cumsum
+
+    toks = (
+        load(spark, sf, "documents")
+        .select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+        .localCheckpoint(eager=True)
+    )
+    return sharded_cumsum(toks, ["doc_id"], "n_tokens", out_col="cum").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.col("cum") - F.col("n_tokens")).cast("double") / 512
+        )
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
 QUERIES: dict[str, Q] = {
     # Exact dedup: hash-groupBy on normalized text
     # (one shuffle on the group key; min-id survivor policy).
@@ -998,31 +1021,15 @@ QUERIES: dict[str, Q] = {
         """,
     ),
     # Token-budget sequence packing: contiguous-fill pack assignment via a
-    # running token total (one window pass; at scale, partition the window
-    # by a shard key and pack within shards).
+    # running token total. The global prefix sum goes through
+    # operators.global_order.sharded_cumsum (range-shard + per-shard
+    # running sum + broadcast prefix offsets), so the contiguous-fill
+    # semantics keep their exact global order with NO single-reducer
+    # window — the former "documented shard fallback" is now the shipped
+    # plan. The (doc_id, n_tokens) projection is checkpointed first: two
+    # ExistingRDD reads (shard totals + cumsum pass), one corpus scan.
     "pack_token_budget": df_q(
-        lambda spark, sf: load(spark, sf, "documents")
-        .select(
-            "doc_id",
-            text.token_count(F.col("text")).alias("n_tokens"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor(
-                (
-                    F.sum("n_tokens").over(
-                        W.orderBy("doc_id").rowsBetween(
-                            W.unboundedPreceding, W.currentRow
-                        )
-                    )
-                    - F.col("n_tokens")
-                ).cast("double")
-                / 512
-            )
-            .cast("bigint")
-            .alias("pack_id"),
-        ),
+        lambda spark, sf: _pack_token_budget(spark, sf),
         ("documents",),
         oracle="""
         SELECT doc_id, n_tokens,

@@ -2203,3 +2203,546 @@ def decode_features_jpeg_color(
     return df.select(id_col, payload_col).mapInPandas(
         run, JPEG_COLOR_REAL_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #7: PROGRESSIVE grayscale JPEG (SOF2) — spectral selection
+# + successive approximation, the most common real-world JPEG variant
+# the strict baseline contract rejects (jpeg_decode_gray raises on
+# 0xC2). The quantized coefficient plane is IDENTICAL to baseline; what
+# changes is the entropy layer: coefficients arrive across SIX scans
+# (DC first at Al=1, two AC spectral bands at Al=1, their two
+# refinement scans, a DC refinement scan), each scan a separate SOS
+# segment with its own Ss/Se/Ah/Al header, EOB-run coding in AC-first
+# scans, and the buffered-correction-bit protocol in AC-refine scans
+# (T.81 G.1.2; the encode side mirrors libjpeg's encode_mcu_AC_refine
+# discipline: correction bits for already-significant coefficients are
+# buffered and flushed after the next EOBRUN/ZRL/newly-significant
+# emission). Decode accumulates the coefficient plane across scans and
+# runs dequant+IDCT once at EOI — so a decoder that drops ANY scan
+# (refinement included) reconstructs wrong pixels, which the
+# closed-form fixtures catch exactly.
+# ---------------------------------------------------------------------------
+
+
+def _prog_point_fwd(v: int, al: int) -> int:
+    """AC point transform (G.1.2.2): divide by 2^Al truncating toward
+    zero (NOT an arithmetic shift, which floors)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+# Progressive AC scans need EOBn symbols (RRRR<<4 with SSSS=0, n>0) that
+# the baseline Annex-K AC table simply does not contain — real
+# progressive files always carry their own DHT (libjpeg emits optimized
+# per-scan tables). This fixed table assigns uniform 8-bit codes to the
+# full progressive AC alphabet: EOB0..EOB14, ZRL, and every (run, size)
+# pair with size 1..10 — 176 symbols, Kraft sum 176/256 < 1, and the
+# all-ones code is unused (T.81 C.2 requires that). Suboptimal
+# compression, valid JPEG; the decoder reads whatever DHT the file
+# declares, so it is not coupled to this choice.
+_AC_PROG_VALS = (
+    [n << 4 for n in range(15)]         # EOB0..EOB14
+    + [0xF0]                            # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS), 0, 0, 0, 0, 0,
+                 0, 0, 0]
+
+
+def _quant_blocks_gray(img, qscale: int = 1):
+    """Shared front half of both gray encoders: per-block zigzag
+    quantized coefficients + the quant table."""
+    import numpy as np
+
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("jpeg encode requires 8-aligned dims")
+    q = np.array(_JPEG_QTAB, np.int64).reshape(8, 8) * int(qscale)
+    q = np.clip(q, 1, 255)
+    m = _dct_mats()
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(
+                np.float64
+            ) - 128.0
+            coef = m @ blk @ m.T
+            zq = np.floor(coef / q + 0.5).astype(np.int64)
+            blocks.append(zq.flatten()[_ZIGZAG].copy())
+    return blocks, q
+
+
+class _ProgACWriter:
+    """AC scan emitter with EOB-run + buffered correction bits. The
+    bit-ordering contract (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine):
+    correction bits for already-significant coefficients are BUFFERED
+    and emitted only after the next Huffman symbol they ride behind —
+    the EOBn that covers their blocks, the ZRL that spans them, or the
+    newly-significant (run,1)+sign that passes them. Emitting them
+    early desyncs the decoder's span walk."""
+
+    def __init__(self, bw, ac_codes):
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending = []  # correction bits riding behind the EOBRUN
+
+    def _emit(self, sym):
+        c, ln = self.ac[sym]
+        self.bw.put(c, ln)
+
+    def emit_pending(self):
+        for b in self.pending:
+            self.bw.put(b, 1)
+        self.pending = []
+
+    def emit_eobrun(self):
+        """Flush a pending EOB run (no-op when zero: the buffered bits
+        then stay buffered for the NEXT symbol to carry)."""
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            if nbits > 14:
+                raise ValueError("EOB run too long for one symbol")
+            self._emit(nbits << 4)
+            if nbits:
+                self.bw.put(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+            self.emit_pending()
+
+    def count_eob(self):
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:  # libjpeg's forced-flush bound
+            self.emit_eobrun()
+
+
+def jpeg_encode_gray_progressive(img, qscale: int = 1) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as PROGRESSIVE JPEG
+    (SOF2, one component, six scans, Al=1 successive approximation,
+    AC spectral bands 1-5 and 6-63). Coefficients match
+    jpeg_encode_gray exactly; only the entropy layering differs, so
+    the decoded pixels are bit-identical to the baseline path."""
+    import struct
+
+    blocks, q = _quant_blocks_gray(img, qscale)
+    h, w = img.shape
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def dc_first_scan(al):
+        bw = _BitWriter()
+        prev = 0
+        for zz in blocks:
+            v = int(zz[0]) >> al  # DC point transform IS arithmetic
+            size, bits = _magnitude(v - prev)
+            prev = v
+            c, ln = dc_codes[size]
+            bw.put(c, ln)
+            if size:
+                bw.put(bits, size)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def dc_refine_scan(al):
+        bw = _BitWriter()
+        for zz in blocks:
+            bw.put((int(zz[0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_first_scan(ss, se, al):
+        bw = _BitWriter()
+        wtr = _ProgACWriter(bw, ac_codes)
+        for zz in blocks:
+            run = 0
+            for k in range(ss, se + 1):
+                v = _prog_point_fwd(int(zz[k]), al)
+                if v == 0:
+                    run += 1
+                    continue
+                wtr.emit_eobrun()
+                while run > 15:
+                    wtr._emit(0xF0)
+                    run -= 16
+                size, bits = _magnitude(v)
+                wtr._emit((run << 4) | size)
+                bw.put(bits, size)
+                run = 0
+            if run > 0:  # band ends in zeros: this block joins an EOB run
+                wtr.count_eob()
+        wtr.emit_eobrun()
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_refine_scan(ss, se, ah, al):
+        """Emitted by SIMULATING the normative decoder's span walk
+        (T.81 G.2, decode_mcu_AC_refine shape): each ZRL or
+        newly-significant symbol is followed by exactly the correction
+        bits of the already-significant coefficients its span passes —
+        bit placement is positional, so a buffer-everything-then-flush
+        encoder desyncs whenever a correction bit falls beyond a ZRL's
+        16-zero span (found by the round-trip fuzz test). Bits for
+        positions covered by an EOB run are the only ones buffered;
+        they ride behind the eventual EOBn symbol."""
+        bw = _BitWriter()
+        wtr = _ProgACWriter(bw, ac_codes)
+        for zz in blocks:
+            absv = {}
+            newly = []
+            for k in range(ss, se + 1):
+                t = abs(int(zz[k])) >> al
+                absv[k] = t
+                if t == 1:
+                    newly.append(k)
+            k = ss
+            ni = 0
+            while k <= se:
+                if ni >= len(newly):
+                    # no more newly-significant coefs: the block's tail
+                    # rides an EOB run; its correction bits buffer
+                    # behind the future EOBn
+                    for i in range(k, se + 1):
+                        if absv[i] > 1:
+                            wtr.pending.append(absv[i] & 1)
+                    wtr.count_eob()
+                    break
+                j = newly[ni]
+                r = sum(1 for i in range(k, j) if absv[i] == 0)
+                while r > 15:
+                    wtr.emit_eobrun()
+                    wtr._emit(0xF0)
+                    zeros = 0
+                    while zeros < 16:  # the span the decoder walks
+                        if absv[k] == 0:
+                            zeros += 1
+                        else:
+                            bw.put(absv[k] & 1, 1)
+                        k += 1
+                    r -= 16
+                wtr.emit_eobrun()
+                wtr._emit((r << 4) | 1)
+                bw.put(1 if int(zz[j]) > 0 else 0, 1)
+                for i in range(k, j):
+                    if absv[i] > 1:
+                        bw.put(absv[i] & 1, 1)
+                k = j + 1
+                ni += 1
+        wtr.emit_eobrun()
+        bw.flush()
+        return bytes(bw.buf)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos(ss, se, ah, al, data):
+        return (
+            seg(0xDA, b"\x01\x01\x00" + bytes([ss, se, (ah << 4) | al]))
+            + data
+        )
+
+    qz = bytes(int(q.flatten()[_ZIGZAG][i]) for i in range(64))
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + qz)
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(
+        0xC4, b"\x10" + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
+    )
+    out += sos(0, 0, 0, 1, dc_first_scan(1))
+    out += sos(1, 5, 0, 1, ac_first_scan(1, 5, 1))
+    out += sos(6, 63, 0, 1, ac_first_scan(6, 63, 1))
+    out += sos(1, 5, 1, 0, ac_refine_scan(1, 5, 1, 0))
+    out += sos(6, 63, 1, 0, ac_refine_scan(6, 63, 1, 0))
+    out += sos(0, 0, 1, 0, dc_refine_scan(0))
+    out += b"\xff\xd9"
+    return out
+
+
+def jpeg_decode_gray_progressive(payload: bytes):
+    """Decode a PROGRESSIVE single-component 8-bit JPEG (SOF2, no
+    restart intervals) produced by any conforming writer of this
+    subset to ((h, w) uint8, n_scans). Accumulates the coefficient
+    plane across every scan (DC/AC, first/refinement, EOB runs), then
+    dequantizes + IDCTs once. ValueError on baseline (SOF0) or
+    anything outside the subset — the strict contract line."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtab = None
+    h = w = None
+    huff = {}
+    coef = None  # list of per-block zigzag int64[64]
+    dc_pred = 0
+    n_scans = 0
+
+    def entropy_end(start):
+        # entropy data ends at the next marker that is not a stuffed
+        # 0x00 or a restart
+        i = start
+        while i < len(payload) - 1:
+            if payload[i] == 0xFF and payload[i + 1] != 0x00:
+                return i
+            i += 1
+        raise ValueError("unterminated entropy stream")
+
+    def read_symbol(br, table):
+        ln, code = 0, 0
+        for _ in range(16):
+            code = (code << 1) | br.bit()
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid Huffman code")
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            if body[0] & 0xF0:
+                raise ValueError("16-bit quant tables unsupported")
+            zq = np.zeros(64, np.int64)
+            zq[np.array(_ZIGZAG)] = np.frombuffer(
+                body[1:65], np.uint8
+            ).astype(np.int64)
+            qtab = zq.reshape(8, 8)
+        elif marker == 0xC2:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component")
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            if h % 8 or w % 8:
+                raise ValueError("non-8-aligned dims unsupported")
+            coef = [np.zeros(64, np.int64) for _ in range((h // 8) * (w // 8))]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-progressive JPEG: use the baseline decoder")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17:off + 17 + nv])
+                huff[tc_th] = {
+                    (lnn, c): sym
+                    for sym, (c, lnn) in _huff_codes(bits, vals).items()
+                }
+                off += 17 + nv
+        elif marker == 0xDA:
+            if coef is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component scans unsupported")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            ss, se = body[3], body[4]
+            ah, al = body[5] >> 4, body[5] & 0x0F
+            data_start = pos + 2 + ln
+            data_end = entropy_end(data_start)
+            br = _BitReader(payload[data_start:data_end])
+            n_scans += 1
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                if ah == 0:
+                    dc_pred = 0
+                    table = huff.get(td)
+                    if table is None:
+                        raise ValueError("missing DC table")
+                    for zz in coef:
+                        size = read_symbol(br, table)
+                        diff = _extend(br.bits(size), size) if size else 0
+                        dc_pred += diff
+                        zz[0] = dc_pred << al
+                else:
+                    p1 = 1 << al
+                    for zz in coef:
+                        if br.bit():
+                            zz[0] |= p1
+            else:
+                table = huff.get(0x10 | ta)
+                if table is None:
+                    raise ValueError("missing AC table")
+                eobrun = 0
+                if ah == 0:
+                    for zz in coef:
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = read_symbol(br, table)
+                            r, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += br.bits(r)
+                                    break
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            zz[k] = _extend(br.bits(s), s) << al
+                            k += 1
+                else:
+                    p1, m1 = 1 << al, -1 << al
+                    for zz in coef:
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = read_symbol(br, table)
+                                r, s = sym >> 4, sym & 0x0F
+                                val = 0
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += br.bits(r)
+                                        break
+                                    # r == 15: span 16 zero-history
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "refine size must be 1"
+                                        )
+                                    val = p1 if br.bit() else m1
+                                while k <= se:
+                                    if zz[k] != 0:
+                                        if br.bit() and not (zz[k] & p1):
+                                            zz[k] += p1 if zz[k] > 0 else m1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    zz[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                if zz[k] != 0:
+                                    if br.bit() and not (zz[k] & p1):
+                                        zz[k] += p1 if zz[k] > 0 else m1
+                                k += 1
+                            eobrun -= 1
+            pos = data_end
+            continue
+        pos += 2 + ln
+    if qtab is None or coef is None:
+        raise ValueError("JPEG missing DQT/SOF2")
+    m = _dct_mats()
+    out = np.zeros((h, w), np.uint8)
+    nbx = w // 8
+    for idx, zz in enumerate(coef):
+        by, bx = divmod(idx, nbx)
+        c = np.zeros(64, np.int64)
+        c[np.array(_ZIGZAG)] = zz
+        blk = m.T @ (c.reshape(8, 8) * qtab).astype(np.float64) @ m
+        out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+            np.floor(blk + 128.0 + 0.5), 0, 255
+        ).astype(np.uint8)
+    return out, n_scans
+
+
+def synth_jpeg_progressive_payload(
+    df: DataFrame, id_col: str = "doc_id", blocks: int = 2
+) -> DataFrame:
+    """Progressive-JPEG fixtures over the SAME closed-form image as
+    synth_jpeg_payload (flat EVEN 8x8 blocks -> exact reconstruction),
+    so the oracle reuses the baseline entry's symbolic replay. A COM
+    segment on ids % 3 == 0 forces the marker walk; the six-scan
+    script (DC/AC first + refinements) makes a decoder that skips any
+    scan — or mis-handles EOB runs / correction bits — decode wrong
+    gray levels, not just fail."""
+    import struct
+
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                img = np.zeros((blocks * 8, blocks * 8), np.uint8)
+                for by in range(blocks):
+                    for bx in range(blocks):
+                        v = 2 * ((d * 7 + by * 3 + bx * 5) % 100) + 40
+                        img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+                p = jpeg_encode_gray_progressive(img)
+                if d % 3 == 0:
+                    com = b"fixture comment"
+                    seg = (
+                        b"\xff\xfe"
+                        + struct.pack(">H", len(com) + 2)
+                        + com
+                    )
+                    p = p[:2] + seg + p[2:]
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+JPEG_PROG_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_scans", LongType()),
+        StructField("wsum_gray", DoubleType()),
+    ]
+)
+
+
+def decode_features_jpeg_progressive(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL progressive-JPEG decode in the mapInPandas slot: the same
+    position-weighted per-block-mean statistic as decode_features_jpeg,
+    plus the scan count (fixtures always carry the six-scan script)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "n_scans": [], "wsum_gray": [],
+            }
+            for d, p in zip(pdf[id_col], pdf[payload_col]):
+                img, n_scans = jpeg_decode_gray_progressive(bytes(p))
+                h, w = img.shape
+                bh, bw_ = h // 8, w // 8
+                acc = 0.0
+                for by in range(bh):
+                    for bx in range(bw_):
+                        blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                        acc += (int(blk.sum()) / 64.0) * (
+                            by * bw_ + bx + 1
+                        )
+                out["doc_id"].append(int(d))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_scans"].append(n_scans)
+                out["wsum_gray"].append(acc)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, JPEG_PROG_REAL_SCHEMA
+    )

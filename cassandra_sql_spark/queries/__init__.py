@@ -24,6 +24,7 @@ from cassandra_sql_spark.queries import (
     r9_ops,
     r9b_ops,
     r10_ops,
+    r11_ops,
     relational,
     selection_queries,
     setops,
@@ -63,6 +64,7 @@ _MODULES = (
     r9_ops,
     r9b_ops,
     r10_ops,
+    r11_ops,
 )
 
 # The correctness driver grades only the FIRST 50 registry entries. The
@@ -145,7 +147,9 @@ PRIORITY: tuple[str, ...] = (
 # regrades if slots remain. tests/test_registry.py enforces that
 # window + NEXT_WINDOW + graded union covers every oracle-checked entry
 # AND that this queue never exceeds one window's capacity.
-NEXT_WINDOW: tuple[str, ...] = ()
+NEXT_WINDOW: tuple[str, ...] = (
+    "jpeg_progressive_decode_real",  # REAL progressive JPEG (codec #7)
+)
 
 _ALL: dict[str, Q] = {}
 for _m in _MODULES:

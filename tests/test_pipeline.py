@@ -1499,3 +1499,115 @@ def test_jpeg_color_interleaving_and_predictors_are_per_component():
         for mi in range(2) for mj in range(2)
     }
     assert len(got) == 4
+
+
+# --- REAL codec #7: PROGRESSIVE JPEG (r11) -----------------------------------
+
+
+def test_jpeg_progressive_matches_baseline_decode_exactly():
+    """The progressive entropy layering must be lossless over the SAME
+    quantized coefficients: decode(prog_encode(img)) == decode(
+    base_encode(img)) bit-for-bit, across content classes that exercise
+    EOB runs (flat), dense AC (noise), band splits (gradient), and
+    isolated coefficients (sparse)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    imgs = [
+        rng.integers(0, 256, (24, 32)).astype(np.uint8),
+        np.full((32, 16), 171, np.uint8),
+        ((np.arange(32)[None, :] * 3 + np.arange(24)[:, None] * 5) % 256
+         ).astype(np.uint8),
+    ]
+    sparse = np.zeros((24, 24), np.uint8)
+    sparse[::8, ::8] = 200
+    imgs.append(sparse)
+    for img in imgs:
+        base, _ = multimodal.jpeg_decode_gray(multimodal.jpeg_encode_gray(img))
+        prog, n_scans = multimodal.jpeg_decode_gray_progressive(
+            multimodal.jpeg_encode_gray_progressive(img)
+        )
+        assert n_scans == 6
+        assert (base == prog).all()
+
+
+def test_jpeg_progressive_every_scan_is_load_bearing():
+    """Dropping ANY of the six scans must change the decoded pixels (or
+    fail) — proves refinement scans are not decorative."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    p = multimodal.jpeg_encode_gray_progressive(img)
+    full, n_scans = multimodal.jpeg_decode_gray_progressive(p)
+    assert n_scans == 6
+    # split payload at each SOS; rebuild with one scan removed
+    import struct
+
+    def segments(payload):
+        out, pos = [], 2
+        while pos < len(payload) - 2:
+            marker = payload[pos + 1]
+            ln = struct.unpack_from(">H", payload, pos + 2)[0]
+            end = pos + 2 + ln
+            if marker == 0xDA:  # entropy data follows until next marker
+                i = end
+                while i < len(payload) - 1 and not (
+                    payload[i] == 0xFF and payload[i + 1] != 0x00
+                ):
+                    i += 1
+                end = i
+            out.append((marker, payload[pos:end]))
+            pos = end
+        return out
+
+    segs = segments(p)
+    sos_idx = [i for i, (m, _) in enumerate(segs) if m == 0xDA]
+    assert len(sos_idx) == 6
+    for drop in sos_idx:
+        rebuilt = b"\xff\xd8" + b"".join(
+            s for i, (m, s) in enumerate(segs) if i != drop
+        ) + b"\xff\xd9"
+        try:
+            img2, ns = multimodal.jpeg_decode_gray_progressive(rebuilt)
+        except ValueError:
+            continue  # a missing-scan stream may be outright invalid
+        assert ns == 5
+        assert not (img2 == full).all(), f"scan {drop} was not load-bearing"
+
+
+def test_jpeg_progressive_rejects_out_of_subset():
+    import numpy as np
+
+    base = multimodal.jpeg_encode_gray(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError, match="non-progressive"):
+        multimodal.jpeg_decode_gray_progressive(base)
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode_gray_progressive(b"not a jpeg")
+    prog = multimodal.jpeg_encode_gray_progressive(
+        np.zeros((8, 8), np.uint8)
+    )
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode_gray_progressive(prog[:30])
+
+
+def test_jpeg_progressive_fixture_traps_are_armed(spark, sf_dir):
+    """COM walk on ids%3==0, six scans, closed-form flat levels decode
+    exactly (what makes the oracle symbolic)."""
+    rows = multimodal.synth_jpeg_progressive_payload(
+        load(spark, sf_dir, "documents").select("doc_id").filter(
+            "doc_id < 9"
+        )
+    ).collect()
+    assert len(rows) == 9
+    for r in rows:
+        p = bytes(r.payload)
+        d = int(r.doc_id)
+        assert (b"\xff\xfe" in p) == (d % 3 == 0), d
+        img, ns = multimodal.jpeg_decode_gray_progressive(p)
+        assert ns == 6 and img.shape == (16, 16)
+        for by in range(2):
+            for bx in range(2):
+                v = 2 * ((d * 7 + by * 3 + bx * 5) % 100) + 40
+                blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                assert (blk == v).all(), (d, by, bx)

@@ -51,14 +51,19 @@ N_TIMED = 3
 # The SQL-family entries are cheap (<0.5s each) and their min/median
 # spread on a noisy box straddled the per-query 2x verdict in round 4 —
 # five samples instead of three tightens the median for ~3s total cost.
-# The dedup/pipeline entries stay at 3 (they dominate wall time and were
-# never spread-ambiguous).
+# The sub-second dedup/pipeline entries stay at 3 (they were never
+# spread-ambiguous); the two >1s GC-dominated banded self-joins move to
+# median-of-5 (r10 verdict: three observations of identical code spanned
+# 1.35-2.8s — their medians-of-3 alone carried ~0.9s of record whipsaw).
 N_TIMED_CHEAP = 5
+N_TIMED_NOISY = 5
 _EXPENSIVE = {
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "decontam_ngram_overlap",
     "text_repetition_filter",
+}
+_NOISY = {
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
 }
 
 # Recorded round-1 medians (BENCH_r01.json) — the driver's 2x gate
@@ -160,7 +165,12 @@ def run_query(spark, name: str, sf_dir: str) -> list[float]:
         df = REGISTRY[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
     samples = []
-    n_timed = N_TIMED if name in _EXPENSIVE else N_TIMED_CHEAP
+    if name in _NOISY:
+        n_timed = N_TIMED_NOISY
+    elif name in _EXPENSIVE:
+        n_timed = N_TIMED
+    else:
+        n_timed = N_TIMED_CHEAP
     for _ in range(n_timed):
         # Release the previous sample's checkpoint RDDs before timing:
         # dropping the Python ref queues the RDD for the async
@@ -308,6 +318,18 @@ def main() -> None:
         "probe_divergence": probe_divergence,
         "contended": contended,
         "value_calib_norm": round(sum(times.values()) * norm, 4),
+        # Self-reported confidence: total repeat spread (sum of per-query
+        # max minus sum of per-query min) as a fraction of the headline
+        # total. A record whose round-over-round delta is smaller than
+        # its own noise_band is adjudicating noise, not code.
+        "noise_band": round(
+            (
+                sum(s[2] for s in spread.values())
+                - sum(s[0] for s in spread.values())
+            )
+            / max(sum(times.values()), 1e-9),
+            3,
+        ),
         "vs_r1": vs_r1,
         "vs_r1_calib_norm": vs_r1_norm,
         "vs_r1_dualcalib": vs_r1_dualcalib,
@@ -335,7 +357,7 @@ def main() -> None:
             "metric", "value", "unit", "queries", "min_total",
             "calib_sec", "calib_ref", "calib_shuffle_sec",
             "calib_shuffle_ref", "probe_divergence", "contended",
-            "value_calib_norm", "sf",
+            "value_calib_norm", "noise_band", "sf",
         )
     }
     line = json.dumps(compact)

@@ -243,20 +243,23 @@ def dsir_select_topk(
     weight (id tiebreak). The paper adds Gumbel noise for sampled-without-
     replacement semantics; a seeded md5-uniform Gumbel plugs into the same
     rank expression when sampling (rather than top-k) is wanted. The
-    global rank window is (logw, id) pairs only; at 100 TB the equivalent
-    is a broadcast threshold from approx_percentile."""
-    w = Window.orderBy(F.col("logw").desc(), F.col(id_col))
-    total = F.count(F.lit(1)).over(
-        Window.partitionBy().rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
+    corpus rank runs through operators.global_order.sharded_rank (r11) —
+    per-shard ROW_NUMBER + broadcast prefix offsets, no single-reducer
+    sort — so the former "documented shard fallback" note is the shipped
+    plan; the cut count is one count() (a scalar, not a window)."""
+    from cassandra_sql_spark.operators.global_order import sharded_rank
+
+    import math
+
+    cut = math.ceil(weighted.count() * float(frac))
+    ranked = sharded_rank(
+        weighted,
+        [F.col("logw").desc(), F.col(id_col)],
+        rank_col="_rk",
     )
-    return weighted.select(
-        "*",
-        (
-            F.row_number().over(w)
-            <= F.ceil(total * F.lit(float(frac)))
-        ).alias("keep"),
+    return ranked.select(
+        *[c for c in weighted.columns],
+        (F.col("_rk") <= F.lit(cut)).alias("keep"),
     )
 
 

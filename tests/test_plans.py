@@ -718,8 +718,10 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # documented corpus-rank entries: a global order IS the semantics
     # (top-fraction selection / quantile grid); each carries a written
     # shard-partitioned or approx_percentile scale fallback note
-    "pack_token_budget": "corpus-rank; documented shard-key fallback",
-    "dsir_importance": "corpus-rank top-quarter; documented shard fallback",
+    # (r11) pack_token_budget, dsir_importance, and order_revenue_gini
+    # left this list: their global ranks/prefix sums now run through
+    # operators.global_order.sharded_rank/cumsum — no unpartitioned
+    # window remains in their plans (pinned in tests/test_global_order).
     "sample_unimax": "corpus-rank per-source; documented shard fallback",
     "text_unigram_lm": "corpus-rank; documented shard fallback",
     "text_zipf_fit": "vocab-rank (distinct tokens); documented cutoff",

@@ -149,6 +149,9 @@ PRIORITY: tuple[str, ...] = (
 # AND that this queue never exceeds one window's capacity.
 NEXT_WINDOW: tuple[str, ...] = (
     "jpeg_progressive_decode_real",  # REAL progressive JPEG (codec #7)
+    "event_activity_gini",  # user-activity Lorenz via sharded_rank
+    "stat_page_trend",      # ordered-alternative companion to Friedman
+    "event_pingpong_rate",  # A->B->A bounce share, path-quality filter
 )
 
 _ALL: dict[str, Q] = {}

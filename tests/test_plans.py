@@ -848,3 +848,25 @@ def test_r10_scan_budget(spark, sf_dir, name):
         f"{name}: {n} parquet scans (budget "
         f"{R10_SCAN_BUDGET[name]}) — a CTE reference is re-scanning"
     )
+
+
+# --- round-11 additions: scan-count pins -------------------------------------
+
+R11_SCAN_BUDGET = {
+    # checkpointed intermediates: tails read ExistingRDD only
+    "event_activity_gini": 0,
+    "stat_page_trend": 0,
+    "event_pingpong_rate": 0,  # bounded (a,b,pp) rollup checkpointed
+    # single-chain plan: one documents scan
+    "jpeg_progressive_decode_real": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(R11_SCAN_BUDGET))
+def test_r11_scan_budget(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    n = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n <= R11_SCAN_BUDGET[name], (
+        f"{name}: {n} parquet scans (budget "
+        f"{R11_SCAN_BUDGET[name]}) — a CTE reference is re-scanning"
+    )

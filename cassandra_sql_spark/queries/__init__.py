@@ -152,6 +152,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "event_activity_gini",  # user-activity Lorenz via sharded_rank
     "stat_page_trend",      # ordered-alternative companion to Friedman
     "event_pingpong_rate",  # A->B->A bounce share, path-quality filter
+    "gif_animated_frame_sample",  # REAL animated GIF (codec #8) + stride sampling
 )
 
 _ALL: dict[str, Q] = {}

@@ -252,3 +252,60 @@ _PINGPONG_DUCK = (
 QUERIES["event_pingpong_rate"] = df_q(
     _pingpong, ("events",), oracle=_PINGPONG_DUCK
 )
+
+
+# -- REAL codec #8: animated GIF frame sampling ----------------------------------
+# The temporal-container entry: decode a real multi-frame GIF89a
+# (NETSCAPE loop extension, per-frame Graphic Control delays,
+# mid-stream comment extensions on ids % 3 == 0), stride-sample frames
+# 0,2,4,..., and report frame-position-weighted channel means + the
+# container metadata. Everything is closed-form in (doc_id, frame):
+# the oracle replays frame selection, palette mapping, and the delay
+# walk symbolically. A decoder that ignores the GCE blocks gets
+# total_delay_cs wrong; one that mis-orders or drops frames gets the
+# weighted sums wrong; one that misses the loop extension gets
+# loop_count wrong.
+_GIF_ANIM_ORACLE = """
+WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id < 200
+), fr AS (
+  SELECT doc_id, f
+  FROM d, UNNEST(generate_series(0, 5)) AS t(f)
+  WHERE f < 2 + doc_id % 4
+), samp AS (
+  SELECT doc_id, f // 2 AS si, (doc_id * 3 + 5 * f) % 8 AS k
+  FROM fr WHERE f % 2 = 0
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(((doc_id * 7 + 11 * k) % 256) * (si + 1)) AS BIGINT)
+           AS wsum_r,
+         CAST(SUM(((doc_id * 19 + 5 * k) % 251) * (si + 1)) AS BIGINT)
+           AS wsum_g,
+         CAST(SUM(((doc_id * 23 + 13 * k) % 247) * (si + 1)) AS BIGINT)
+           AS wsum_b,
+         CAST(COUNT(*) AS BIGINT) AS n_sampled
+  FROM samp GROUP BY doc_id
+), del AS (
+  SELECT doc_id,
+         CAST(SUM(4 + (doc_id + f) % 7) AS BIGINT) AS total_delay_cs,
+         CAST(COUNT(*) AS BIGINT) AS n_frames
+  FROM fr GROUP BY doc_id
+)
+SELECT a.doc_id, del.n_frames, a.n_sampled, del.total_delay_cs,
+       CAST(a.doc_id % 3 AS BIGINT) AS loop_count,
+       a.wsum_r, a.wsum_g, a.wsum_b
+FROM agg a JOIN del ON a.doc_id = del.doc_id
+"""
+
+QUERIES["gif_animated_frame_sample"] = df_q(
+    lambda spark, sf: multimodal.sample_frames_gif(
+        multimodal.synth_gif_animated_payload(
+            load(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 200)
+        ),
+        stride=2,
+    ),
+    ("documents",),
+    oracle=_GIF_ANIM_ORACLE,
+)

@@ -1611,3 +1611,70 @@ def test_jpeg_progressive_fixture_traps_are_armed(spark, sf_dir):
                 v = 2 * ((d * 7 + by * 3 + bx * 5) % 100) + 40
                 blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
                 assert (blk == v).all(), (d, by, bx)
+
+
+# --- REAL codec #8: animated GIF + frame sampling (r11) -----------------------
+
+
+def test_gif_animated_roundtrip_and_metadata():
+    import numpy as np
+
+    c = np.arange(16, dtype=np.int64)
+    pal = np.stack([(11 * c) % 256, (5 * c) % 251, (13 * c) % 247],
+                   axis=-1).astype(np.uint8)
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 16, (8, 12)).astype(np.uint8)
+              for _ in range(4)]
+    p = multimodal.gif_encode_animated(
+        frames, pal, [1, 2, 3, 4], loop_count=7, max_sub_block=5
+    )
+    fr, delays, loops, nc = multimodal.gif_decode_animated(p)
+    assert len(fr) == 4 and delays == [1, 2, 3, 4]
+    assert loops == 7 and nc == 16
+    for f, idx in zip(fr, frames):
+        assert (f == pal[idx]).all()
+
+
+def test_gif_animated_rejects_out_of_subset():
+    import numpy as np
+
+    c = np.arange(4, dtype=np.int64)
+    pal = np.stack([c, c, c], axis=-1).astype(np.uint8)
+    single = multimodal.gif_encode(
+        np.zeros((4, 4), np.uint8), pal, version=b"87a"
+    )
+    with pytest.raises(ValueError, match="89a"):
+        multimodal.gif_decode_animated(single)  # 87a cannot animate
+    anim = multimodal.gif_encode_animated(
+        [np.zeros((4, 4), np.uint8)] * 2, pal, [1, 2]
+    )
+    # the single-frame decoder keeps its strict one-image contract
+    with pytest.raises(ValueError):
+        multimodal.gif_decode(anim)
+
+
+def test_gif_animated_fixture_traps_are_armed(spark, sf_dir):
+    """Mid-stream comment on ids%3==0, per-frame delays, closed-form
+    solid frames, loop counts."""
+    rows = multimodal.synth_gif_animated_payload(
+        load(spark, sf_dir, "documents").select("doc_id").filter(
+            "doc_id < 9"
+        )
+    ).collect()
+    assert len(rows) == 9
+    for r in rows:
+        d = int(r.doc_id)
+        p = bytes(r.payload)
+        assert (b"\x21\xfe" in p) == (d % 3 == 0), d
+        frames, delays, loops, nc = multimodal.gif_decode_animated(p)
+        assert len(frames) == 2 + d % 4 and nc == 8
+        assert loops == d % 3
+        assert delays == [4 + (d + f) % 7 for f in range(len(frames))]
+        for f, fr in enumerate(frames):
+            k = (d * 3 + 5 * f) % 8
+            want = (
+                (d * 7 + 11 * k) % 256,
+                (d * 19 + 5 * k) % 251,
+                (d * 23 + 13 * k) % 247,
+            )
+            assert (fr == want).all(), (d, f)

@@ -857,8 +857,9 @@ R11_SCAN_BUDGET = {
     "event_activity_gini": 0,
     "stat_page_trend": 0,
     "event_pingpong_rate": 0,  # bounded (a,b,pp) rollup checkpointed
-    # single-chain plan: one documents scan
+    # single-chain plans: one documents scan
     "jpeg_progressive_decode_real": 1,
+    "gif_animated_frame_sample": 1,
 }
 
 

@@ -153,6 +153,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "stat_page_trend",      # ordered-alternative companion to Friedman
     "event_pingpong_rate",  # A->B->A bounce share, path-quality filter
     "gif_animated_frame_sample",  # REAL animated GIF (codec #8) + stride sampling
+    "emb_cosine_pair_histogram",  # representation-collapse diagnostic
 )
 
 _ALL: dict[str, Q] = {}

@@ -309,3 +309,76 @@ QUERIES["gif_animated_frame_sample"] = df_q(
     ("documents",),
     oracle=_GIF_ANIM_ORACLE,
 )
+
+
+# -- Cosine-similarity histogram over adjacent pairs ------------------------------
+# Embedding-health diagnostic: the distribution of pairwise cosines is
+# the standard representation-collapse signal (healthy random-ish
+# embeddings concentrate near 0; a collapsed encoder pushes mass toward
+# 1). Pairing is deterministic (vec i with vec i+1 — id-adjacent, no
+# sampling machinery) so the histogram is exact and oracle-replayable:
+# coordinates quantize to the repo's 1e-6 grid, dot products and norms
+# are exact BIGINT sums (|q|<=2^20ish, 64 dims — far inside int64), the
+# cosine is the identical IEEE expression on both engines (two
+# correctly-rounded sqrts — the audio-RMS discipline), and bins are
+# 0.1-wide on [-1, 1] (bin edges are far from any accumulated-error
+# scale). One explode + one pos-equijoin shuffle; output is a bounded
+# <=20-row histogram. Zero-norm vectors carry no direction and are
+# excluded by the NULL guard.
+_COS_HIST_TAIL = """
+pairs AS (
+  SELECT a.vec_id AS ia,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS d,
+         CAST(SUM(a.q * a.q) AS BIGINT) AS na,
+         CAST(SUM(b.q * b.q) AS BIGINT) AS nb
+  FROM expl a JOIN expl b
+    ON b.vec_id = a.vec_id + 1 AND b.pos = a.pos
+  GROUP BY a.vec_id
+), cosv AS (
+  SELECT CASE WHEN na = 0 OR nb = 0 THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(d AS DOUBLE)
+                   / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+         END AS c
+  FROM pairs
+), binned AS (
+  SELECT LEAST(CAST(FLOOR((c + 1.0) * 10) AS BIGINT), 19) AS bin
+  FROM cosv WHERE c IS NOT NULL
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM binned
+)
+SELECT b.bin,
+       CAST(-1.0 + b.bin * 0.1 AS DOUBLE) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(
+         CAST(COUNT(*) AS DOUBLE) / tot.n_pairs
+         AS DECIMAL(18,9)) AS DOUBLE) AS share
+FROM binned b CROSS JOIN tot
+GROUP BY b.bin, tot.n_pairs
+ORDER BY b.bin
+"""
+
+_COS_HIST_SPARK = (
+    """
+WITH expl AS (
+  SELECT vec_id, pos,
+         CAST(FLOOR(CAST(col AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col
+), """
+    + _COS_HIST_TAIL
+)
+
+_COS_HIST_DUCK = (
+    """
+WITH expl AS (
+  SELECT vec_id, i - 1 AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+), """
+    + _COS_HIST_TAIL
+)
+
+QUERIES["emb_cosine_pair_histogram"] = sql_q(
+    _COS_HIST_SPARK, ("embeddings",), oracle=_COS_HIST_DUCK
+)

@@ -328,8 +328,26 @@ def test_selection_model_tables_broadcast(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "BroadcastHashJoin" in plan, name
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # per-doc aggregation is partial+final (map-side combine on doc_id)
-    assert "partial_" in plan, name
+    if name == "dsir_importance":
+        # r11: the top-k tail runs through sharded_rank, whose checkpoint
+        # truncates the final plan — the model join + map-side combine
+        # live in the WEIGHTING stage, pinned directly
+        from cassandra_sql_spark.io import load
+        from cassandra_sql_spark.pipeline import selection
+
+        docs = load(spark, sf_dir, "documents")
+        w = selection.dsir_bucket_weights(
+            docs, "text", __import__("pyspark.sql.functions",
+                                     fromlist=["col"]).col("lang") == "en"
+        )
+        d = selection.dsir_doc_weights(docs, "doc_id", "text", w)
+        build = d._sc._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in build and "partial_" in build
+    else:
+        # per-doc aggregation is partial+final (map-side combine)
+        assert "partial_" in plan, name
 
 
 def test_label_dispersion_partial_aggs(spark, sf_dir):

@@ -278,6 +278,7 @@ def test_alter_rename_column(eng):
 # ---- adversarial interactions of the round-5 surface ----
 
 
+@pytest.mark.slow
 def test_update_from_null_join_keys(eng):
     # NULL = NULL is not a match in the join condition — NULL-keyed rows
     # stay untouched on both sides
@@ -292,6 +293,7 @@ def test_update_from_null_join_keys(eng):
     ]
 
 
+@pytest.mark.slow
 def test_delete_using_null_join_keys(eng):
     eng.sql("CREATE TABLE t (id INT PRIMARY KEY, k INT)")
     eng.sql("INSERT INTO t VALUES (1, NULL), (2, 7)")
@@ -301,6 +303,7 @@ def test_delete_using_null_join_keys(eng):
     assert rows(eng.sql("SELECT id FROM t ORDER BY id")) == [(1,)]
 
 
+@pytest.mark.slow
 def test_update_from_recomputes_generated_columns(eng):
     eng.sql(
         "CREATE TABLE t (id INT PRIMARY KEY, a INT, "
@@ -313,6 +316,7 @@ def test_update_from_recomputes_generated_columns(eng):
     assert rows(eng.sql("SELECT a, doubled FROM t")) == [(10, 20)]
 
 
+@pytest.mark.slow
 def test_update_from_enforces_checks(eng):
     eng.sql("CREATE TABLE t (id INT PRIMARY KEY, n INT CHECK (n >= 0))")
     eng.sql("INSERT INTO t VALUES (1, 5)")

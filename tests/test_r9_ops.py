@@ -4,6 +4,8 @@ semantic sanity)."""
 
 from __future__ import annotations
 
+import pytest
+
 from cassandra_sql_spark.queries import REGISTRY
 
 
@@ -101,6 +103,7 @@ def test_max_concurrent_matches_flat_sweep(spark, sf_dir):
     assert r.first_peak_ts == peak_ts
 
 
+@pytest.mark.slow
 def test_langid_confusion_partitions_docs(spark, sf_dir):
     from cassandra_sql_spark.io import load
 

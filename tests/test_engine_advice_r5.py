@@ -211,6 +211,7 @@ def test_delete_using(eng):
     assert rows(eng.sql("SELECT id FROM t ORDER BY id")) == [(2,)]
 
 
+@pytest.mark.slow
 def test_delete_using_returning(eng):
     eng.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
     eng.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
@@ -259,6 +260,7 @@ def test_alter_rename_table_updates_fk_references(eng):
         eng.sql("INSERT INTO c VALUES (2, 999)")
 
 
+@pytest.mark.slow
 def test_alter_rename_column(eng):
     eng.sql(
         "CREATE TABLE t (id INT PRIMARY KEY, n INT CHECK (n >= 0))"
@@ -336,6 +338,7 @@ def test_insert_default_values_with_generated_column(eng):
     assert rows(eng.sql("SELECT id, a, doubled FROM t")) == [(1, 21, 42)]
 
 
+@pytest.mark.slow
 def test_rename_column_follows_generated_expression(eng):
     eng.sql(
         "CREATE TABLE t (id INT PRIMARY KEY, a INT, "
@@ -347,6 +350,7 @@ def test_rename_column_follows_generated_expression(eng):
     assert rows(eng.sql("SELECT base, doubled FROM t")) == [(6, 12)]
 
 
+@pytest.mark.slow
 def test_rename_table_then_merge_and_views_still_work(eng):
     eng.sql("CREATE TABLE t0 (id INT PRIMARY KEY, v INT)")
     eng.sql("INSERT INTO t0 VALUES (1, 10)")
@@ -484,6 +488,7 @@ def test_optimize_compacts(eng):
     assert len(files) == 1  # 4 rows -> 1 file
 
 
+@pytest.mark.slow
 def test_optimize_zorder_preserves_data_and_clusters(eng):
     import glob
 

@@ -16,6 +16,7 @@ def eng(spark, tmp_path_factory):
     )
 
 
+@pytest.mark.slow
 def test_pg_style_migration_script(eng, tmp_path):
     csv_dir = str(tmp_path / "staging_csv")
     script = f"""

@@ -147,6 +147,7 @@ def test_survivor_selection_quality_policy(spark):
     assert out == {1: (2, 4), 9: (9, 1)}
 
 
+@pytest.mark.slow
 def test_bigstar_components_match_label_propagation(spark):
     """Chain, star, island graphs: big-star components must equal
     min-label propagation's (and the known ground truth)."""
@@ -670,6 +671,7 @@ def test_global_shuffle_shards_dense_and_deterministic(docs, sf_dir):
     assert rows2 == {r.doc_id: (r.shard, r.pos) for r in rows}
 
 
+@pytest.mark.slow
 def test_semantic_dedup_one_keeper_per_cluster(spark, sf_dir):
     from cassandra_sql_spark.queries import REGISTRY
 
@@ -732,6 +734,7 @@ def test_bloom_decontam_no_false_negatives(spark, sf_dir):
     }
 
 
+@pytest.mark.slow
 def test_bloom_decontam_md5_family_same_contract(spark, sf_dir):
     """The md5 probe family (the oracle-checkable verification twin of
     the xxhash64 default) keeps the same one-sided-error contract: every

@@ -174,6 +174,7 @@ def test_ratio_to_report_shares_sum_to_one(run):
         assert top.cum_share == pytest.approx(1.0, abs=1e-5), cust
 
 
+@pytest.mark.slow
 def test_pca_power_iteration_matches_numpy_replica(spark, sf_dir):
     """The distributed power iteration must equal a sequential numpy
     replica applying the IDENTICAL quantization schedule (exact

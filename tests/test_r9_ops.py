@@ -208,6 +208,7 @@ def test_knn_label_vote_consistent_with_knn_join(spark, sf_dir):
         assert r.true_label == labels[r.probe_id]
 
 
+@pytest.mark.slow
 def test_misra_gries_eviction_path_keeps_planted_heavy_key(spark):
     """The fixture pages are near-uniform, so the registered entry never
     triggers MG eviction (k=128 > the 100-id domain). Pin the sketch's

@@ -53,6 +53,7 @@ def _sharded_prefix(
     offset_of,
     out_col: str,
     num_shards: int | None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Shared engine: range-shard on ``order_cols``, evaluate
     ``local_expr`` over the per-shard ordered window, then add the
@@ -86,11 +87,17 @@ def _sharded_prefix(
         offsets.append((shard_id, acc))
         acc += tot
     off_df = spark.createDataFrame(offsets, f"{_SHARD} int, __go_off bigint")
-    return (
+    out = (
         local.join(F.broadcast(off_df), _SHARD)
         .withColumn(out_col, (F.col(_LOCAL) + F.col("__go_off")).cast("long"))
         .drop(_SHARD, _LOCAL, "__go_off")
     )
+    if total_col is not None:
+        # The grand total (all shards' offset_of summed) is already on
+        # the driver — attach it as a literal so callers needing |rows|
+        # (e.g. a top-frac cut) avoid a second evaluation of the input.
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out
 
 
 def sharded_rank(
@@ -98,10 +105,13 @@ def sharded_rank(
     order_cols: list[Column | str],
     rank_col: str = "i",
     num_shards: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Global ``ROW_NUMBER() OVER (ORDER BY order_cols)`` as per-shard
     rank + broadcast prefix-count offsets. Identical to the window form
-    when the order tuple is unique (callers break ties with an id)."""
+    when the order tuple is unique (callers break ties with an id).
+    ``total_col``, when set, adds the total row count as a literal
+    column (free — it is the last prefix offset)."""
     return _sharded_prefix(
         df,
         order_cols,
@@ -109,6 +119,7 @@ def sharded_rank(
         F.count(F.lit(1)).cast("long"),
         rank_col,
         num_shards,
+        total_col=total_col,
     )
 
 
@@ -122,12 +133,19 @@ def sharded_cumsum(
     """Global inclusive running ``SUM(value_col) OVER (ORDER BY
     order_cols ROWS UNBOUNDED PRECEDING)`` as per-shard running sum +
     broadcast prefix-sum offsets. Exact for integral value columns
-    (BIGINT adds are associative); same tie caveat as sharded_rank."""
+    (BIGINT adds are associative); same tie caveat as sharded_rank.
+
+    ``value_col`` must be NON-NULL: a NULL row would make the local
+    running sum NULL from that row onward (SQL window-SUM semantics)
+    while the coalesced shard total skips it — callers filter or
+    ``coalesce`` upstream. The per-shard total is coalesced to 0 so an
+    (invalid but possible) all-NULL shard cannot poison the driver
+    prefix loop with a ``None``."""
     return _sharded_prefix(
         df,
         order_cols,
         F.sum(value_col),
-        F.sum(value_col).cast("long"),
+        F.coalesce(F.sum(value_col), F.lit(0)).cast("long"),
         out_col,
         num_shards,
     )

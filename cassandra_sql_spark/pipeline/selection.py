@@ -246,20 +246,22 @@ def dsir_select_topk(
     corpus rank runs through operators.global_order.sharded_rank (r11) —
     per-shard ROW_NUMBER + broadcast prefix offsets, no single-reducer
     sort — so the former "documented shard fallback" note is the shipped
-    plan; the cut count is one count() (a scalar, not a window)."""
+    plan. The cut count rides the SAME pass: sharded_rank's total_col
+    exposes |rows| (the last prefix offset, already on the driver), so
+    the upstream weighting pipeline is evaluated exactly once (r11
+    ADVICE: a separate count() re-ran it)."""
     from cassandra_sql_spark.operators.global_order import sharded_rank
 
-    import math
-
-    cut = math.ceil(weighted.count() * float(frac))
     ranked = sharded_rank(
         weighted,
         [F.col("logw").desc(), F.col(id_col)],
         rank_col="_rk",
+        total_col="_n",
     )
+    cut = F.ceil(F.col("_n") * F.lit(float(frac)))
     return ranked.select(
         *[c for c in weighted.columns],
-        (F.col("_rk") <= F.lit(cut)).alias("keep"),
+        (F.col("_rk") <= cut).alias("keep"),
     )
 
 

@@ -322,7 +322,10 @@ QUERIES["gif_animated_frame_sample"] = df_q(
 # cosine is the identical IEEE expression on both engines (two
 # correctly-rounded sqrts — the audio-RMS discipline), and bins are
 # 0.1-wide on [-1, 1] (bin edges are far from any accumulated-error
-# scale). One explode + one pos-equijoin shuffle; output is a bounded
+# scale). sqrt rounding can push |c| a few ulps past 1, so the bin is
+# clamped on BOTH ends (GREATEST(LEAST(.,19),0)) to keep the output
+# inside the documented [-1,1] bin domain (r11 ADVICE: the top end
+# alone left bin=-1/bin_lo=-1.1 reachable). One explode + one pos-equijoin shuffle; output is a bounded
 # <=20-row histogram. Zero-norm vectors carry no direction and are
 # excluded by the NULL guard.
 _COS_HIST_TAIL = """
@@ -341,7 +344,7 @@ pairs AS (
          END AS c
   FROM pairs
 ), binned AS (
-  SELECT LEAST(CAST(FLOOR((c + 1.0) * 10) AS BIGINT), 19) AS bin
+  SELECT GREATEST(LEAST(CAST(FLOOR((c + 1.0) * 10) AS BIGINT), 19), 0) AS bin
   FROM cosv WHERE c IS NOT NULL
 ), tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM binned

@@ -834,22 +834,39 @@ FIRSTSEEN_SCHEMA = StructType(
 _FIRSTSEEN_STATE = StructType(
     [
         StructField("first_day", IntegerType()),   # days since epoch
+        # lateness floor: days <= floor_day are compacted out of the
+        # emitted set and no longer accepted as late arrivals
+        StructField("floor_day", IntegerType()),
         StructField("emitted", ArrayType(IntegerType())),
     ]
 )
 
 
-def first_seen_days(events: DataFrame) -> DataFrame:
+def first_seen_days(
+    events: DataFrame, late_horizon_days: int = 366
+) -> DataFrame:
     """Streaming new-vs-returning tagging: emit one (user, day, is_new)
     row per ACTIVE user-day — the stateful twin of the batch first-seen
     window (event_new_vs_returning). State per user is the corrected
-    first-seen day plus the SET of emitted days (int32s, bounded by the
-    per-user active-day calendar — a few KB per user at decade spans),
-    so re-delivery of an already-emitted day is distinguished from LATE
-    ARRIVAL of a not-yet-seen earlier day: re-deliveries are skipped,
-    late earlier days are still emitted (never silently lost) and
-    first_day is corrected to the true minimum. The daily rollup is a
-    tiny batch aggregate over the drained sink.
+    first-seen day, a lateness FLOOR, and the set of emitted days ABOVE
+    the floor, so re-delivery of an already-emitted day is distinguished
+    from LATE ARRIVAL of a not-yet-seen earlier day: re-deliveries are
+    skipped, late earlier days are still emitted (never silently lost
+    within the horizon) and first_day is corrected to the true minimum.
+
+    BOUNDED STATE (r11 ADVICE: the bare emitted-day set grew one int32
+    per user-day forever): after each batch the floor advances to
+    ``max(emitted) - late_horizon_days`` and emitted days at or below it
+    are compacted away — membership below the floor is implied. This is
+    a per-user lateness watermark: a day arriving more than the horizon
+    behind that user's newest emitted day is DROPPED (no longer
+    accepted), the same contract as Spark's own withWatermark, chosen
+    per-user because user clocks, not the global stream clock, drive
+    this operator. State is therefore <= horizon int32s per user
+    regardless of span. The AvailableNow single-batch drain used by
+    stream_new_users_daily sees everything in one batch (floor starts
+    unset), so batch==stream equivalence is unchanged. The daily rollup
+    is a tiny batch aggregate over the drained sink.
 
     Batch==stream equivalence: is_new=1 on the user's first OBSERVED
     day (exactly one per user, so SUM(is_new) = |users| on both sides).
@@ -880,18 +897,31 @@ def first_seen_days(events: DataFrame) -> DataFrame:
             return
         if state.exists:
             first = state.get[0]
-            emitted = set(state.get[1])
+            floor = state.get[1]
+            emitted = set(state.get[2])
         else:
-            first, emitted = None, set()
-        fresh = sorted(days - emitted)  # re-delivered days drop here
+            first, floor, emitted = None, None, set()
+        # re-delivered days AND beyond-horizon late days drop here
+        fresh = sorted(
+            d
+            for d in days - emitted
+            if floor is None or d > floor
+        )
         out_days, out_new = [], []
         for d in fresh:
             # exactly one is_new=1 per user: the first day ever emitted
             out_days.append(d)
-            out_new.append(1 if not emitted and d == fresh[0] else 0)
-        first = min(days) if first is None else min(first, min(days))
-        emitted |= days
-        state.update((first, sorted(emitted)))
+            out_new.append(1 if first is None and d == fresh[0] else 0)
+        if fresh:
+            first = fresh[0] if first is None else min(first, fresh[0])
+            emitted |= set(fresh)
+            # advance the per-user lateness floor and compact below it
+            hi = max(emitted)
+            new_floor = hi - int(late_horizon_days)
+            if floor is None or new_floor > floor:
+                floor = new_floor
+            emitted = {d for d in emitted if d > floor}
+        state.update((first, floor, sorted(emitted)))
         if out_days:
             epoch = _dt.date(1970, 1, 1)
             yield pd.DataFrame(

@@ -368,6 +368,58 @@ def test_first_seen_late_day_emitted_not_lost(spark, tmp_path):
     }
 
 
+def test_first_seen_state_bounded_by_late_horizon(spark, tmp_path):
+    """r11 advice: the emitted-day set must not grow forever. With a
+    small late_horizon_days, a day arriving more than the horizon behind
+    the user's newest emitted day is dropped (the per-user lateness
+    watermark), while a late day INSIDE the horizon is still emitted."""
+    src = tmp_path / "fsb_src"
+    src.mkdir()
+    schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, ts timestamp"
+    )
+
+    def write(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        df.coalesce(1).write.mode("append").parquet(str(src / "e.parquet"))
+
+    out, ckpt = str(tmp_path / "fsb_sink"), str(tmp_path / "fsb_ckpt")
+
+    def drained():
+        return {
+            (r.user_id, str(r.day)): r.is_new
+            for r in spark.read.parquet(out + "/batch=*").collect()
+        }
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src / "e.parquet"))
+        ev.run_foreach_batch_parquet(
+            ev.first_seen_days(stream, late_horizon_days=5), out, ckpt
+        )
+
+    # batch 1: user 1 active on 01-01 and 01-20 -> floor = 01-15
+    write([(1, "2024-01-01 09:00:00", 1, "click", 1.0, "{}"),
+           (2, "2024-01-20 09:00:00", 1, "click", 1.0, "{}")])
+    drain()
+    assert drained() == {(1, "2024-01-01"): 1, (1, "2024-01-20"): 0}
+
+    # batch 2: 01-10 is beyond the 5-day horizon behind 01-20 -> DROPPED;
+    # 01-17 is inside the horizon -> emitted
+    write([(3, "2024-01-10 09:00:00", 1, "click", 1.0, "{}"),
+           (4, "2024-01-17 09:00:00", 1, "view", 1.0, "{}")])
+    drain()
+    assert drained() == {
+        (1, "2024-01-01"): 1,
+        (1, "2024-01-20"): 0,
+        (1, "2024-01-17"): 0,
+    }
+
+
 def test_ohlc_stream_equals_batch(spark, sf_dir, tmp_path):
     """Streaming OHLC bars drained in complete mode equal batch
     execution of the identical aggregation — min_by/max_by partials

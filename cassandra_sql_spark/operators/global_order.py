@@ -22,15 +22,18 @@ compute the identical answer with no SinglePartition exchange:
 
 Rank/row_number needs the offset to be the COUNT of earlier shards'
 rows; a running SUM needs the SUM of earlier shards' values — same
-recipe, different offset column. The result is exactly the global
-window's answer whenever the order key is total (unique tuples); with
-duplicate keys row_number's tie order differs within equal-key blocks,
-which every caller here either breaks with an id column or is
-invariant to (documented per entry).
+recipe, different offset column, and ``sharded_multi`` evaluates any
+number of such specs over ONE shard pass (one shuffle, one window, one
+<= num_shards-row collect) for callers like UniMax that need rank and
+prefix-sum together. The result is exactly the global window's answer
+whenever the order key is total (unique tuples); with duplicate keys
+row_number's tie order differs within equal-key blocks, which every
+caller here either breaks with an id column or is invariant to
+(documented per entry).
 
 Cost model at 100 TB: one range-repartition shuffle (same volume as
 the global sort's exchange), a fully parallel window, a num_shards-row
-collect, a broadcast hash join against a two-column offsets table. The
+collect, a broadcast hash join against a small offsets table. The
 serial stage is gone; max reducer state drops from |rows| to
 |rows|/num_shards.
 """
@@ -40,24 +43,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sharded_rank", "sharded_cumsum"]
+__all__ = ["sharded_rank", "sharded_cumsum", "sharded_multi"]
 
 _SHARD = "__go_shard"
-_LOCAL = "__go_local"
 
 
-def _sharded_prefix(
+def sharded_multi(
     df: DataFrame,
     order_cols: list[Column | str],
-    local_expr: Column,
-    offset_of,
-    out_col: str,
-    num_shards: int | None,
+    specs: list[tuple[Column, Column, str]],
+    num_shards: int | None = None,
     total_col: str | None = None,
 ) -> DataFrame:
-    """Shared engine: range-shard on ``order_cols``, evaluate
-    ``local_expr`` over the per-shard ordered window, then add the
-    broadcast prefix offset ``offset_of(per-shard totals)``."""
+    """Evaluate several global-order expressions in ONE shard pass.
+
+    Each spec is ``(local_window_expr, shard_total_agg, out_col)``:
+    the window expr runs over the per-shard ordered window, the agg
+    computes that shard's contribution to later shards' offsets, and
+    ``out_col`` receives local value + prefix offset. ``total_col``,
+    when set, adds the FIRST spec's grand total as a literal column
+    (free — it is the last prefix offset, already on the driver).
+    """
     spark = df.sparkSession
     if num_shards is None:
         num_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -75,28 +81,44 @@ def _sharded_prefix(
         .localCheckpoint(eager=True)
     )
     w = Window.partitionBy(_SHARD).orderBy(*cols)
-    local = sharded.withColumn(_LOCAL, local_expr.over(w))
-    # per-shard totals: <= num_shards rows — a bounded, model-sized
-    # fetch (NOT a data collect); prefix-sum on the driver
-    totals = sorted(
-        (r[0], r[1])
-        for r in sharded.groupBy(_SHARD).agg(offset_of).collect()
+    local_cols = [f"__go_local{i}" for i in range(len(specs))]
+    local = sharded.select(
+        "*",
+        *[
+            expr.over(w).alias(lc)
+            for (expr, _, _), lc in zip(specs, local_cols)
+        ],
     )
-    offsets, acc = [], 0
-    for shard_id, tot in totals:
-        offsets.append((shard_id, acc))
-        acc += tot
-    off_df = spark.createDataFrame(offsets, f"{_SHARD} int, __go_off bigint")
-    out = (
-        local.join(F.broadcast(off_df), _SHARD)
-        .withColumn(out_col, (F.col(_LOCAL) + F.col("__go_off")).cast("long"))
-        .drop(_SHARD, _LOCAL, "__go_off")
+    # per-shard totals: <= num_shards rows — a bounded, model-sized
+    # fetch (NOT a data collect); prefix-sums on the driver
+    totals = sorted(
+        tuple(r)
+        for r in sharded.groupBy(_SHARD)
+        .agg(*[agg.alias(f"__t{i}") for i, (_, agg, _) in enumerate(specs)])
+        .collect()
+    )
+    offsets, accs = [], [0] * len(specs)
+    for row in totals:
+        offsets.append((row[0], *accs))
+        accs = [a + t for a, t in zip(accs, row[1:])]
+    off_schema = f"{_SHARD} int, " + ", ".join(
+        f"__go_off{i} bigint" for i in range(len(specs))
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
+    out = local.join(F.broadcast(off_df), _SHARD)
+    for i, (lc, (_, _, out_col)) in enumerate(zip(local_cols, specs)):
+        out = out.withColumn(
+            out_col, (F.col(lc) + F.col(f"__go_off{i}")).cast("long")
+        )
+    out = out.drop(
+        _SHARD, *local_cols, *[f"__go_off{i}" for i in range(len(specs))]
     )
     if total_col is not None:
-        # The grand total (all shards' offset_of summed) is already on
-        # the driver — attach it as a literal so callers needing |rows|
-        # (e.g. a top-frac cut) avoid a second evaluation of the input.
-        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+        # The grand total (all shards' first-spec agg summed) is already
+        # on the driver — attach it as a literal so callers needing
+        # |rows| (e.g. a top-frac cut or an NTILE bucket formula) avoid
+        # a second evaluation of the input.
+        out = out.withColumn(total_col, F.lit(accs[0]).cast("long"))
     return out
 
 
@@ -112,12 +134,10 @@ def sharded_rank(
     when the order tuple is unique (callers break ties with an id).
     ``total_col``, when set, adds the total row count as a literal
     column (free — it is the last prefix offset)."""
-    return _sharded_prefix(
+    return sharded_multi(
         df,
         order_cols,
-        F.row_number(),
-        F.count(F.lit(1)).cast("long"),
-        rank_col,
+        [(F.row_number(), F.count(F.lit(1)).cast("long"), rank_col)],
         num_shards,
         total_col=total_col,
     )
@@ -141,11 +161,15 @@ def sharded_cumsum(
     ``coalesce`` upstream. The per-shard total is coalesced to 0 so an
     (invalid but possible) all-NULL shard cannot poison the driver
     prefix loop with a ``None``."""
-    return _sharded_prefix(
+    return sharded_multi(
         df,
         order_cols,
-        F.sum(value_col),
-        F.coalesce(F.sum(value_col), F.lit(0)).cast("long"),
-        out_col,
+        [
+            (
+                F.sum(value_col),
+                F.coalesce(F.sum(value_col), F.lit(0)).cast("long"),
+                out_col,
+            )
+        ],
         num_shards,
     )

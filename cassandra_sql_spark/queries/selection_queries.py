@@ -220,17 +220,25 @@ QUERIES: dict[str, Q] = {
     # lang='en' target slice; deterministic top-25% selection.
     "dsir_importance": df_q(_dsir, ("documents",), oracle=_DSIR_ORACLE),
     # UniMax (Chung et al. 2023) epoch-capped budget allocation across
-    # sources — one ANSI-SQL statement, same string on both engines.
-    # Allocation dimension is `lang` (the corpus' skewed grouping: `source`
-    # is uniform in the synthetic data, which would never exercise the
-    # capped branch); small languages hit the 2-epoch cap, the big one
-    # absorbs the remaining budget.
-    "sample_unimax": sql_q(
-        selection.unimax_allocation_sql(
+    # sources. Allocation dimension is `lang` (the corpus' skewed
+    # grouping: `source` is uniform in the synthetic data, which would
+    # never exercise the capped branch); small languages hit the 2-epoch
+    # cap, the big one absorbs the remaining budget. The Spark side runs
+    # the sharded_multi form (rank + prefix-sum in one shard pass, no
+    # unpartitioned window — r12); DuckDB runs the one-statement ANSI
+    # form as the oracle.
+    "sample_unimax": df_q(
+        lambda spark, sf: selection.unimax_allocation(
+            load(spark, sf, "documents"),
+            source="lang",
+            budget_frac=1.8,
+            max_epochs=2,
+        ),
+        ("documents",),
+        oracle=selection.unimax_allocation_sql(
             table="documents", source="lang",
             budget_frac=1.8, max_epochs=2,
         ),
-        ("documents",),
     ),
     # Mixing diagnostic: which sources sit distributionally far from the
     # corpus blend (drives re-weighting decisions alongside sample_unimax

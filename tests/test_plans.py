@@ -324,30 +324,26 @@ def test_repeated_chunk_dedup_plan_shape(spark, sf_dir):
 def test_selection_model_tables_broadcast(spark, sf_dir, name):
     """The LM / bucket-weight model join must broadcast the (tiny) model
     side — the corpus-sized explode stream is never shuffled to meet it —
-    and scoring stays JVM-side (no Python UDF in the plan)."""
-    plan = plan_of(spark, sf_dir, name)
-    assert "BroadcastHashJoin" in plan, name
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    if name == "dsir_importance":
-        # r11: the top-k tail runs through sharded_rank, whose checkpoint
-        # truncates the final plan — the model join + map-side combine
-        # live in the WEIGHTING stage, pinned directly
-        from cassandra_sql_spark.io import load
-        from cassandra_sql_spark.pipeline import selection
+    and scoring stays JVM-side (no Python UDF in the plan). r12: BOTH
+    entries' rank tails now run through sharded_rank, whose checkpoint
+    truncates the final plan, so the model join + map-side combine are
+    pinned at the scoring/weighting stage directly."""
+    from cassandra_sql_spark.io import load
+    from cassandra_sql_spark.pipeline import selection
+    from pyspark.sql import functions as F
 
-        docs = load(spark, sf_dir, "documents")
-        w = selection.dsir_bucket_weights(
-            docs, "text", __import__("pyspark.sql.functions",
-                                     fromlist=["col"]).col("lang") == "en"
-        )
+    docs = load(spark, sf_dir, "documents")
+    if name == "dsir_importance":
+        w = selection.dsir_bucket_weights(docs, "text", F.col("lang") == "en")
         d = selection.dsir_doc_weights(docs, "doc_id", "text", w)
-        build = d._sc._jvm.PythonSQLUtils.explainString(
-            d._jdf.queryExecution(), "formatted"
-        )
-        assert "BroadcastHashJoin" in build and "partial_" in build
     else:
-        # per-doc aggregation is partial+final (map-side combine)
-        assert "partial_" in plan, name
+        lm = selection.unigram_lm_table(docs, "text")
+        d = selection.unigram_nll(docs, "doc_id", "text", lm)
+    build = d._sc._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in build and "partial_" in build
+    assert "BatchEvalPython" not in build and "ArrowEvalPython" not in build
 
 
 def test_label_dispersion_partial_aggs(spark, sf_dir):
@@ -740,8 +736,10 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # left this list: their global ranks/prefix sums now run through
     # operators.global_order.sharded_rank/cumsum — no unpartitioned
     # window remains in their plans (pinned in tests/test_global_order).
-    "sample_unimax": "corpus-rank per-source; documented shard fallback",
-    "text_unigram_lm": "corpus-rank; documented shard fallback",
+    # (r12) sample_unimax and text_unigram_lm followed: the UniMax
+    # rank+prefix ride one sharded_multi pass; the NTILE tertile is the
+    # closed form over sharded_rank — the allowlist now holds only
+    # genuinely domain-bounded windows.
     "text_zipf_fit": "vocab-rank (distinct tokens); documented cutoff",
     "emb_norm_quantiles": "norm quantile grid; documented approx fallback",
     "sketch_approx_quantile_bound": "exact-vs-GK audit needs the exact ranks",

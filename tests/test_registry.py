@@ -29,13 +29,22 @@ from cassandra_sql_spark.queries import NEXT_WINDOW, PRIORITY, REGISTRY
 
 _REPO = Path(__file__).resolve().parent.parent
 
-# Entries whose output representation changed this round — all must be in
-# the window so the changed output gets re-graded. Round 11:
-# stat_kruskal_wallis (r10 ulp-snap; its only driver row is pre-snap r9)
-# and emb_mahalanobis_outliers (r11 quantization fix — the r10 form
-# floor-quantized every term to 0, ADVICE high; never driver-graded but
-# pinned here so the fix cannot rotate out untested).
-_CANARIES: set[str] = {"stat_kruskal_wallis", "emb_mahalanobis_outliers"}
+# Entries whose output representation OR physical plan changed this
+# round — all must be in the window so the changed entry gets re-graded.
+# The r11 verdict widened this rule from representation-only to
+# plan-changing rewrites: dsir_importance's sharded_rank switch shipped
+# in r11 with only pre-switch driver rows (identity was exceptAll-pinned,
+# but the rotation's own discipline — regrade what changed — missed it).
+# Round 12: dsir_importance (r11 sharded_rank + r12 single-pass cut),
+# emb_quantize_int8_vec (exploded scalar output — representation),
+# sample_unimax (sharded_multi plan), text_unigram_lm (closed-form NTILE
+# over sharded_rank plan).
+_CANARIES: set[str] = {
+    "dsir_importance",
+    "emb_quantize_int8_vec",
+    "sample_unimax",
+    "text_unigram_lm",
+}
 
 # One-or-more graded representatives required per SURVEY §2 / pipeline
 # family, checked against union(past driver rows, current window).
@@ -128,15 +137,14 @@ def test_canaries_in_window():
 
 
 def test_window_closes_never_graded_tail():
-    """The r11 window contains EVERY oracle-checked entry with no driver
-    row through r10 — the 16 round-10 additions staged in NEXT_WINDOW all
-    fit one window; the remaining slots regrade the oldest driver rows
-    (plus the two rows-only entries, see
-    test_priority_entries_all_have_oracles)."""
-    graded = _graded_union(through=10)
+    """The r12 window contains EVERY oracle-checked entry with no driver
+    row through r11 — the 6 round-11 additions plus the newly
+    hash-eligible emb_quantize_int8_vec all fit one window; the remaining
+    slots regrade the oldest driver rows."""
+    graded = _graded_union(through=11)
     oracle_checked = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
     never_graded = oracle_checked - graded
-    # entries ADDED during round 11 stage in NEXT_WINDOW for the r12 window;
+    # entries ADDED during round 12 stage in NEXT_WINDOW for the r13 window;
     # everything never-graded at rotation time must be in THIS window
     missing = never_graded - set(PRIORITY) - set(NEXT_WINDOW)
     assert not missing, f"never-graded entries left out of the window: {missing}"
@@ -144,26 +152,37 @@ def test_window_closes_never_graded_tail():
 
 def test_window_fillers_are_oldest_regrades():
     """The non-tail slots go to the entries whose latest driver grading
-    is oldest (latest r4; the alphabetical first 31 of that 45-entry
-    cohort) plus the stat_kruskal_wallis representation canary —
-    regression re-coverage, not padding."""
-    graded10 = _graded_union(through=10)
-    regrades = set(PRIORITY) & graded10
-    r4_cohort_head = {
-        "agg_approx_percentile_bound", "agg_manual_pivot", "agg_over_join",
-        "dedup_embedding_cosine", "dedup_embedding_lsh",
-        "emb_label_centroids", "emb_random_projection",
-        "event_sessionize_batch", "explode_tokens", "expr_cast",
-        "expr_coalesce_nullif", "expr_concat", "expr_datediff_format",
-        "expr_math", "expr_math_transcendental", "expr_string_funcs",
-        "expr_time_bucket_agg", "json_extract_scalar",
-        "multimodal_binary_meta", "multimodal_frame_sample",
-        "pack_token_budget", "pred_null_safe_eq", "range_join_events",
-        "sample_md5_split", "series_calendar_fill", "setop_intersect",
-        "setop_union_distinct", "sim_topk_bruteforce", "stream_dedup",
-        "stream_stream_join", "stream_stream_left_join",
+    is oldest — the 14-entry REMAINDER of the r4 cohort (closing it) and
+    the alphabetical first 26 of the r5 cohort — plus the four rewrite
+    canaries: regression re-coverage, not padding."""
+    graded11 = _graded_union(through=11)
+    regrades = set(PRIORITY) & graded11
+    r4_cohort_rest = {
+        "subq_derived", "subq_exists_or", "subq_in", "subq_not_in",
+        "text_bm25", "text_bpe_tokens", "text_chunk_sliding",
+        "text_pii_redact", "text_vocab_topk", "win_first_last",
+        "win_lag_lead", "win_nth_value", "win_range_frame",
+        "win_topk_per_group",
     }
-    assert regrades == r4_cohort_head | {"stat_kruskal_wallis"}
+    r5_cohort_head = {
+        "agg_filter_clause", "agg_over_derived", "agg_rollup",
+        "agg_string_agg", "agg_where_then_group", "asof_join_purchases",
+        "corpus_curation_pipeline", "dedup_clusters_bigstar",
+        "dedup_cross_source_audit", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard_uncapped", "dedup_repeated_chunks",
+        "dedup_semantic", "dedup_survivor_selection",
+        "emb_label_dispersion", "expr_datetime", "expr_datetime_extras",
+        "expr_string_extras", "join_full_outer", "json_filter_agg",
+        "lateral_topn_per_key", "mix_source_kl", "q1_pricing_summary",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+    }
+    # emb_quantize_int8_vec counts as "graded" through r11 only via its
+    # TypeError err row — its r12 slot is the first real hash grade
+    canary_regrades = {
+        "dsir_importance", "sample_unimax", "text_unigram_lm",
+        "emb_quantize_int8_vec",
+    }
+    assert regrades == r4_cohort_rest | r5_cohort_head | canary_regrades
 
 
 def test_ungraded_tail_fits_one_window():
@@ -192,25 +211,26 @@ def test_union_covers_every_family():
     assert not uncovered, f"families with no hard signal anywhere: {uncovered}"
 
 
-# The two structurally hash-ineligible entries (float-iterative PCA;
-# ARRAY-output int8 vectors — COVERAGE.md). A driver rows-only record is
-# the STRONGEST signal they can carry, so the r11 window spends exactly
-# two slots to give them one; every other slot must carry a full oracle.
-_ROWS_ONLY_WINDOWED = {"emb_pca_top_component", "emb_quantize_int8_vec"}
+# The single structurally hash-ineligible entry (float-iterative PCA —
+# no DuckDB-expressible oracle, COVERAGE.md). Its r11 rows-only window
+# slot produced only a "no_oracle" driver record, so it stays OUT of
+# every future window (r11 verdict What's-wrong #1).
+# emb_quantize_int8_vec left this set in r12: the exploded scalar form
+# is fully hash-eligible.
+_ROWS_ONLY = {"emb_pca_top_component"}
 
 
 def test_priority_entries_all_have_oracles():
     """The graded window is wasted on rows-only entries — every slot in
-    the first 50 must carry a DuckDB oracle for the full hash compare,
-    except the two documented hash-ineligible entries collecting their
-    one-time rows-only driver record this round."""
-    missing = [
-        n for n in PRIORITY
-        if REGISTRY[n].oracle is None and n not in _ROWS_ONLY_WINDOWED
-    ]
+    the first 50 must carry a DuckDB oracle for the full hash compare.
+    The one structurally hash-ineligible entry must stay out of the
+    window entirely (its driver row can only ever read "no_oracle")."""
+    missing = [n for n in PRIORITY if REGISTRY[n].oracle is None]
     assert not missing, f"priority entries without oracles: {missing}"
-    for n in _ROWS_ONLY_WINDOWED:
+    for n in _ROWS_ONLY:
         assert REGISTRY[n].oracle is None, f"{n} grew an oracle; un-exempt it"
+        assert n not in PRIORITY, f"{n} wastes a window slot on no_oracle"
+        assert n not in NEXT_WINDOW, f"{n} staged for a wasted slot"
 
 
 def test_next_window_closes_oracle_checked_tail():

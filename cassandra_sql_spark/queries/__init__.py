@@ -25,6 +25,7 @@ from cassandra_sql_spark.queries import (
     r9b_ops,
     r10_ops,
     r11_ops,
+    r12_ops,
     relational,
     selection_queries,
     setops,
@@ -65,6 +66,7 @@ _MODULES = (
     r9b_ops,
     r10_ops,
     r11_ops,
+    r12_ops,
 )
 
 # The correctness driver grades only the FIRST 50 registry entries. The
@@ -148,7 +150,9 @@ PRIORITY: tuple[str, ...] = (
 # regrades if slots remain. tests/test_registry.py enforces that
 # window + NEXT_WINDOW + graded union covers every oracle-checked entry
 # AND that this queue never exceeds one window's capacity.
-NEXT_WINDOW: tuple[str, ...] = ()
+NEXT_WINDOW: tuple[str, ...] = (
+    "jpeg_restart_interval_decode_real",  # REAL codec #9: DRI/RSTm
+)
 
 _ALL: dict[str, Q] = {}
 for _m in _MODULES:

@@ -752,17 +752,22 @@ QUERIES: dict[str, Q] = {
         ), jc AS (
           -- doubled midranks sum to exactly n(n+1) (ties preserve the
           -- total), so the exact mean is n+1: centering BEFORE the
-          -- power sums bounds every product by n^3 — the uncentered
-          -- n*saa form overflows BIGINT past ~2M rows/group (hit at
-          -- sf0.1 under ANSI mode)
+          -- power sums bounds every PRODUCT by n^2 (int64-safe to
+          -- n ~ 3e9 rows/group) — the uncentered n*saa form overflowed
+          -- BIGINT past ~2M rows/group (hit at sf0.1 under ANSI mode)
           SELECT flag,
                  a - (COUNT(*) OVER (PARTITION BY flag) + 1) AS da,
                  b - (COUNT(*) OVER (PARTITION BY flag) + 1) AS db
           FROM j
         ), s AS (
+          -- the SUMS reach n^3 (8e21 at sf10's 20M-row groups — the
+          -- r12 sf10 gate caught the BIGINT sum overflowing): exact
+          -- order-independent DECIMAL(25,0) accumulation of int64
+          -- terms, the queries/base.py convention, good past sf100
           SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
-                 SUM(da * db) AS sab,
-                 SUM(da * da) AS saa, SUM(db * db) AS sbb
+                 SUM(CAST(da * db AS DECIMAL(25,0))) AS sab,
+                 SUM(CAST(da * da AS DECIMAL(25,0))) AS saa,
+                 SUM(CAST(db * db AS DECIMAL(25,0))) AS sbb
           FROM jc GROUP BY flag
         )
         SELECT flag, n,

@@ -735,6 +735,129 @@ def pq_topk_exact(
     return rer.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def topk_ivfpq_exact(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    m: int = 4,
+    k_codes: int = 16,
+    iters_coarse: int = 3,
+    iters_pq: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ COMPOSED (the FAISS IVFPQ query shape, r12): coarse
+    integer-L2 routing prunes to the ``nprobe`` nearest lists, the
+    integer ADC shortlist ranks ONLY those lists' rows by summed
+    codebook lookups, and the exact cosine re-rank reads full vectors
+    for the ``shortlist`` survivors alone. This is how production ANN
+    runs at 100 TB — the two prunings MULTIPLY: nprobe/n_centroids of
+    the rows x m-codes-instead-of-vector bytes, with the partitioned
+    at-rest form in write_ivfpq_index/topk_ivfpq_pruned.
+
+    Every routing decision (coarse assignment, probe pick, codebooks,
+    codes, ADC order with vec_id ties) is exact int64 arithmetic on the
+    unit-quantized grid, so the WHOLE pipeline — both trainings
+    included — replays in DuckDB; only the final cosine takes the
+    DECIMAL(18,6) hop. Models are k*d-sized driver fetches of the
+    ivf_train class."""
+    import math
+
+    cents = kmeans_exact_centroids(
+        emb, n_centroids, iters_coarse, id_col, vec_col, unit=True
+    )
+    quant = quantized_vectors(emb, id_col, vec_col, unit=True)
+    dim = DIM
+    subdim = dim // m
+    books = [
+        lloyd_int(
+            quant.select(
+                id_col, F.slice("_xq", s * subdim + 1, subdim).alias("_xq")
+            ),
+            k_codes,
+            iters_pq,
+            id_col,
+        )
+        for s in range(m)
+    ]
+    emb = nonzero(emb, vec_col)
+    qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).first()
+    empty = emb.select(id_col, F.lit(0.0).alias("score")).limit(0)
+    if not cents or not books or not books[0] or qrow is None \
+            or qrow[0] is None:
+        return empty
+    qv = [float(x) for x in qrow[0]]
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    if qnorm == 0.0:
+        return empty
+    qq = [
+        int(v)
+        for v in quant.filter(F.col(id_col) == query_id).first()["_xq"]
+    ]
+    probe = sorted(
+        range(len(cents)),
+        key=lambda c: (
+            sum((a - b) * (a - b) for a, b in zip(qq, cents[c])), c
+        ),
+    )[:nprobe]
+    adc_tables = [
+        [
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(qq[s * subdim:(s + 1) * subdim], cw)
+            )
+            for cw in books[s]
+        ]
+        for s in range(m)
+    ]
+
+    def sub_code(s: int) -> Column:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.slice("_xq", s * subdim + 1, subdim),
+                        F.array(*[F.lit(int(v)) for v in cw]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                )
+                for cw in books[s]
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(int(v)) for v in adc_tables[s]]),
+            sub_code(s) + 1,
+        )
+        adc = term if adc is None else adc + term
+    # the composition: ADC runs over the PROBED lists only
+    cand = quant.filter(
+        int_assign_col(cents).isin(probe) & (F.col(id_col) != query_id)
+    )
+    short = (
+        cand.select(id_col, adc.alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    qlit = F.array(*[F.lit(x) for x in qv])
+    rer = short.join(emb.select(id_col, vec_col), id_col).select(
+        id_col,
+        (
+            dot(F.col(vec_col), qlit)
+            / (F.sqrt(dot(F.col(vec_col), F.col(vec_col))) * F.lit(qnorm))
+        ).cast("decimal(18,6)").cast("double").alias("score"),
+    )
+    return rer.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def topk_ivf(
     emb: DataFrame,
     query_id: int,

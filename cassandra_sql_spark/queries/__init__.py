@@ -152,6 +152,7 @@ PRIORITY: tuple[str, ...] = (
 # AND that this queue never exceeds one window's capacity.
 NEXT_WINDOW: tuple[str, ...] = (
     "jpeg_restart_interval_decode_real",  # REAL codec #9: DRI/RSTm
+    "sim_ivfpq_topk",  # IVF+PQ composed probe, exact-int routing
 )
 
 _ALL: dict[str, Q] = {}

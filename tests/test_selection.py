@@ -280,3 +280,52 @@ def test_bloom_decontam_empty_eval_flags_nothing(spark):
     eval_df = spark.createDataFrame([], "doc_id BIGINT, text STRING")
     out = dedup.bloom_decontam(train, eval_df, "doc_id", "text").collect()
     assert len(out) == 1 and not out[0]["flagged"]
+
+
+def test_unimax_dataframe_form_equals_sql_form(spark, docs):
+    """r12: the sharded_multi UniMax (rank + prefix in one shard pass,
+    no unpartitioned window) must produce the SQL waterfilling's exact
+    rows — integer-for-integer on n_docs/capacity, bit-for-bit on the
+    alloc/epochs divisions (both are single divisions of the same exact
+    integers)."""
+    docs.createOrReplaceTempView("documents")
+    sql_rows = {
+        r["source"]: tuple(r)
+        for r in spark.sql(
+            selection.unimax_allocation_sql(
+                table="documents", source="source",
+                budget_frac=0.9, max_epochs=2,
+            )
+        ).collect()
+    }
+    df_rows = {
+        r["source"]: tuple(r)
+        for r in selection.unimax_allocation(
+            docs, source="source", budget_frac=0.9, max_epochs=2
+        ).collect()
+    }
+    assert df_rows == sql_rows and len(df_rows) > 1
+
+
+def test_perplexity_buckets_closed_form_equals_ntile_window(spark, docs):
+    """r12: the closed-form NTILE over sharded_rank must equal the
+    plain window NTILE(3) row-for-row (exceptAll both ways), across
+    sizes that exercise every n % 3 residue including n < 3."""
+    from pyspark.sql import Window
+
+    lm = selection.unigram_lm_table(docs, "text")
+    scored = selection.unigram_nll(docs, "doc_id", "text", lm)
+    for n in (1, 2, 3, 4, 5):
+        sub = scored.limit(n)
+        got = selection.perplexity_buckets(sub, "doc_id")
+        w = Window.orderBy(F.col("nll"), F.col("doc_id"))
+        tier = F.ntile(3).over(w)
+        want = sub.select(
+            "*",
+            F.when(tier == 1, "head")
+            .when(tier == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0

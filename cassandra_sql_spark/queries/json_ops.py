@@ -38,27 +38,31 @@ QUERIES: dict[str, Q] = {
     ),
     # JSON predicate in WHERE + aggregation over extracted values.
     # get_json_object (Jackson streaming path extractor) measured fastest
-    # here: the filter gets pushed below the project, so whichever
-    # expression is used is evaluated twice per surviving row — single-path
-    # streaming extraction beats materializing a from_json struct twice
-    # (0.38s vs 0.50s at sf0.1; variant_get 0.43s). Re-measured round 8
-    # after two rounds of driver-ratio drift (1.25x -> 1.40x): with the
-    # variants INTERLEAVED over 12 reps on a quiet box, get_json_object
-    # med 0.415s vs variant_get 0.432s — still the right strategy; the
-    # driver ratio is calibration noise (sequential A/Bs invert under
-    # JVM drift; SCALE.md §9 records the measurement protocol).
+    # here: single-path streaming extraction beats materializing a
+    # from_json struct (0.38s vs 0.50s at sf0.1; variant_get 0.43s;
+    # re-confirmed round 8 with interleaved A/Bs). Round 12: the WHERE on
+    # the derived column was pushed below the Project, so every surviving
+    # row paid the extraction TWICE (Filter + Project — the guide §4.4
+    # duplication, with a JVM expression instead of a UDF). Folding the
+    # predicate into conditional aggregates + HAVING n > 0 extracts once
+    # per row: 0.51s -> 0.39s median at sf0.1 (interleaved A/B, identical
+    # rows — a group appears iff >= 1 row passes k > 50, which is exactly
+    # n > 0; COUNT/SUM over the CASE see the same surviving rows).
     "json_filter_agg": sql_q(
         """
-        SELECT event_type,
-               COUNT(*) AS n,
-               CAST(SUM(k) AS BIGINT) AS sum_k
+        SELECT event_type, n, sum_k
         FROM (
           SELECT event_type,
-                 CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) AS k
-          FROM events
+                 COUNT(CASE WHEN k > 50 THEN 1 END) AS n,
+                 CAST(SUM(CASE WHEN k > 50 THEN k END) AS BIGINT) AS sum_k
+          FROM (
+            SELECT event_type,
+                   CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) AS k
+            FROM events
+          )
+          GROUP BY event_type
         )
-        WHERE k > 50
-        GROUP BY event_type
+        WHERE n > 0
         """,
         ("events",),
         oracle="""

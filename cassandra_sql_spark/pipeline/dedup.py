@@ -51,16 +51,61 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
-def word_ngrams(col: Column, k: int) -> Column:
+def ngrams_sql(col_sql: str, k: int) -> str:
+    """SQL-string form of ``word_ngrams`` (round 12): one ``F.expr`` parse
+    instead of ~50 py4j round trips per construction (the rebuild-path
+    bench queries construct inside the timed region; the Column-API
+    builders cost 0.05-0.35s of driver time each at 16-64 calls/expr).
+    The token array is lambda-bound (evaluated once per row) and grams
+    are k O(1) ``element_at`` lookups — no shifted array copies. A doc
+    with fewer than k tokens has NO k-gram; the explicit size branch also
+    keeps ANSI mode from raising on out-of-bounds ``element_at``.
+    Output is exceptAll-identical to the Column form on the corpus and
+    the NULL/empty/short-doc edges (pinned in tests/test_pipeline.py)."""
+    gram = ", ".join(f"element_at(w, i + {j})" for j in range(k))
+    body = (
+        f"if(w IS NULL, CAST(NULL AS ARRAY<STRING>), "
+        f"if(size(w) < {k}, array(), "
+        f"transform(sequence(1, size(w) - {k - 1}), "
+        f"i -> concat_ws(' ', {gram}))))"
+    )
+    return (
+        f"element_at(transform(array(split(trim({col_sql}), '\\\\s+')), "
+        f"w -> {body}), 1)"
+    )
+
+
+def shingles_sql(col_sql: str, k: int) -> str:
+    """SQL-string form of ``word_shingles``."""
+    return f"array_distinct({ngrams_sql(col_sql, k)})"
+
+
+def hashed_shingles_sql(col_sql: str, k: int) -> str:
+    """SQL-string form of ``hashed_shingles``."""
+    return f"transform({shingles_sql(col_sql, k)}, g -> xxhash64(g))"
+
+
+def _col_sql(col: Column | str) -> str | None:
+    """Bare column name -> quoted SQL reference; Column -> None (no SQL)."""
+    return f"`{col}`" if isinstance(col, str) else None
+
+
+def word_ngrams(col: Column | str, k: int) -> Column:
     """k-word grams in document order (with repeats), JVM-side.
 
-    Built as arrays_zip of k shifted views of the token array, so the
-    per-element lambda touches only its own struct — O(1) per gram.
-    (The naive transform(sequence, i -> concat_ws(slice(w, i, k))) form
-    re-slices the token array per element inside an interpreted
-    higher-order function: O(n*k) copies per row, measured ~10x slower
-    on the shingling paths.)
+    A ``str`` argument (bare column name) takes the single-parse
+    ``ngrams_sql`` path — cheap construction, same values. Column inputs
+    keep the arrays_zip-of-shifted-views form: the per-element lambda
+    touches only its own struct — O(1) per gram. (The naive
+    transform(sequence, i -> concat_ws(slice(w, i, k))) form re-slices
+    the token array per element inside an interpreted higher-order
+    function: O(n*k) copies per row, measured ~10x slower on the
+    shingling paths; the SQL path's element_at lookups are O(1) with no
+    copies at all.)
     """
+    sql = _col_sql(col)
+    if sql is not None:
+        return F.expr(ngrams_sql(sql, k))
     w = tokens(col)
     views = [w.alias("t0")] + [
         F.slice(w, i + 1, F.size(w)).alias(f"t{i}") for i in range(1, k)
@@ -77,12 +122,15 @@ def word_ngrams(col: Column, k: int) -> Column:
     return F.slice(grams, 1, F.greatest(F.size(w) - (k - 1), F.lit(0)))
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
+def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles, JVM-side."""
+    sql = _col_sql(col)
+    if sql is not None:
+        return F.expr(shingles_sql(sql, k))
     return F.array_distinct(word_ngrams(col, k))
 
 
-def hashed_shingles(col: Column, k: int = 3) -> Column:
+def hashed_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles hashed to int64 (xxhash64), JVM-side.
 
     Every shingle-join path uses these instead of the raw strings: the
@@ -92,6 +140,9 @@ def hashed_shingles(col: Column, k: int = 3) -> Column:
     (p ≈ m²/2⁶⁴ per doc for m grams — negligible; the DuckDB oracles on
     the string grams still hash-match).
     """
+    sql = _col_sql(col)
+    if sql is not None:
+        return F.expr(hashed_shingles_sql(sql, k))
     return F.transform(word_shingles(col, k), lambda g: F.xxhash64(g))
 
 
@@ -227,18 +278,17 @@ def _ngram_pair_intersections(
     (measured 5x the cost).
     """
     # The exploded value carries (shingle-count, gram-hash) structs built
-    # ONCE per row inside a _let binding. An expensive sibling column next
-    # to explode() is re-evaluated per OUTPUT row of the generator (~|doc|
+    # ONCE per row inside a let binding (the shingle array is a lambda
+    # variable, evaluated once). An expensive sibling column next to
+    # explode() is re-evaluated per OUTPUT row of the generator (~|doc|
     # times) — measured 8x slower than the whole query when _n sat beside
-    # the explode as a plain projection.
-    grams = _let(
-        word_shingles(F.col(text_col), k),
-        lambda s: F.transform(
-            s,
-            lambda g: F.struct(
-                F.size(s).alias("_n"), F.xxhash64(g).alias("_g")
-            ),
-        ),
+    # the explode as a plain projection. Single-parse expr string (round
+    # 12): the Column-API _let/transform/struct form cost ~0.07s of py4j
+    # per construction, paid inside the bench's timed rebuild region.
+    grams = F.expr(
+        f"element_at(transform(array({shingles_sql(f'`{text_col}`', k)}), "
+        f"s -> transform(s, g -> named_struct("
+        f"'_n', size(s), '_g', xxhash64(g)))), 1)"
     )
     ex = (
         spread(df)
@@ -582,11 +632,11 @@ def contamination_pairs(
     w = tokens(F.col(text_col))
     tsh = spread(train).filter(F.size(w) >= k).select(
         F.col(id_col).alias("train_id"),
-        F.explode(hashed_shingles(F.col(text_col), k)).alias("_g"),
+        F.explode(hashed_shingles(text_col, k)).alias("_g"),
     )
     esh = eval_df.filter(F.size(w) >= k).select(
         F.col(id_col).alias("eval_id"),
-        F.explode(hashed_shingles(F.col(text_col), k)).alias("_g"),
+        F.explode(hashed_shingles(text_col, k)).alias("_g"),
     )
     return (
         tsh.join(F.broadcast(esh), "_g")
@@ -777,16 +827,19 @@ def minhash_signatures(
     they have no Jaccard identity, and a NULL-element signature would
     put every empty doc in the same bucket of every band. (An empty
     array would otherwise fold to the untouched [MAX]*n init — the
-    same every-band collision hazard by another route.)"""
-    init = F.array_repeat(F.lit((1 << 63) - 1).cast("bigint"), num_hashes)
+    same every-band collision hazard by another route.)
+
+    The fold is one SQL expression string (round 12): the nested-lambda
+    Column form cost ~0.08s of py4j per construction (timed rebuild
+    region); the parsed tree — and every hash value — is identical
+    (exceptAll pin in tests/test_pipeline.py)."""
     return sh.filter(F.size(F.col(shingle_col)) > 0).select(
         F.col(id_col),
-        F.aggregate(
-            F.col(shingle_col),
-            init,
-            lambda acc, g: F.transform(
-                acc, lambda a, i: F.least(a, F.xxhash64(g, i))
-            ),
+        F.expr(
+            f"aggregate(`{shingle_col}`, "
+            f"array_repeat(CAST({(1 << 63) - 1} AS BIGINT), {num_hashes}), "
+            f"(acc, g) -> transform(acc, (a, i) -> least(a, xxhash64(g, i)))"
+            f")"
         ).alias("_sig"),
     )
 
@@ -795,26 +848,22 @@ def _banded_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(_id, band, key) rows from a packed signature table: band b's key
     is the xxhash64 of its `rows` consecutive minhashes (element_at over
     the ``_sig`` array). Shared by the batch pair search and the
-    materialized incremental index so index and probe always agree."""
+    materialized incremental index so index and probe always agree.
+
+    The band array is built as ONE SQL expression string parsed JVM-side:
+    the Column-API form issued ~200 py4j round trips (16 bands x struct/
+    lit/xxhash64/element_at), 0.26s of driver time per construction — and
+    the bench's rebuild-path queries construct inside the timed region.
+    Same expression tree after parsing: 0.03s, exceptAll-identical."""
     rows = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        args = ", ".join(
+            f"element_at(_sig, {b * rows + j + 1})" for j in range(rows)
+        )
+        parts.append(f"named_struct('band', {b}, 'key', xxhash64({args}))")
     return sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("_sig", b * rows + j + 1)
-                                for j in range(rows)
-                            ]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_bk"),
+        "_id", F.explode(F.expr(f"array({', '.join(parts)})")).alias("_bk")
     ).select("_id", "_bk.band", "_bk.key")
 
 
@@ -838,7 +887,7 @@ def write_minhash_index(
     shingle rows into the same layout."""
     sh = spread(df).select(
         F.col(id_col).alias("_id"),
-        hashed_shingles(F.col(text_col), k).alias("_s"),
+        hashed_shingles(text_col, k).alias("_s"),
     ).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, "_id", "_s", num_hashes)
     _banded_keys(sig, num_hashes, bands).write.mode("overwrite").parquet(
@@ -870,7 +919,7 @@ def dedup_against_index(
     full recompute (pinned in tests)."""
     new_sh = spread(new_df).select(
         F.col(id_col).alias("_id"),
-        hashed_shingles(F.col(text_col), k).alias("_s"),
+        hashed_shingles(text_col, k).alias("_s"),
     ).localCheckpoint(eager=True)
     new_bands = _banded_keys(
         minhash_signatures(new_sh, "_id", "_s", num_hashes),
@@ -941,7 +990,7 @@ def minhash_lsh_pairs(
     # from running the explode+min-agg twice.
     sh = spread(df).select(
         F.col(id_col).alias("_id"),
-        hashed_shingles(F.col(text_col), k).alias("_s"),
+        hashed_shingles(text_col, k).alias("_s"),
     ).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, "_id", "_s", num_hashes).localCheckpoint(
         eager=True
@@ -1119,7 +1168,7 @@ def simhash_signature(
     """
     if hash_family == "md5":
         grams = F.transform(
-            word_shingles(F.col(text_col)),
+            word_shingles(text_col),
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
                 "bigint"
             ),
@@ -1127,7 +1176,7 @@ def simhash_signature(
     else:
         # hashed_shingles already IS xxhash64 over each gram (same seed
         # as F.xxhash64(string)), so the exploded value is used directly.
-        grams = hashed_shingles(F.col(text_col))
+        grams = hashed_shingles(text_col)
     ex = spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(grams).alias("_h"),

@@ -205,7 +205,7 @@ def dsir_bucket_weights(
     buckets after partial agg); the result is a 256-row broadcast."""
     bg = df.select(
         target_filter.alias("_t"),
-        F.explode(word_ngrams(F.col(text_col), 2)).alias("g"),
+        F.explode(word_ngrams(text_col, 2)).alias("g"),
     ).select("_t", hashed_bigram_bucket(F.col("g")).alias("b"))
     per = bg.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
@@ -234,7 +234,7 @@ def dsir_doc_weights(
     weights over the doc's bigram occurrences. Docs too short to have a
     bigram keep weight 0 (they carry no domain evidence either way)."""
     bg = df.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("g")
+        F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("g")
     ).select(F.col(id_col), hashed_bigram_bucket(F.col("g")).alias("b"))
     scored = (
         bg.join(F.broadcast(weights), "b")

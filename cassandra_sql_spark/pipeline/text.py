@@ -196,7 +196,7 @@ def repetition_stats(
     """
     w = tokens(F.col(text_col))
     grams = F.array_sort(
-        F.transform(word_ngrams(F.col(text_col), 2), lambda g: F.xxhash64(g))
+        F.transform(word_ngrams(text_col, 2), lambda g: F.xxhash64(g))
     )
 
     def stats(g: Column) -> Column:

@@ -786,7 +786,7 @@ QUERIES: dict[str, Q] = {
             load(spark, sf, "documents"),
             dedup.spread(load(spark, sf, "documents")).select(
                 "doc_id",
-                F.explode(dedup.word_shingles(F.col("text"), 3)).alias("g"),
+                F.explode(dedup.word_shingles("text", 3)).alias("g"),
             ),
         ),
         ("documents",),

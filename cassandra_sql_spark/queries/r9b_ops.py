@@ -601,14 +601,14 @@ def _bloom_fpr_audit(spark, sf):
     w = dedup.tokens(F.col("text"))
     egrams = (
         ev.filter(F.size(w) >= 5)
-        .select(F.explode(dedup.word_shingles(F.col("text"), 5)).alias("g"))
+        .select(F.explode(dedup.word_shingles("text", 5)).alias("g"))
         .distinct()
     )
     contam = (
         train.filter(F.size(w) >= 5)
         .select(
             "doc_id",
-            F.explode(dedup.word_shingles(F.col("text"), 5)).alias("g"),
+            F.explode(dedup.word_shingles("text", 5)).alias("g"),
         )
         .join(F.broadcast(egrams), "g")
         .select("doc_id")

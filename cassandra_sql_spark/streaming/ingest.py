@@ -98,7 +98,7 @@ def ingest_stream_dedup(
         )
         sh = dedup.spread(accepted).select(
             F.col(id_col).alias("_id"),
-            dedup.hashed_shingles(F.col(text_col), k).alias("_s"),
+            dedup.hashed_shingles(text_col, k).alias("_s"),
         ).localCheckpoint(eager=True)
         sig = dedup.minhash_signatures(sh, "_id", "_s", num_hashes)
         dedup._banded_keys(sig, num_hashes, bands).write.parquet(

@@ -1837,3 +1837,82 @@ def test_jpeg_restart_fixture_traps_are_armed(spark, sf_dir):
             for bx in range(3)
         )
         assert r.wsum_gray == float(want), d
+
+
+def test_sql_string_builders_match_column_forms(spark, sf_dir):
+    """Round-12 construction-cost twins: the single-parse SQL-string
+    builders (ngrams/shingles/hashed/minhash fold/banded keys) must be
+    value-identical to the Column-API forms they replaced on the hot
+    paths — on the corpus AND the NULL/empty/short-doc edges."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    edge = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text=""),
+         Row(doc_id=3, text="one"), Row(doc_id=4, text="one two"),
+         Row(doc_id=5, text="a b c d"), Row(doc_id=6, text="  x   y  z  ")]
+    )
+
+    def col_form_ngrams(col, k):
+        w = dedup.tokens(col)
+        views = [w.alias("t0")] + [
+            F.slice(w, i + 1, F.size(w)).alias(f"t{i}") for i in range(1, k)
+        ]
+        grams = F.transform(
+            F.arrays_zip(*views),
+            lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)]),
+        )
+        return F.slice(grams, 1, F.greatest(F.size(w) - (k - 1), F.lit(0)))
+
+    for frame in (docs, edge):
+        old = frame.select("doc_id",
+                           col_form_ngrams(F.col("text"), 3).alias("g"))
+        new = frame.select("doc_id",
+                           dedup.word_ngrams("text", 3).alias("g"))
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+        oldh = frame.select(
+            "doc_id",
+            F.transform(F.array_distinct(col_form_ngrams(F.col("text"), 3)),
+                        lambda g: F.xxhash64(g)).alias("s"))
+        newh = frame.select("doc_id",
+                            dedup.hashed_shingles("text", 3).alias("s"))
+        assert oldh.exceptAll(newh).count() == 0
+        assert newh.exceptAll(oldh).count() == 0
+
+    # minhash fold + banded keys: SQL forms vs the Column-API originals
+    sh = dedup.spread(docs).select(
+        F.col("doc_id").alias("_id"),
+        dedup.hashed_shingles("text", 3).alias("_s"),
+    ).localCheckpoint(eager=True)
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("bigint"), 64)
+    old_sig = sh.filter(F.size("_s") > 0).select(
+        "_id",
+        F.aggregate(
+            F.col("_s"), init,
+            lambda acc, g: F.transform(
+                acc, lambda a, i: F.least(a, F.xxhash64(g, i))
+            ),
+        ).alias("_sig"),
+    )
+    new_sig = dedup.minhash_signatures(sh, "_id", "_s", 64)
+    assert old_sig.exceptAll(new_sig).count() == 0
+    assert new_sig.exceptAll(old_sig).count() == 0
+
+    sig = new_sig.localCheckpoint(eager=True)
+    rows = 4
+    old_banded = sig.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[
+                    F.element_at("_sig", b * rows + j + 1)
+                    for j in range(rows)
+                ]).alias("key"),
+            ) for b in range(16)
+        ])).alias("_bk"),
+    ).select("_id", "_bk.band", "_bk.key")
+    new_banded = dedup._banded_keys(sig, 64, 16)
+    assert old_banded.exceptAll(new_banded).count() == 0
+    assert new_banded.exceptAll(old_banded).count() == 0

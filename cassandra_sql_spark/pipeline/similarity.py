@@ -455,21 +455,81 @@ def quantized_vectors(
     return base.select(id_col, uq.alias("_xq"))
 
 
-def int_sq_dist(c: list) -> Column:
-    """Integer squared Euclidean distance from the _xq column to a
-    driver-side integer centroid (exact int64 fold)."""
+def int_sq_dist(c: list, xq: Column | None = None) -> Column:
+    """Integer squared Euclidean distance from the _xq column (or an
+    explicit vector column, e.g. a slice) to a driver-side integer
+    centroid (exact int64 fold)."""
     arr = F.array(*[F.lit(int(v)) for v in c])
+    if xq is None:
+        xq = F.col("_xq")
     return F.aggregate(
-        F.zip_with(F.col("_xq"), arr, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(xq, arr, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, t: acc + t,
     )
 
 
-def int_assign_col(cents: list) -> Column:
+def int_assign_col(cents: list, xq: Column | None = None) -> Column:
     """Nearest integer centroid id, ties to the lowest id (first min)."""
-    dists = F.array(*[int_sq_dist(c) for c in cents])
+    dists = F.array(*[int_sq_dist(c, xq) for c in cents])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _int_sq_dist_sql(c: list, xq_sql: str) -> str:
+    """SQL-string twin of int_sq_dist (round 12): one expr parse instead
+    of ~20 py4j round trips per centroid — the assignment expressions
+    carry k*dim integer literals (512-1024 for the IVF/PQ defaults) and
+    their Column-API construction cost 0.6-3.2s per query."""
+    arr = ",".join(str(int(v)) for v in c)
+    return (
+        f"aggregate(zip_with({xq_sql}, array({arr}), "
+        f"(a, b) -> (a - b) * (a - b)), 0L, (acc, t) -> acc + t)"
+    )
+
+
+def int_assign_sql(cents: list, xq_sql: str = "_xq") -> str:
+    """SQL-string twin of int_assign_col: same nearest-centroid argmin
+    (ties to the lowest id via array_position's first match), same
+    double reference to the distance array the Column form expands to."""
+    dists = ",".join(_int_sq_dist_sql(c, xq_sql) for c in cents)
+    return (
+        f"CAST(array_position(array({dists}), "
+        f"array_min(array({dists}))) - 1 AS INT)"
+    )
+
+
+def pq_adc_sql(books: list, adc_tables: list, subdim: int) -> str:
+    """The ADC shortlist distance as ONE parsed expression: for each
+    subspace, code = integer-L2 argmin over the slice, then a lookup in
+    the query's precomputed distance table. Value-identical to the
+    Column-API sub_code/element_at chain it replaces (same argmin, same
+    tables); single parse instead of ~3s of py4j construction."""
+    terms = []
+    for s, (book, table) in enumerate(zip(books, adc_tables)):
+        code = int_assign_sql(
+            book, f"slice(_xq, {s * subdim + 1}, {subdim})"
+        )
+        tbl = ",".join(str(int(v)) for v in table)
+        terms.append(f"element_at(array({tbl}), ({code}) + 1)")
+    return " + ".join(terms)
+
+
+def seed_rows(base: DataFrame, n: int, id_col: str = "vec_id") -> list:
+    """The n smallest (md5(id), id) rows' _xq coordinate lists — the
+    shared Lloyd seeding. The ordering depends only on the id, never on
+    the coordinates, so one fetch of max(k) rows serves every consumer
+    (coarse quantizer AND all m subspace codebooks slice the same rows;
+    a smaller k's seeds are a prefix). Round 12: the composed IVF+PQ
+    path previously paid 5 separate seed collects per query."""
+    return [
+        list(r["_xq"])
+        for r in base.withColumn(
+            "_h", F.md5(F.col(id_col).cast("string"))
+        )
+        .orderBy("_h", id_col)
+        .limit(n)
+        .collect()
+    ]
 
 
 def lloyd_int(
@@ -477,28 +537,41 @@ def lloyd_int(
     n_clusters: int,
     iters: int,
     id_col: str = "vec_id",
+    seeds: list | None = None,
 ) -> list:
     """The exact-integer Lloyd loop over an already-quantized
     (id, _xq int64 list) frame — shared by kmeans_exact_centroids (full
     vectors) and pq_train_exact (per-subspace slices). Seeds are the
-    n_clusters smallest (md5(id), id) rows' coordinates."""
-    seeds = (
-        base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h", id_col)
-        .limit(n_clusters)
-        .collect()
+    n_clusters smallest (md5(id), id) rows' coordinates (``seeds``
+    passes them pre-fetched — see seed_rows)."""
+    cents = (
+        [list(c) for c in seeds[:n_clusters]]
+        if seeds is not None
+        else seed_rows(base, n_clusters, id_col)
     )
-    cents = [list(r["_xq"]) for r in seeds]
     if not cents:
         return []
     dim = len(cents[0])
     for _ in range(iters):
+        # The assignment is lambda-BOUND, not a sibling projection of the
+        # generator: an expression beside explode() is re-evaluated per
+        # OUTPUT row (dim times per vector — ~150M interpreted ops per
+        # iteration at 5k x 64 x k=8; measured ~4s/iter, round 12), while
+        # the bound form computes the k*dim-literal argmin once per INPUT
+        # row. Single-parse SQL string for the same reason as the dedup
+        # builders. Values are unchanged: same (cid, pos) sum/count grid.
+        assign = int_assign_sql(cents)
+        bound = F.expr(
+            f"transform(array({assign}), c -> "
+            f"transform(_xq, (x, i) -> struct(c AS _cid, i AS pos, "
+            f"x AS col)))[0]"
+        )
         stats = (
-            base.select(
-                int_assign_col(cents).alias("_cid"), F.posexplode("_xq")
+            base.select(F.explode(bound).alias("_e"))
+            .groupBy(
+                F.col("_e._cid").alias("_cid"), F.col("_e.pos").alias("pos")
             )
-            .groupBy("_cid", "pos")
-            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("_e.col").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()  # k*dim rows: bounded model fetch
         )
         by: dict[int, list] = {}
@@ -512,6 +585,84 @@ def lloyd_int(
             for i, old in enumerate(cents)
         ]
     return cents
+
+
+def pq_books_int(
+    quant: DataFrame,
+    m: int,
+    subdim: int,
+    k_codes: int,
+    iters: int,
+    id_col: str = "vec_id",
+    seeds: list | None = None,
+) -> list:
+    """All m per-subspace exact-integer codebooks, trained with ONE
+    distributed job per Lloyd iteration instead of m independent loops
+    (round 12, guide §1.2 step 1: the per-subspace form ran m seed
+    collects + m*iters serial stat jobs — 12 driver round trips for the
+    PQ defaults — each replanning and rescanning its input; this form
+    runs 1 + iters jobs over the same frame).
+
+    Bit-identical to ``lloyd_int`` per slice (pinned in
+    tests/test_similarity_multi.py): seeds are the same (md5(id), id)
+    rows sliced per subspace, each iteration assigns with the same
+    int_assign_col expression over the slice, and the (subspace, cid,
+    pos) sum/count grid — collected as one m*k*subdim bounded fetch —
+    feeds the same floor-division centroid update."""
+    if seeds is None:
+        seeds = seed_rows(quant, k_codes, id_col)
+    if not seeds:
+        return [[] for _ in range(m)]
+    books = [
+        [list(row[s * subdim: (s + 1) * subdim]) for row in seeds[:k_codes]]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        # element s of _cids = this row's nearest codeword in subspace s.
+        # The _cids array is lambda-BOUND so the m k-codeword argmins run
+        # once per INPUT row — as a sibling projection of the generator
+        # they would re-run per OUTPUT row, dim times per vector (the
+        # explode-duplication hazard documented in pipeline/dedup.py;
+        # measured ~11s/iter vs <1s at sf0.01). Single-parse SQL string.
+        cids = ",".join(
+            int_assign_sql(
+                books[s], f"slice(_xq, {s * subdim + 1}, {subdim})"
+            )
+            for s in range(m)
+        )
+        bound = F.expr(
+            f"transform(array(array({cids})), c -> "
+            f"transform(_xq, (x, i) -> struct("
+            f"CAST(i / {subdim} AS INT) AS _s, "
+            f"c[CAST(i / {subdim} AS INT)] AS _cid, "
+            f"i % {subdim} AS _p, x AS col)))[0]"
+        )
+        stats = (
+            quant.select(F.explode(bound).alias("_e"))
+            .groupBy(
+                F.col("_e._s").alias("_s"),
+                F.col("_e._cid").alias("_cid"),
+                F.col("_e._p").alias("_p"),
+            )
+            .agg(F.sum("_e.col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # m*k*subdim rows: bounded model fetch
+        )
+        by: dict[tuple, list] = {}
+        for r in stats:
+            by.setdefault((r["_s"], r["_cid"]), [None] * subdim)[r["_p"]] = (
+                r["s"],
+                r["n"],
+            )
+        books = [
+            [
+                [(2 * s_ + n_) // (2 * n_) for (s_, n_) in by[(s, i)]]
+                if (s, i) in by
+                else old
+                for i, old in enumerate(books[s])
+            ]
+            for s in range(m)
+        ]
+    return books
 
 
 def kmeans_exact_centroids(
@@ -556,15 +707,23 @@ def kmeans_exact(
     A DuckDB oracle replays the whole loop bit-for-bit (the unrolled
     CTE chain in queries/pipeline_r6._KMEANS_ORACLE).
     """
-    base = quantized_vectors(emb, id_col, vec_col, scale)
-    cents = kmeans_exact_centroids(
-        emb, n_clusters, iters, id_col, vec_col, scale
+    # One quantization pass materialized once (round 12): the previous
+    # form built the quantized frame TWICE (assignment + training) and
+    # every Lloyd iteration replanned a fresh scan+quantize — iters+2
+    # parquet scans for a frame that is id + 64 int64s. localCheckpoint
+    # keeps every training/assignment job on the materialized rows;
+    # recomputed per invocation, never across runs.
+    base = quantized_vectors(emb, id_col, vec_col, scale).localCheckpoint(
+        eager=True
     )
+    cents = lloyd_int(base, n_clusters, iters, id_col)
     if not cents:
         return base.select(
             id_col, F.lit(None).cast("long").alias("cluster_key")
         ).limit(0)
-    assigned = base.select(id_col, int_assign_col(cents).alias("_cid"))
+    assigned = base.select(
+        id_col, F.expr(int_assign_sql(cents)).alias("_cid")
+    )
     relabel = assigned.groupBy("_cid").agg(F.min(id_col).alias("cluster_key"))
     return (
         assigned.join(F.broadcast(relabel), "_cid")
@@ -599,9 +758,12 @@ def topk_ivf_exact(
     at rest the lists are pruned partitions (topk_ivf_pruned)."""
     import math
 
-    cents = kmeans_exact_centroids(
-        emb, n_centroids, iters, id_col, vec_col, unit=True
-    )
+    # One unit-quantized frame, materialized once, feeds training, the
+    # query fetch and the candidate scan (round 12 — was two independent
+    # scan+quantize plans, one per Lloyd iteration plus one per consumer).
+    quant = quantized_vectors(emb, id_col, vec_col, unit=True)
+    quant = quant.localCheckpoint(eager=True)
+    cents = lloyd_int(quant, n_centroids, iters, id_col)
     emb = nonzero(emb, vec_col)
     qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).first()
     empty = emb.select(id_col, F.lit(0.0).alias("score")).limit(0)
@@ -611,7 +773,6 @@ def topk_ivf_exact(
     qnorm = math.sqrt(sum(x * x for x in qv))
     if qnorm == 0.0:
         return empty
-    quant = quantized_vectors(emb, id_col, vec_col, unit=True)
     qq = [
         int(v)
         for v in quant.filter(F.col(id_col) == query_id).first()["_xq"]
@@ -624,7 +785,8 @@ def topk_ivf_exact(
     )[:nprobe]
     base = quant.join(emb.select(id_col, vec_col), id_col)
     cands = base.filter(
-        int_assign_col(cents).isin(probe) & (F.col(id_col) != query_id)
+        F.expr(int_assign_sql(cents)).isin(probe)
+        & (F.col(id_col) != query_id)
     )
     qlit = F.array(*[F.lit(x) for x in qv])
     scored = cands.select(
@@ -660,15 +822,15 @@ def pq_topk_exact(
     only the |shortlist| survivors read their full vectors."""
     import math
 
+    # Materialized once + merged per-iteration training (round 12): the
+    # m independent Lloyd loops were m seed collects + m*iters serial
+    # stat jobs, each rescanning parquet; pq_books_int runs 1 + iters
+    # jobs over the checkpointed frame, bit-identical per slice.
     quant = quantized_vectors(emb, id_col, vec_col, unit=True)
-    books = []
+    quant = quant.localCheckpoint(eager=True)
     dim = DIM
     subdim = dim // m
-    for s in range(m):
-        sliced = quant.select(
-            id_col, F.slice("_xq", s * subdim + 1, subdim).alias("_xq")
-        )
-        books.append(lloyd_int(sliced, k_codes, iters, id_col))
+    books = pq_books_int(quant, m, subdim, k_codes, iters, id_col)
     emb = nonzero(emb, vec_col)
     qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).first()
     empty = emb.select(id_col, F.lit(0.0).alias("score")).limit(0)
@@ -694,30 +856,9 @@ def pq_topk_exact(
         for s in range(m)
     ]
 
-    def sub_code(s: int) -> Column:
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.slice("_xq", s * subdim + 1, subdim),
-                        F.array(*[F.lit(int(v)) for v in cw]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, t: acc + t,
-                )
-                for cw in books[s]
-            ]
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    adc = None
-    for s in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(int(v)) for v in adc_tables[s]]),
-            sub_code(s) + 1,
-        )
-        adc = term if adc is None else adc + term
+    # single-parse ADC expression (round 12): the Column-API chain cost
+    # ~3s of py4j per query at m=4, k_codes=16; value-identical argmin
+    adc = F.expr(pq_adc_sql(books, adc_tables, subdim))
     short = (
         quant.filter(F.col(id_col) != query_id)
         .select(id_col, adc.alias("_adc"))
@@ -766,23 +907,25 @@ def topk_ivfpq_exact(
     ivf_train class."""
     import math
 
-    cents = kmeans_exact_centroids(
-        emb, n_centroids, iters_coarse, id_col, vec_col, unit=True
-    )
+    # Round 12 (guide §1.2 step 1): this composed path ran ~19 serial
+    # driver-blocking jobs — 5 seed collects (coarse + 4 subspaces, all
+    # selecting the SAME md5-ordered rows), 3 coarse + 4*2 subspace stat
+    # jobs and 2 first() fetches, every one replanning a fresh parquet
+    # scan + quantize. Now: ONE materialized unit-quantized frame, ONE
+    # seed fetch (coarse seeds are a prefix of the codebook seeds), the
+    # coarse Lloyd over the checkpointed frame, and one merged job per
+    # PQ iteration (pq_books_int). Measured 28-50s -> ~8s at sf0.01;
+    # every centroid/codeword/probe decision is bit-identical (same
+    # int64 arithmetic over the same rows — twin-pinned in tests).
     quant = quantized_vectors(emb, id_col, vec_col, unit=True)
+    quant = quant.localCheckpoint(eager=True)
     dim = DIM
     subdim = dim // m
-    books = [
-        lloyd_int(
-            quant.select(
-                id_col, F.slice("_xq", s * subdim + 1, subdim).alias("_xq")
-            ),
-            k_codes,
-            iters_pq,
-            id_col,
-        )
-        for s in range(m)
-    ]
+    seeds = seed_rows(quant, max(n_centroids, k_codes), id_col)
+    cents = lloyd_int(quant, n_centroids, iters_coarse, id_col, seeds=seeds)
+    books = pq_books_int(
+        quant, m, subdim, k_codes, iters_pq, id_col, seeds=seeds
+    )
     emb = nonzero(emb, vec_col)
     qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).first()
     empty = emb.select(id_col, F.lit(0.0).alias("score")).limit(0)
@@ -814,33 +957,13 @@ def topk_ivfpq_exact(
         for s in range(m)
     ]
 
-    def sub_code(s: int) -> Column:
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.slice("_xq", s * subdim + 1, subdim),
-                        F.array(*[F.lit(int(v)) for v in cw]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, t: acc + t,
-                )
-                for cw in books[s]
-            ]
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    adc = None
-    for s in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(int(v)) for v in adc_tables[s]]),
-            sub_code(s) + 1,
-        )
-        adc = term if adc is None else adc + term
+    # single-parse ADC + routing expressions (round 12): the Column-API
+    # forms cost ~4s of py4j per query; value-identical argmins
+    adc = F.expr(pq_adc_sql(books, adc_tables, subdim))
     # the composition: ADC runs over the PROBED lists only
     cand = quant.filter(
-        int_assign_col(cents).isin(probe) & (F.col(id_col) != query_id)
+        F.expr(int_assign_sql(cents)).isin(probe)
+        & (F.col(id_col) != query_id)
     )
     short = (
         cand.select(id_col, adc.alias("_adc"))

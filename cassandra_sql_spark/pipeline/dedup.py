@@ -447,6 +447,11 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("_nl"))
         )
+        # The change flag rides the update join (round 12): the separate
+        # convergence check was a SECOND |nodes|-row join + count job per
+        # round over the two checkpointed label frames — folding
+        # new != old into the update pass makes the check a filter-count
+        # over already-materialized rows. Same labels, same change count.
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
@@ -454,16 +459,17 @@ def dup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("_nl", F.col("label"))
                 ).alias("label"),
+                (
+                    F.least(
+                        F.col("label"), F.coalesce("_nl", F.col("label"))
+                    )
+                    != F.col("label")
+                ).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(

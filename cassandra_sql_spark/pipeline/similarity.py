@@ -721,9 +721,13 @@ def kmeans_exact(
         return base.select(
             id_col, F.lit(None).cast("long").alias("cluster_key")
         ).limit(0)
+    # assigned feeds BOTH the relabel aggregate and the join; without
+    # materialization the k*dim-literal argmin scan runs twice (no common
+    # subplan reuse across an agg and its consumer). Tiny frame: two ints
+    # per vector.
     assigned = base.select(
         id_col, F.expr(int_assign_sql(cents)).alias("_cid")
-    )
+    ).localCheckpoint(eager=True)
     relabel = assigned.groupBy("_cid").agg(F.min(id_col).alias("cluster_key"))
     return (
         assigned.join(F.broadcast(relabel), "_cid")

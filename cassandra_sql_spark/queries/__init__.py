@@ -71,89 +71,88 @@ _MODULES = (
 
 # The correctness driver grades only the FIRST 50 registry entries. The
 # window ROTATES per round so every oracle-checked entry eventually gets a
-# hard-signal driver row (r1-r11 graded 358 distinct oracle-checked
+# hard-signal driver row (r1-r12 graded 366 distinct oracle-checked
 # entries, all green at latest grading; see CORRECTNESS_r*.json).
-# Round-12 window = the 6 round-11 additions staged in the r11
-# NEXT_WINDOW (never driver-graded; all passed the judge's
-# driver-faithful replay), the 4 rewrite canaries (entries whose PLAN or
-# OUTPUT REPRESENTATION changed in r11/r12 — the r11 verdict widened the
-# canary rule to plan-changing rewrites after dsir_importance's
-# sharded_rank switch rotated past ungraded), the 14-entry remainder of
-# the r4-graded cohort (closing it), and the alphabetically-first 26 of
-# the next-oldest (r5-graded) cohort; 18 r5 entries remain for r13.
+# Round-13 window = the 2 entries staged in the r12 NEXT_WINDOW (never
+# driver-graded), the 11 rewrite canaries (entries whose PLAN changed in
+# r12 — the q18 one-pass collapse, the merged ANN/k-means training
+# loops, the CC convergence fold — or in r13 — the lambda-bound ANN
+# assignment, the partition-preserving ngram-cascade index; the r12
+# verdict's top item: every plan-changing rewrite gets a post-rewrite
+# driver row), the 18-entry REMAINDER of the r5-graded cohort (closing
+# it), and the alphabetically-first 19 of the next-oldest (r6-graded)
+# cohort; 31 r6 entries remain for r14.
 # ``tests/test_registry.py`` pins this composition and caps the
 # never-graded tail at one window's capacity.
 PRIORITY: tuple[str, ...] = (
-    # round-11 additions, never driver-graded, in landing order
-    "jpeg_progressive_decode_real",  # REAL progressive JPEG (codec #7)
-    "event_activity_gini",  # user-activity Lorenz via sharded_rank
-    "stat_page_trend",      # ordered-alternative companion to Friedman
-    "event_pingpong_rate",  # A->B->A bounce share, path-quality filter
-    "gif_animated_frame_sample",  # REAL animated GIF (codec #8) + stride
-    "emb_cosine_pair_histogram",  # representation-collapse diagnostic
-    # rewrite canaries (plan or output representation changed r11/r12;
-    # all driver rows predate the rewrite — regrade what changed):
-    "dsir_importance",       # r11 sharded_rank switch + r12 one-pass cut
-    "emb_quantize_int8_vec",  # r12: ARRAY output -> exploded (vec_id,
-    #   pos, q) scalar form — now hash-eligible (the r11 rows-only
-    #   record came back as a driver TypeError on the ARRAY column)
-    "sample_unimax",         # r12: sharded_multi rank+prefix, df_q form
-    "text_unigram_lm",       # r12: closed-form NTILE over sharded_rank
-    # oldest-graded regrades: the 14-entry REMAINDER of the r4 cohort
-    # (its alphabetical first 31 were regraded in r11 — cohort closed)
-    "subq_derived",
-    "subq_exists_or",
-    "subq_in",
-    "subq_not_in",
-    "text_bm25",
-    "text_bpe_tokens",
-    "text_chunk_sliding",
-    "text_pii_redact",
-    "text_vocab_topk",
-    "win_first_last",
-    "win_lag_lead",
-    "win_nth_value",
-    "win_range_frame",
-    "win_topk_per_group",
-    # next-oldest cohort (latest driver row r5; alphabetical first 26
-    # of the 46 non-canary entries — the remaining 18 queue for r13)
-    "agg_filter_clause",
-    "agg_over_derived",
-    "agg_rollup",
-    "agg_string_agg",
-    "agg_where_then_group",
-    "asof_join_purchases",
-    "corpus_curation_pipeline",
-    "dedup_clusters_bigstar",
-    "dedup_cross_source_audit",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_uncapped",
-    "dedup_repeated_chunks",
-    "dedup_semantic",
-    "dedup_survivor_selection",
-    "emb_label_dispersion",
-    "expr_datetime",
-    "expr_datetime_extras",
-    "expr_string_extras",
-    "join_full_outer",
-    "json_filter_agg",
-    "lateral_topn_per_key",
-    "mix_source_kl",
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-)
-
-# Oracle-checked entries queued for the ROUND-13 window: entries ADDED
-# during round 12 are appended as they land, followed by the oldest
-# regrades if slots remain. tests/test_registry.py enforces that
-# window + NEXT_WINDOW + graded union covers every oracle-checked entry
-# AND that this queue never exceeds one window's capacity.
-NEXT_WINDOW: tuple[str, ...] = (
+    # staged in the r12 NEXT_WINDOW, never driver-graded
     "jpeg_restart_interval_decode_real",  # REAL codec #9: DRI/RSTm
     "sim_ivfpq_topk",  # IVF+PQ composed probe, exact-int routing
+    # rewrite canaries — plan changed in r12 (one-pass q18, merged
+    # ANN/k-means trainers, CC convergence fold) and/or r13 (lambda-bound
+    # assignment argmin, ngram-cascade index materialization); all
+    # driver rows predate the rewrite — regrade what changed:
+    "q18_large_volume_customer",  # r12: 2 lineitem passes -> 1
+    "sim_ivf_topk",        # r12 merged trainer; r13 bound argmin
+    "sim_pq_topk",         # r12 merged trainer; r13 bound argmin
+    "emb_kmeans_clusters",  # r12 merged trainer; r13 bound argmin
+    "dedup_clusters",      # r12 CC fold; r13 cascade index
+    "dedup_ngram_jaccard",  # r13 cascade index materialization
+    "dedup_containment",   # r13 cascade index materialization
+    "dedup_clusters_bigstar",     # r13 cascade index (pair source)
+    "dedup_survivor_selection",   # r13 cascade index (pair source)
+    "dedup_cross_source_audit",   # r13 cascade index (pair source)
+    "corpus_curation_pipeline",   # r13 cascade index (pair source)
+    # oldest-graded regrades: the 18-entry REMAINDER of the r5 cohort
+    # (its alphabetical first 26 were regraded in r12 — cohort closed)
+    "q9_product_profit",
+    "recursive_cte",
+    "sample_global_shuffle",
+    "sample_source_quota",
+    "sample_temperature",
+    "scan_filter_project",
+    "setop_union_all",
+    "setop_union_orderby",
+    "sort_explicit_null_order",
+    "subq_correlated",
+    "text_gopher_filters",
+    "text_length_histogram",
+    "text_novelty",
+    "text_quality_classifier",
+    "values_table",
+    "win_named_window",
+    "win_ranking",
+    "win_time_range_frame",
+    # next-oldest cohort (latest driver row r6; alphabetical first 19
+    # of the 50 — the remaining 31 queue for r14)
+    "agg_bitwise",
+    "agg_bool_countif",
+    "agg_count_distinct",
+    "agg_groupby_multi",
+    "agg_having",
+    "agg_listagg",
+    "agg_stats_regression",
+    "agg_within_group",
+    "array_agg_per_group",
+    "emb_quantize_int8",
+    "event_anomaly_batch",
+    "expr_bitwise",
+    "expr_try_cast",
+    "join_anti",
+    "join_inner",
+    "join_left_outer",
+    "join_multiway",
+    "join_right_outer",
+    "join_semi",
 )
+
+# Oracle-checked entries queued for the ROUND-14 window: entries ADDED
+# during round 13 are appended as they land (none — r13 is an
+# optimization round), followed by the oldest regrades if slots remain.
+# tests/test_registry.py enforces that window + NEXT_WINDOW + graded
+# union covers every oracle-checked entry AND that this queue never
+# exceeds one window's capacity.
+NEXT_WINDOW: tuple[str, ...] = ()
 
 _ALL: dict[str, Q] = {}
 for _m in _MODULES:

@@ -35,15 +35,24 @@ _REPO = Path(__file__).resolve().parent.parent
 # plan-changing rewrites: dsir_importance's sharded_rank switch shipped
 # in r11 with only pre-switch driver rows (identity was exceptAll-pinned,
 # but the rotation's own discipline — regrade what changed — missed it).
-# Round 12: dsir_importance (r11 sharded_rank + r12 single-pass cut),
-# emb_quantize_int8_vec (exploded scalar output — representation),
-# sample_unimax (sharded_multi plan), text_unigram_lm (closed-form NTILE
-# over sharded_rank plan).
+# Round 13 (the r12 verdict's top item — every r12/r13 plan-changing
+# rewrite gets a post-rewrite driver row): the q18 one-pass collapse,
+# the merged ANN/k-means trainers + r13 lambda-bound assignment argmin,
+# the CC convergence fold, and the r13 ngram-cascade index
+# materialization (every entry whose pair source is the capped cascade).
 _CANARIES: set[str] = {
-    "dsir_importance",
-    "emb_quantize_int8_vec",
-    "sample_unimax",
-    "text_unigram_lm",
+    "q18_large_volume_customer",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "emb_kmeans_clusters",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_clusters_bigstar",
+    "dedup_survivor_selection",
+    "dedup_cross_source_audit",
+    "corpus_curation_pipeline",
 }
 
 # One-or-more graded representatives required per SURVEY §2 / pipeline
@@ -137,14 +146,14 @@ def test_canaries_in_window():
 
 
 def test_window_closes_never_graded_tail():
-    """The r12 window contains EVERY oracle-checked entry with no driver
-    row through r11 — the 6 round-11 additions plus the newly
-    hash-eligible emb_quantize_int8_vec all fit one window; the remaining
-    slots regrade the oldest driver rows."""
-    graded = _graded_union(through=11)
+    """The r13 window contains EVERY oracle-checked entry with no driver
+    row through r12 — the 2 entries staged in the r12 NEXT_WINDOW; the
+    remaining slots regrade rewrite canaries and the oldest driver
+    rows."""
+    graded = _graded_union(through=12)
     oracle_checked = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
     never_graded = oracle_checked - graded
-    # entries ADDED during round 12 stage in NEXT_WINDOW for the r13 window;
+    # entries ADDED during round 13 stage in NEXT_WINDOW for the r14 window;
     # everything never-graded at rotation time must be in THIS window
     missing = never_graded - set(PRIORITY) - set(NEXT_WINDOW)
     assert not missing, f"never-graded entries left out of the window: {missing}"
@@ -152,37 +161,32 @@ def test_window_closes_never_graded_tail():
 
 def test_window_fillers_are_oldest_regrades():
     """The non-tail slots go to the entries whose latest driver grading
-    is oldest — the 14-entry REMAINDER of the r4 cohort (closing it) and
-    the alphabetical first 26 of the r5 cohort — plus the four rewrite
-    canaries: regression re-coverage, not padding."""
-    graded11 = _graded_union(through=11)
-    regrades = set(PRIORITY) & graded11
-    r4_cohort_rest = {
-        "subq_derived", "subq_exists_or", "subq_in", "subq_not_in",
-        "text_bm25", "text_bpe_tokens", "text_chunk_sliding",
-        "text_pii_redact", "text_vocab_topk", "win_first_last",
-        "win_lag_lead", "win_nth_value", "win_range_frame",
-        "win_topk_per_group",
+    is oldest — the 18-entry REMAINDER of the r5 cohort (closing it) and
+    the alphabetical first 19 of the r6 cohort — plus the twelve r12/r13
+    rewrite canaries: regression re-coverage, not padding."""
+    graded12 = _graded_union(through=12)
+    regrades = set(PRIORITY) & graded12
+    r5_cohort_rest = {
+        "q9_product_profit", "recursive_cte", "sample_global_shuffle",
+        "sample_source_quota", "sample_temperature", "scan_filter_project",
+        "setop_union_all", "setop_union_orderby",
+        "sort_explicit_null_order", "subq_correlated",
+        "text_gopher_filters", "text_length_histogram", "text_novelty",
+        "text_quality_classifier", "values_table", "win_named_window",
+        "win_ranking", "win_time_range_frame",
     }
-    r5_cohort_head = {
-        "agg_filter_clause", "agg_over_derived", "agg_rollup",
-        "agg_string_agg", "agg_where_then_group", "asof_join_purchases",
-        "corpus_curation_pipeline", "dedup_clusters_bigstar",
-        "dedup_cross_source_audit", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard_uncapped", "dedup_repeated_chunks",
-        "dedup_semantic", "dedup_survivor_selection",
-        "emb_label_dispersion", "expr_datetime", "expr_datetime_extras",
-        "expr_string_extras", "join_full_outer", "json_filter_agg",
-        "lateral_topn_per_key", "mix_source_kl", "q1_pricing_summary",
-        "q5_local_supplier_volume", "q6_forecast_revenue",
+    r6_cohort_head = {
+        "agg_bitwise", "agg_bool_countif", "agg_count_distinct",
+        "agg_groupby_multi", "agg_having", "agg_listagg",
+        "agg_stats_regression", "agg_within_group", "array_agg_per_group",
+        "emb_quantize_int8", "event_anomaly_batch", "expr_bitwise",
+        "expr_try_cast", "join_anti", "join_inner", "join_left_outer",
+        "join_multiway", "join_right_outer", "join_semi",
     }
-    # emb_quantize_int8_vec counts as "graded" through r11 only via its
-    # TypeError err row — its r12 slot is the first real hash grade
-    canary_regrades = {
-        "dsir_importance", "sample_unimax", "text_unigram_lm",
-        "emb_quantize_int8_vec",
-    }
-    assert regrades == r4_cohort_rest | r5_cohort_head | canary_regrades
+    # sim_ivfpq_topk and jpeg_restart_interval_decode_real are the
+    # never-graded tail, not regrades
+    canary_regrades = _CANARIES - {"sim_ivfpq_topk"}
+    assert regrades == r5_cohort_rest | r6_cohort_head | canary_regrades
 
 
 def test_ungraded_tail_fits_one_window():

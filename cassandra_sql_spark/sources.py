@@ -37,8 +37,17 @@ def optimize_layout(
 
     At 100 TB this is the ingest/compaction policy from SCALE.md §2 (file
     and row-group sizing), not a bench trick: the data is identical.
+
+    Round 13 (r12 verdict #6, guide §6): tables re-encode CONCURRENTLY
+    (pyarrow releases the GIL around parquet decode/encode) and each file
+    streams row-group-sized batches through a ParquetWriter instead of
+    materializing the whole table — driver wall-clock scales with the
+    largest table, not the sum, and peak memory is one batch per worker
+    instead of the biggest file.
     """
+    import pyarrow as pa
     import pyarrow.parquet as pq
+    from concurrent.futures import ThreadPoolExecutor
 
     cache_dir = cache_dir or os.environ.get(
         "SPARK_GRAFT_CACHE",
@@ -58,13 +67,22 @@ def optimize_layout(
             with open(marker_path) as fh:
                 if json.load(fh) == sources:
                     return cache_dir
-        for f in sources:
-            table = pq.read_table(os.path.join(sf_dir, f))
-            pq.write_table(
-                table,
-                os.path.join(cache_dir, f),
-                row_group_size=row_group_rows,
-            )
+
+        def _reencode(f: str) -> None:
+            pf = pq.ParquetFile(os.path.join(sf_dir, f))
+            with pq.ParquetWriter(
+                os.path.join(cache_dir, f), pf.schema_arrow
+            ) as w:
+                # one write_table per batch = one row group per batch;
+                # values and schema (incl. TIMESTAMP(NANOS)) unchanged
+                for batch in pf.iter_batches(batch_size=row_group_rows):
+                    w.write_table(pa.Table.from_batches([batch]))
+
+        with ThreadPoolExecutor(
+            max_workers=min(8, max(1, len(sources)))
+        ) as pool:
+            for _ in pool.map(_reencode, sources):
+                pass
         with open(marker_path, "w") as fh:
             json.dump(sources, fh)
         return cache_dir

@@ -489,12 +489,22 @@ def _int_sq_dist_sql(c: list, xq_sql: str) -> str:
 
 def int_assign_sql(cents: list, xq_sql: str = "_xq") -> str:
     """SQL-string twin of int_assign_col: same nearest-centroid argmin
-    (ties to the lowest id via array_position's first match), same
-    double reference to the distance array the Column form expands to."""
-    dists = ",".join(_int_sq_dist_sql(c, xq_sql) for c in cents)
+    (ties to the lowest id via array_position's first match).
+
+    Round 13 (r12 verdict #3): the k-distance array and the input vector
+    are lambda-BOUND, each evaluated ONCE per row. The previous form
+    (and the Column twin, kept as the plain reference) textually
+    duplicated the distance array inside
+    array_position(array(D), array_min(array(D))) — every centroid
+    distance computed twice per row — and inlined ``xq_sql`` into every
+    distance, so a PQ slice() was re-materialized k times per row.
+    Values are identical (same distances, same first-min tie rule);
+    only the evaluation count changes."""
+    dists = ",".join(_int_sq_dist_sql(c, "v") for c in cents)
     return (
-        f"CAST(array_position(array({dists}), "
-        f"array_min(array({dists}))) - 1 AS INT)"
+        f"element_at(transform(array({xq_sql}), v -> "
+        f"element_at(transform(array(array({dists})), d -> "
+        f"CAST(array_position(d, array_min(d)) - 1 AS INT)), 1)), 1)"
     )
 
 

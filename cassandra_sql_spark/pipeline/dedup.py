@@ -23,10 +23,20 @@ shingles (df_cutoff) like a stopword list; AQE skew-join handles the rest.
 
 from __future__ import annotations
 
+from itertools import count as _counter
+
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MOD = 1_000_000_007
+
+# Per-invocation nonce for the cascade's persisted index (see
+# _ngram_pair_intersections): Spark's CacheManager serves plan-identical
+# persists from the first materialization, which would let one
+# invocation's index feed another's — the nonce keeps every invocation
+# recomputing from the parquet inputs.
+_CASCADE_NONCE = _counter()
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -309,15 +319,33 @@ def _ngram_pair_intersections(
         # The index feeds BOTH the hot-set agg and the posting-list agg.
         # Without materialization Catalyst plans two full scan+shingle
         # passes over the corpus (no common-subplan reuse across different
-        # aggs); an eager localCheckpoint computes the exploded index once
-        # and both consumers read the cached partitions. The hot-row
-        # economics survive: hot shingles are still anti-joined away
-        # BEFORE any row shuffle (the alternative — a count window over
-        # _g — would shuffle every hot row to one reducer first, the
-        # straggler the stoplist exists to prevent on boilerplate-heavy
-        # corpora). At cluster scale the checkpoint is executor-local
-        # disk/memory, same size class as the one shuffle it replaces.
-        ex = ex.localCheckpoint(eager=True)
+        # aggs); the index is computed once and both consumers read the
+        # materialized partitions. The hot-row economics survive: hot
+        # shingles are still anti-joined away BEFORE any row shuffle (the
+        # alternative — a count window over _g — would shuffle every hot
+        # row to one reducer first, the straggler the stoplist exists to
+        # prevent on boilerplate-heavy corpora).
+        #
+        # Round 13 (r12 verdict #5, guide §2.1/§2.4): the materialization
+        # is a hash-repartition by _g into a persist() instead of a
+        # localCheckpoint — localCheckpoint drops outputPartitioning at
+        # the RDD boundary (the r12 dead end), while InMemoryTableScan
+        # carries it, so BOTH _g-keyed consumers (the hot count and the
+        # posting collect_list) now reuse the one exchange instead of
+        # each shuffling again: executed exchanges 4 -> 3, and the full
+        # index crosses the network once, not twice. The `_inv` nonce
+        # makes every invocation's plan unique so Spark's CacheManager
+        # can never serve one invocation's materialized index to another
+        # (plan-identical cascades are common: several registry entries
+        # share this pair source) — every invocation recomputes from the
+        # parquet inputs, exactly like the checkpoint it replaces; the
+        # constant column run-length-encodes to nothing in the cache.
+        ex = (
+            ex.withColumn("_inv", F.lit(next(_CASCADE_NONCE)))
+            .repartition("_g")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        ex.count()  # materialize eagerly, like the checkpoint it replaces
         hot = ex.groupBy("_g").count().filter(F.col("count") > df_cutoff)
         posting = (
             ex.join(F.broadcast(hot.select("_g")), "_g", "left_anti")

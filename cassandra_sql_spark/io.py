@@ -70,6 +70,16 @@ _LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Lazy DataFrame for ``table`` under ``sf_dir``, memoized per
+    session (see _LOAD_CACHE above).
+
+    Contract (r12 advice): source tables must be IMMUTABLE for the
+    session lifetime — the cached plan pins the file listing/footer
+    snapshot, so rewriting a source file at a reused path mid-session
+    would read stale or deleted files. Every current producer honors
+    this (optimize_layout is marker-guarded and write-once per path;
+    test fixtures write to fresh tmp paths); a future in-place rewriter
+    must bust this cache or use a new path."""
     cache = _LOAD_CACHE.setdefault(spark, {})
     key = (sf_dir, table)
     if key in cache:

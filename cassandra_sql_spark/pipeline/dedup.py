@@ -96,8 +96,13 @@ def hashed_shingles_sql(col_sql: str, k: int) -> str:
 
 
 def _col_sql(col: Column | str) -> str | None:
-    """Bare column name -> quoted SQL reference; Column -> None (no SQL)."""
-    return f"`{col}`" if isinstance(col, str) else None
+    """Bare column name -> quoted SQL reference; Column -> None (no SQL).
+    Embedded backticks are escaped by doubling (r12 advice) so a hostile
+    or merely unlucky column name can't break out of the quoting when
+    interpolated into the F.expr builders."""
+    if not isinstance(col, str):
+        return None
+    return "`" + col.replace("`", "``") + "`"
 
 
 def word_ngrams(col: Column | str, k: int) -> Column:

@@ -77,7 +77,7 @@ def topk_bruteforce(
     qnorm = math.sqrt(sum(x * x for x in qv))
     if qnorm == 0.0:
         return empty
-    qlit = F.array(*[F.lit(x) for x in qv])
+    qlit = _flit_array(qv)
     scored = emb.filter(F.col(id_col) != query_id).select(
         id_col,
         (dot(F.col(vec_col), qlit)
@@ -119,13 +119,52 @@ def threshold_pairs(
     return pairs.filter(F.col("score") >= threshold)
 
 
-def band_buckets(vec: Column, bands: int, rows: int) -> Column:
+def _dot_lit_sql(vec_sql: str, w: list[float]) -> str:
+    """SQL-string twin of _dot_lit (round 13): one parse instead of ~8
+    py4j round trips per model vector. Same fold, same CAST-from-repr
+    double literals — constant-folds to the identical plan."""
+    arr = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in w)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST('0.0' AS DOUBLE), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def band_buckets_sql(vec_sql: str, bands: int, rows: int) -> str:
+    """SQL-string twin of band_buckets (round 13, guide §1.2 per-task
+    work): the Column form issued ~2300 py4j round trips at the default
+    16 bands x 2 rows x 64-dim planes — ~2.3s of driver time per
+    construction, the dominant cost of the banded-LSH entries. ONE
+    F.expr parse; same CASE/sum/struct tree, values identical (pinned
+    by exceptAll in tests/test_similarity_multi.py)."""
+    parts = []
+    for b in range(bands):
+        bucket = "CAST(0 AS BIGINT)"
+        for r in range(rows):
+            proj = _dot_lit_sql(vec_sql, _plane_weights(b * rows + r))
+            bucket += (
+                f" + (CASE WHEN {proj} > 0 THEN {2 ** r} ELSE 0 END)"
+            )
+        parts.append(f"named_struct('band', {b}, 'bucket', {bucket})")
+    return f"array({', '.join(parts)})"
+
+
+def band_buckets(vec: Column | str, bands: int, rows: int) -> Column:
     """Array of (band, bucket) structs for banded sign-LSH.
 
     Band b's bucket is the `rows`-bit signature from hyperplanes
     [b*rows, (b+1)*rows) — same deterministic xxhash-derived planes as
     ``lsh_bucket``. Two vectors are candidates iff they share ANY band's
-    bucket (OR-of-ANDs amplification, the MinHash-LSH shape)."""
+    bucket (OR-of-ANDs amplification, the MinHash-LSH shape).
+
+    A ``str`` argument (bare column name) takes the single-parse
+    ``band_buckets_sql`` path — cheap construction, same values; Column
+    inputs keep the original form as the equivalence reference."""
+    if isinstance(vec, str):
+        return F.expr(
+            band_buckets_sql("`" + vec.replace("`", "``") + "`", bands, rows)
+        )
     out = []
     for b in range(bands):
         bucket = F.lit(0).cast("long")
@@ -175,7 +214,7 @@ def threshold_pairs_lsh(
     emb = nonzero(emb, vec_col)
     ex = emb.select(
         F.col(id_col).alias("_id"),
-        F.explode(band_buckets(F.col(vec_col), bands, rows)).alias("_bb"),
+        F.explode(band_buckets(vec_col, bands, rows)).alias("_bb"),
     )
     cands = (
         ex.alias("a")
@@ -322,6 +361,22 @@ def lsh_bucket(vec: Column, planes: int = 8) -> Column:
     return bucket
 
 
+def _flit_array(w: list[float]) -> Column:
+    """A constant double-array column built with ONE F.expr parse
+    (round 13, guide §1.2 per-task work): ``F.array(*[F.lit(x) ...])``
+    issues one py4j round trip per element — ~70 per 64-dim model
+    vector, the dominant CONSTRUCTION cost of every hyperplane/query
+    literal consumer (measured: band_buckets alone cost ~2.3s of driver
+    time per dedup_embedding_lsh construction). The CAST-from-repr form
+    constant-folds to the identical double Literal (Python repr
+    round-trips exactly; Java parses the same nearest double), so the
+    optimized plan is unchanged."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in w)
+        + ")"
+    )
+
+
 def _dot_lit(vec: Column, w: list[float]) -> Column:
     """Dot product against a driver-side constant vector (inlined literal
     array + zip_with/aggregate fold). The fold runs as an interpreted
@@ -331,7 +386,7 @@ def _dot_lit(vec: Column, w: list[float]) -> Column:
     SLOWER (19.2s vs 5.3s on the banded-LSH pair query at sf0.1) — the
     literal-array fold is the right shape; keep the model constant small
     and let the lambda interpreter stream it."""
-    arr = F.array(*[F.lit(float(x)) for x in w])
+    arr = _flit_array(w)
     return F.aggregate(
         F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -817,7 +872,7 @@ def topk_ivf_exact(
         F.expr(int_assign_sql(cents)).isin(probe)
         & (F.col(id_col) != query_id)
     )
-    qlit = F.array(*[F.lit(x) for x in qv])
+    qlit = _flit_array(qv)
     scored = cands.select(
         id_col,
         (
@@ -894,7 +949,7 @@ def pq_topk_exact(
         .orderBy(F.col("_adc").asc(), F.col(id_col))
         .limit(shortlist)
     )
-    qlit = F.array(*[F.lit(x) for x in qv])
+    qlit = _flit_array(qv)
     rer = short.join(emb.select(id_col, vec_col), id_col).select(
         id_col,
         (
@@ -999,7 +1054,7 @@ def topk_ivfpq_exact(
         .orderBy(F.col("_adc").asc(), F.col(id_col))
         .limit(shortlist)
     )
-    qlit = F.array(*[F.lit(x) for x in qv])
+    qlit = _flit_array(qv)
     rer = short.join(emb.select(id_col, vec_col), id_col).select(
         id_col,
         (
@@ -1101,7 +1156,7 @@ def topk_lsh_pruned(
         spark.read.parquet(path).filter(F.col("_bucket") == qbucket),
         vec_col,
     )
-    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    qarr = _flit_array(query_vec)
     scored = bucketed.select(
         id_col,
         cosine(F.col(vec_col), qarr).cast("decimal(18,6)").cast("double").alias("score"),

@@ -148,11 +148,23 @@ PRIORITY: tuple[str, ...] = (
 
 # Oracle-checked entries queued for the ROUND-14 window: entries ADDED
 # during round 13 are appended as they land (none — r13 is an
-# optimization round), followed by the oldest regrades if slots remain.
-# tests/test_registry.py enforces that window + NEXT_WINDOW + graded
-# union covers every oracle-checked entry AND that this queue never
-# exceeds one window's capacity.
-NEXT_WINDOW: tuple[str, ...] = ()
+# optimization round), plus rewrite canaries for entries whose
+# construction switched to the round-13 single-parse twins
+# (_flit_array / band_buckets_sql) and that are NOT in the r13 window:
+# the optimized plans differ only in lambda-variable names and the
+# struct/named_struct spelling (verified execution-identical +
+# exceptAll-pinned), but the widened canary rule says regrade what
+# changed. tests/test_registry.py enforces that window + NEXT_WINDOW +
+# graded union covers every oracle-checked entry AND that this queue
+# never exceeds one window's capacity.
+NEXT_WINDOW: tuple[str, ...] = (
+    "dedup_embedding_lsh",   # band_buckets_sql single-parse twin
+    "dedup_semantic",        # band_buckets_sql single-parse twin
+    "sim_topk_bruteforce",   # _flit_array query literal
+    "sim_lsh_topk",          # lsh_bucket -> _dot_lit -> _flit_array
+    "sim_lsh_multiprobe",    # lsh_bucket -> _dot_lit -> _flit_array
+    "emb_random_projection",  # random_projection -> _flit_array
+)
 
 _ALL: dict[str, Q] = {}
 for _m in _MODULES:

@@ -1220,17 +1220,30 @@ def simhash_signature(
         F.col(id_col).alias("_id"),
         F.explode(grams).alias("_h"),
     )
+    # Single-parse forms (round 13, same rationale as the r12 builders):
+    # the Column chains issued ~900 py4j round trips per construction
+    # (64 per-bit sums x ~8 calls + a 64-term reassembly chain) — ~1.2s
+    # of driver time. One F.expr per vote and one for the reassembly:
+    # identical expressions after parsing (same shiftright/&/*2-1 votes,
+    # same CASE-per-bit sum; the b=63 weight spells the long-min literal
+    # as (-9223372036854775807 - 1) because SQL can't parse long-min
+    # directly), exceptAll-pinned in tests/test_pipeline.py.
     votes = ex.groupBy("_id").agg(
         *[
-            F.sum(
-                (F.shiftright("_h", b).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"v{b}")
+            F.expr(f"sum(((shiftright(_h, {b}) & 1) * 2 - 1))").alias(
+                f"v{b}"
+            )
             for b in range(64)
         ]
     )
-    sig = F.lit(0).cast("long")
+    terms = []
     for b in range(64):
-        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+        w = str(2**b) if b < 63 else "(-9223372036854775807 - 1)"
+        terms.append(
+            f"(CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) * {w} "
+            f"ELSE 0 END)"
+        )
+    sig = F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
     return votes.select("_id", sig.alias("simhash"))
 
 

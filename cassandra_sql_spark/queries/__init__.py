@@ -164,6 +164,7 @@ NEXT_WINDOW: tuple[str, ...] = (
     "sim_lsh_topk",          # lsh_bucket -> _dot_lit -> _flit_array
     "sim_lsh_multiprobe",    # lsh_bucket -> _dot_lit -> _flit_array
     "emb_random_projection",  # random_projection -> _flit_array
+    "dedup_simhash",         # simhash_signature single-parse votes
 )
 
 _ALL: dict[str, Q] = {}

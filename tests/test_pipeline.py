@@ -1916,3 +1916,126 @@ def test_sql_string_builders_match_column_forms(spark, sf_dir):
     new_banded = dedup._banded_keys(sig, 64, 16)
     assert old_banded.exceptAll(new_banded).count() == 0
     assert new_banded.exceptAll(old_banded).count() == 0
+
+
+def test_r13_single_parse_twins_match_column_forms(spark, sf_dir):
+    """Round-13 construction-cost twins: band_buckets' SQL string form
+    and simhash_signature's single-parse votes/reassembly must be
+    value-identical to the Column-API forms they replaced (the plan may
+    differ only in lambda-variable names / struct spelling)."""
+    from pyspark.sql import functions as F
+    from cassandra_sql_spark.pipeline import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "vec_id",
+        F.explode(
+            similarity.band_buckets(F.col("embedding"), 16, 2)
+        ).alias("bb"),
+    )
+    b = emb.select(
+        "vec_id",
+        F.explode(similarity.band_buckets("embedding", 16, 2)).alias("bb"),
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    # _flit_array constant-folds to the identical double literals
+    w = [0.123, -1.0, 0.0, 1e-05, -0.999]
+    lit_old = emb.select(F.array(*[F.lit(float(x)) for x in w]).alias("a"))
+    lit_new = emb.select(similarity._flit_array(w).alias("a"))
+    assert lit_old.exceptAll(lit_new).count() == 0
+
+    # simhash: single-parse votes/reassembly vs the Column original,
+    # BOTH hash families (md5 is the oracle-portable twin)
+    docs = load(spark, sf_dir, "documents")
+
+    def old_form(df, hash_family):
+        if hash_family == "md5":
+            grams = F.transform(
+                dedup.word_shingles("text"),
+                lambda s: F.conv(
+                    F.substring(F.md5(s), 1, 15), 16, 10
+                ).cast("bigint"),
+            )
+        else:
+            grams = dedup.hashed_shingles("text")
+        ex = dedup.spread(df).select(
+            F.col("doc_id").alias("_id"), F.explode(grams).alias("_h")
+        )
+        votes = ex.groupBy("_id").agg(
+            *[
+                F.sum(
+                    (F.shiftright("_h", b).bitwiseAND(F.lit(1)) * 2 - 1)
+                ).alias(f"v{b}")
+                for b in range(64)
+            ]
+        )
+        sig = F.lit(0).cast("long")
+        for b in range(64):
+            sig = sig + F.when(
+                F.col(f"v{b}") > 0,
+                F.lit(1).cast("long")
+                * (2**b if b < 63 else -(2**63)),
+            ).otherwise(0)
+        return votes.select("_id", sig.alias("simhash"))
+
+    for fam in ("xxhash64", "md5"):
+        old = old_form(docs, fam)
+        new = dedup.simhash_signature(docs, "doc_id", "text", fam)
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+
+
+def test_r13_cascade_index_partitioning_and_nonce(spark, sf_dir):
+    """Round-13 cascade materialization: the persisted index must (a)
+    carry its hash partitioning through InMemoryTableScan so a _g-keyed
+    aggregation above it plans NO exchange of its own, and (b) embed a
+    per-invocation nonce so Spark's CacheManager can never serve one
+    invocation's materialized index to a plan-identical other — every
+    invocation recomputes from the parquet inputs."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    a = dedup._ngram_pair_intersections(docs, "doc_id", "text", 3, 64)
+    b = dedup._ngram_pair_intersections(docs, "doc_id", "text", 3, 64)
+    # (b) two invocations are NOT plan-identical (the nonce differs),
+    # so neither can be served from the other's cache entry
+    pa = a._jdf.queryExecution().analyzed().toString()
+    pb = b._jdf.queryExecution().analyzed().toString()
+    assert pa != pb, "cascade invocations must not share a cache entry"
+    # values are of course identical
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # (a) a _g-keyed agg directly over the persisted index plans no
+    # exchange above the InMemoryTableScan (the consumer part of the
+    # plan tree is everything before the cached relation's own subplan)
+    docs2 = load(spark, sf_dir, "documents")
+    grams = F.expr(
+        "element_at(transform(array("
+        + dedup.shingles_sql("`text`", 3)
+        + "), s -> transform(s, g -> named_struct('_n', size(s), "
+        "'_g', xxhash64(g)))), 1)"
+    )
+    from pyspark import StorageLevel
+
+    ex = (
+        dedup.spread(docs2)
+        .select(F.col("doc_id").alias("_id"), F.explode(grams).alias("_e"))
+        .select(F.col("_e._g").alias("_g"))
+        .repartition("_g")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        ex.count()
+        agg = ex.groupBy("_g").count()
+        agg.write.mode("overwrite").format("noop").save()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        consumer = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in consumer
+        assert "Exchange" not in consumer, (
+            "the _g-keyed agg re-shuffled the pre-partitioned index:\n"
+            + consumer
+        )
+    finally:
+        ex.unpersist()

@@ -162,7 +162,13 @@ def test_ngram_jaccard_capped_scans_corpus_once(spark, sf_dir):
     InMemoryTableScan consumer, so textual 'Scan parquet' counts no
     longer measure executed scans; the invariant is instead: every
     consumer reads the SAME InMemoryRelation (one cacheBuilder id),
-    and both index consumers are InMemoryTableScans."""
+    and both index consumers are InMemoryTableScans.
+
+    CacheManager substitutes ANY still-cached frame whose plan subtree
+    matches (other tests in the session may have persisted overlapping
+    frames), which would add extra InMemoryTableScans — clear the cache
+    first so the plan shows exactly this query's own materialization."""
+    spark.catalog.clearCache()
     plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
     assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) == 2, plan
     # exactly one distinct cached relation feeds them: the rendered

@@ -63,6 +63,25 @@ def main():
     ).filter(F.col("jaccard") >= 0.5)
     dump(pairs, "dedup_ngram_jaccard")
 
+    # representative cascade consumers on the OLD pair source
+    dump(dedup.dup_clusters(pairs), "dedup_clusters")
+    cont = inter.filter(
+        F.least(F.col("na"), F.col("nb")) >= 5
+    ).select(
+        "da", "db", F.col("na"), F.col("nb"),
+        (F.col("_inter").cast("double")
+         / F.least(F.col("na"), F.col("nb"))).alias("containment"),
+    ).filter(F.col("containment") >= 0.8)
+    dump(
+        cont.select(
+            "da", "db",
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            "containment",
+        ),
+        "dedup_containment",
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -1006,10 +1006,26 @@ def topk_ivfpq_exact(
     dim = DIM
     subdim = dim // m
     seeds = seed_rows(quant, max(n_centroids, k_codes), id_col)
-    cents = lloyd_int(quant, n_centroids, iters_coarse, id_col, seeds=seeds)
-    books = pq_books_int(
-        quant, m, subdim, k_codes, iters_pq, id_col, seeds=seeds
-    )
+    # Round 13 (guide §2.6 overlap independent jobs): the coarse Lloyd
+    # and the PQ codebook training are INDEPENDENT given the shared
+    # pre-fetched seeds and the materialized quant frame — each is a
+    # serial chain of (one distributed job + one bounded model collect)
+    # per iteration, so running them from two driver threads overlaps
+    # one chain's barrier with the other's compute and the composed
+    # wall-clock is max(coarse, pq) instead of their sum. Results are
+    # bit-identical: each thread's jobs are sequential within itself
+    # and the trainings share no mutable state.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cents = pool.submit(
+            lloyd_int, quant, n_centroids, iters_coarse, id_col, seeds
+        )
+        f_books = pool.submit(
+            pq_books_int, quant, m, subdim, k_codes, iters_pq, id_col, seeds
+        )
+        cents = f_cents.result()
+        books = f_books.result()
     emb = nonzero(emb, vec_col)
     qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).first()
     empty = emb.select(id_col, F.lit(0.0).alias("score")).limit(0)
